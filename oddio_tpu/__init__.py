@@ -1,0 +1,60 @@
+"""oddio_tpu — a TPU-native batch audio rendering engine.
+
+A from-scratch rebuild of the capabilities of Ralith/oddio (a real-time,
+sans-I/O game-audio library, see /root/reference) as dense batch computation
+on TPU via JAX/XLA/Pallas:
+
+* signal chains compile to fused XLA kernels over fixed-size frame blocks;
+* the dynamic voice set becomes masked, vmapped voice pools reduced in a
+  single mix kernel;
+* the lock-free spsc/swap/atomic control plane becomes host-written per-block
+  parameter arrays with oddio's handle API (`play`, `stop`, `set_gain`,
+  `set_motion`, `seek`, ...);
+* scenes scale across chips by sharding the voice/scene axes over a
+  `jax.sharding.Mesh`.
+
+Public surface mirrors oddio's re-exports (reference lib.rs:65-82).
+"""
+
+from .core.signal import Signal, ControlBlock
+from .core.frames import Frames, FramesSignal, FramesSignalControl
+from .core.smooth import Smoothed
+from .core.run import Renderer, run
+from .ops.constant import Constant
+from .ops.sine import Sine
+from .ops.cycle import Cycle
+from .ops.gain import FixedGain, Gain, GainControl
+from .ops.speed import Speed, SpeedControl
+from .ops.channels import MonoToStereo, Downmix
+from .ops.limit import Reinhard, Tanh
+from .mixer import Mixer, MixerControl, Mixed
+
+#: Unitless instantaneous sound wave amplitude measurement (lib.rs:85)
+Sample = float
+
+__all__ = [
+    "Signal",
+    "ControlBlock",
+    "Frames",
+    "FramesSignal",
+    "FramesSignalControl",
+    "Smoothed",
+    "Renderer",
+    "run",
+    "Constant",
+    "Sine",
+    "Cycle",
+    "FixedGain",
+    "Gain",
+    "GainControl",
+    "Speed",
+    "SpeedControl",
+    "MonoToStereo",
+    "Downmix",
+    "Reinhard",
+    "Tanh",
+    "Mixer",
+    "MixerControl",
+    "Mixed",
+    "Sample",
+]

@@ -1,0 +1,255 @@
+"""Static audio storage and playback.
+
+Reference: /root/reference/src/frames.rs — ``Frames<T>`` is an immutable,
+rate-tagged sample array (frames.rs:19-124) and ``FramesSignal`` plays it from
+an f64 cursor with linear interpolation and zero-padding outside the range
+(frames.rs:141-214), publishing its playback position for the control half
+(frames.rs:223-248).
+
+TPU redesign: all ``Frames`` data lives in a per-channel-count **device
+arena** — one concatenated f32 array — so that a pool of voices playing
+*different* sounds is still a single dense gather: each voice carries an
+(offset, length) pair into the arena.  This replaces per-sound ``Arc``
+sharing; loading new sounds appends to the arena (a rare re-upload, analogous
+to oddio's set-realloc protocol, set.rs:208-212).
+
+Cursor precision: oddio keeps ``t`` in f64 (frames.rs:143-149).  TPUs have no
+fast f64, so the cursor stays in **host** f64 and the device receives a
+(base:int32, offset0:f32, ds:f32) decomposition per block — bit-faithful to
+the reference's ``s0 = t*rate; base = s0 as isize`` split (frames.rs:177-189).
+The per-frame offsets use the closed form ``offset0 + i*ds`` rather than the
+reference's sequential ``offset += ds`` f32 accumulation; the difference is
+pure rounding (≲ n·eps samples within one block; cross-block state is exact).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .hostmath import EPS32, f32, f64, full
+from .signal import ControlBlock, Signal
+from ..ops._dev import iota_f32, lerp
+
+__all__ = ["Frames", "FramesSignal", "FramesSignalControl"]
+
+
+class _Arena:
+    """Concatenated device storage for all Frames with a given channel count."""
+
+    def __init__(self, channels):
+        self.channels = channels
+        self._chunks = []  # list of np arrays
+        self._total = 0
+        self._device = None
+
+    def add(self, data):
+        off = self._total
+        self._chunks.append(data)
+        self._total += data.shape[0]
+        self._device = None
+        return off
+
+    def device(self):
+        if self._device is None:
+            if not self._chunks:
+                shape = (1,) if self.channels == 1 else (1, self.channels)
+                self._device = jnp.zeros(shape, dtype=jnp.float32)
+            else:
+                self._device = jnp.asarray(np.concatenate(self._chunks, axis=0))
+        return self._device
+
+
+_ARENAS = {}
+
+
+def _arena(channels):
+    if channels not in _ARENAS:
+        _ARENAS[channels] = _Arena(channels)
+    return _ARENAS[channels]
+
+
+class Frames:
+    """A sequence of static audio frames at a particular sample rate
+    (frames.rs:12-124).  ``data`` is float32, shape (len,) mono or (len, C)."""
+
+    def __init__(self, rate, data):
+        data = f32(data)
+        if data.ndim == 1:
+            self.channels = 1
+        else:
+            self.channels = int(data.shape[1])
+        self._rate = np.float64(rate)  # stored as f64 like the header (frames.rs:20)
+        self.data = data
+        self.arena = _arena(self.channels)
+        self.offset = self.arena.add(data)
+
+    @classmethod
+    def from_slice(cls, rate, samples):
+        """frames.rs:26-47."""
+        return cls(rate, samples)
+
+    @classmethod
+    def from_iter(cls, rate, it):
+        """frames.rs:50-77."""
+        return cls(rate, np.fromiter(it, dtype=np.float32))
+
+    def __len__(self):
+        return int(self.data.shape[0])
+
+    def rate(self):
+        """Samples per second (frames.rs:80-82)."""
+        return int(self._rate)
+
+    def runtime(self):
+        """Runtime in seconds (frames.rs:85-87)."""
+        return len(self) / self._rate
+
+    def interpolate(self, s):
+        """Host-side frame interpolation at sample position ``s``
+        (frames.rs:94-102): whole numbers hit exact samples, out-of-range
+        positions yield 0."""
+        x0 = int(np.trunc(s))
+        fract = np.float32(np.float64(s) - np.float64(x0))
+        a, b = self._get_pair(x0)
+        return (a + fract * (b - a)).astype(np.float32)
+
+    def _get_pair(self, s):
+        """frames.rs:105-123."""
+        zero = np.zeros(self.data.shape[1:], np.float32) if self.data.ndim > 1 else np.float32(0.0)
+        n = len(self)
+        a = self.data[s] if 0 <= s < n else zero
+        b = self.data[s + 1] if 0 <= s + 1 < n else zero
+        return a, b
+
+
+def _arena_get(arena, off, length, s):
+    """Zero-padded arena gather implementing get_pair's edge semantics
+    (frames.rs:105-123): valid for 0 <= s < length, zero otherwise."""
+    valid = (s >= 0) & (s < length)
+    idx = off + jnp.clip(s, 0, jnp.maximum(length - 1, 0))
+    v = jnp.take(arena, idx, axis=0, mode="clip")
+    if arena.ndim > 1:
+        valid = valid[..., None]
+    return jnp.where(valid, v, 0.0)
+
+
+class FramesSignal(Signal):
+    """An audio signal backed by static samples (frames.rs:141-214)."""
+
+    seekable = True
+    _host_fields = ("t", "off", "length", "rate")
+
+    def __init__(self, frames, start_seconds=0.0):
+        super().__init__()
+        self.channels = frames.channels
+        self._alloc_host(())
+        self.t[()] = np.float64(start_seconds)
+        self.off[()] = frames.offset
+        self.length[()] = len(frames)
+        self.rate[()] = frames._rate
+        self._cb = ControlBlock(self)
+        self.control = FramesSignalControl(self._cb)
+
+    @classmethod
+    def new(cls, frames, start_seconds=0.0):
+        """frames.rs:152-169 — returns (control, signal)."""
+        sig = cls(frames, start_seconds)
+        return sig.control, sig
+
+    def _alloc_host(self, batch):
+        self.t = full(batch, 0.0, np.float64)
+        self.off = full(batch, 0, np.int32)
+        self.length = full(batch, 1, np.int32)
+        self.rate = full(batch, 1.0, np.float64)
+
+    def _copy_static_from(self, other):
+        pass
+
+    def _arch_extra(self):
+        return (self.channels,)
+
+    def _params_from_t(self, t, interval):
+        s0 = t * self.rate  # f64 (frames.rs:177)
+        base = np.trunc(s0)  # `s0 as isize` truncates toward zero
+        ds = (f32(interval) * self.rate.astype(np.float32)).astype(np.float32)
+        offset0 = (s0 - base).astype(np.float32)
+        fast = np.abs(ds - np.float32(1.0)) <= EPS32  # frames.rs:180
+        base_i = np.clip(base, -(2**30), 2**30).astype(np.int32)
+        return {
+            "base": base_i,
+            "offset0": offset0,
+            "ds": ds,
+            "fast": fast,
+            "off": self.off.copy(),
+            "length": self.length.copy(),
+        }
+
+    def host_prepare(self, interval, n, count=None):
+        interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
+        params = self._params_from_t(self.t, interval)
+        cnt = np.broadcast_to(f64(n if count is None else count), self.batch)
+        # frames.rs:198: t += f64::from(interval) * out.len()
+        self.t = self.t + interval.astype(np.float64) * cnt
+        return params
+
+    def host_params_at(self, tshift, interval, n):
+        interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
+        t = self.t + f32(tshift).astype(np.float64)  # seek(): t += f64::from(seconds)
+        return self._params_from_t(np.broadcast_to(t, self.batch), interval)
+
+    def host_seek(self, seconds):
+        """frames.rs:209-214."""
+        self.t = self.t + f32(seconds).astype(np.float64)
+
+    def host_is_finished(self):
+        """frames.rs:204-206: t >= (len - 1) / rate."""
+        return self.t >= (self.length.astype(np.float64) - 1.0) / self.rate
+
+    # control-side views (frames.rs:229-248)
+    def _playback_position(self):
+        return np.trunc(self.t * self.rate) / self.rate
+
+    def _control_finished(self):
+        pos = np.trunc(self.t * self.rate)
+        return (pos >= 0) & (pos >= self.length.astype(np.float64))
+
+    def _own_device_data(self):
+        return {"arena": _arena(self.channels).device()}
+
+    def render(self, dstate, ddata, params, n):
+        i = iota_f32(n)
+        off_gen = params["offset0"] + i * params["ds"]
+        tr = off_gen.astype(jnp.int32)  # truncation toward zero, like `to_int_unchecked`
+        fr = off_gen - tr.astype(jnp.float32)
+        # fast path (frames.rs:180-187): integral step, constant fract
+        tr = jnp.where(params["fast"], jnp.arange(n, dtype=jnp.int32), tr)
+        fr = jnp.where(params["fast"], params["offset0"], fr)
+        s = params["base"] + tr
+        arena = ddata["arena"]
+        a = _arena_get(arena, params["off"], params["length"], s)
+        b = _arena_get(arena, params["off"], params["length"], s + 1)
+        if arena.ndim > 1:
+            fr = fr[:, None]
+        out = lerp(a, b, fr)
+        block = out[None, :] if arena.ndim == 1 else out.T
+        return dstate, block
+
+
+class FramesSignalControl:
+    """Playback-position readout (frames.rs:223-248)."""
+
+    def __init__(self, cb):
+        self._cb = cb
+
+    def playback_position(self):
+        if not self._cb.live():
+            return 0.0
+        sig, idx = self._cb.sig, self._cb.idx
+        return float(sig._playback_position()[idx])
+
+    def is_finished(self):
+        if not self._cb.live():
+            return True
+        sig, idx = self._cb.sig, self._cb.idx
+        return bool(sig._control_finished()[idx])

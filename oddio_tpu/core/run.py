@@ -1,0 +1,104 @@
+"""Block-render drivers.
+
+Reference: /root/reference/src/lib.rs:90-93 — ``run(signal, rate, out)``
+computes ``interval = 1/rate`` and pulls one block from the signal graph on
+the audio thread.
+
+TPU redesign: a ``Renderer`` owns the jitted step for a signal graph.  Per
+block it (1) walks the graph on the host, advancing host state and producing
+per-block parameter arrays (the control-plane handoff), then (2) dispatches
+one jitted, donated device step.  For offline rendering, ``render_frames``
+precomputes many blocks' parameters and runs a single ``lax.scan`` on device,
+amortising dispatch overhead — the TPU analogue of oddio's tight offline loop
+(examples/offline.rs:33-43).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .hostmath import f32
+
+__all__ = ["Renderer", "run"]
+
+
+def _stack_params(params_list):
+    return jax.tree.map(lambda *xs: np.stack(xs), *params_list)
+
+
+class Renderer:
+    def __init__(self, signal, rate):
+        if signal._moved:
+            raise RuntimeError("signal was moved into an engine; render the engine")
+        self.signal = signal
+        self.rate = int(rate)
+        # lib.rs:91: interval = 1.0 / sample_rate as f32
+        self.interval = np.float32(1.0) / np.float32(self.rate)
+        self._arch = None
+        self._step = None
+        self._scan_steps = {}
+
+    def _ensure(self):
+        arch = self.signal.archetype()
+        if arch != self._arch:
+            self._arch = arch
+            sig = self.signal
+
+            def step(dstate, ddata, params, n):
+                return sig.render(dstate, ddata, params, n)
+
+            self._step = jax.jit(step, static_argnums=3, donate_argnums=0)
+
+            def scan_step(dstate, ddata, stacked, n):
+                def body(d, p):
+                    return sig.render(d, ddata, p, n)
+
+                d2, blocks = jax.lax.scan(body, dstate, stacked)
+                return d2, blocks
+
+            self._scan = jax.jit(scan_step, static_argnums=3, donate_argnums=0)
+
+    def render_block(self, n, interval=None):
+        """Render one block of ``n`` frames; returns float32 (n, C)."""
+        self._ensure()
+        sig = self.signal
+        params = sig.host_prepare(self.interval if interval is None else f32(interval), n)
+        d2, block = self._step(sig.device_collect(), sig.device_data(), params, n)
+        sig.device_store(d2)
+        return np.asarray(block).T
+
+    def render_frames(self, total, block_size=512):
+        """Offline render of ``total`` frames in fixed blocks via one on-device
+        scan; returns float32 (total, C)."""
+        self._ensure()
+        sig = self.signal
+        nblocks, rem = divmod(total, block_size)
+        pieces = []
+        if nblocks:
+            params_list = [
+                sig.host_prepare(self.interval, block_size) for _ in range(nblocks)
+            ]
+            stacked = _stack_params(params_list)
+            d2, blocks = self._scan(
+                sig.device_collect(), sig.device_data(), stacked, block_size
+            )
+            sig.device_store(d2)
+            out = np.asarray(blocks)  # (B, C, n)
+            pieces.append(np.moveaxis(out, 1, 2).reshape(nblocks * block_size, out.shape[1]))
+        if rem:
+            pieces.append(self.render_block(rem))
+        return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
+
+
+def run(signal, sample_rate, n):
+    """Populate and return an (n, C) float32 block from ``signal`` —
+    convenience mirroring oddio::run (lib.rs:90-93).  Keeps a Renderer cached
+    on the signal so repeated calls stream correctly."""
+    key = "_renderer_%d" % int(sample_rate)
+    r = getattr(signal, key, None)
+    if r is None:
+        r = Renderer(signal, sample_rate)
+        setattr(signal, key, r)
+    return r.render_block(n)

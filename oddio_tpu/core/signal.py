@@ -1,0 +1,262 @@
+"""The core Signal protocol, redesigned for TPU batch rendering.
+
+Reference: /root/reference/src/signal.rs:14-28 defines oddio's pull-based
+``Signal`` trait (``sample(&mut self, interval, out)``), with combinators
+wrapping each other and a lock-free control plane mutating parameters from
+another thread.
+
+TPU redesign (see SURVEY.md §7): a Signal here is a *template* with three
+separated aspects:
+
+* **host state** — small numpy arrays (shape = ``batch``), e.g. f64 playback
+  cursors, smoothing ramps, phases.  Advanced once per block by
+  ``host_prepare`` using the exact reference arithmetic (f64 cursors from
+  frames.rs:143-149, f32 ramps from smooth.rs), producing a pytree of
+  per-block parameter arrays.  This *is* the control plane: control handles
+  write host values that take effect at the next block boundary, exactly like
+  oddio's atomics/swap channels are observed once per ``sample`` call.
+* **device state** — jnp arrays for data-plane state that must live on the
+  TPU (delay rings, stream buffers, AGC accumulators).
+* **render** — a pure JAX function ``(dstate, ddata, params, n) -> (dstate',
+  block)`` over fixed-size frame blocks, written unbatched and ``vmap``-ed
+  over the voice axis by engine pools.  Blocks are channels-first ``(C, n)``
+  so the frame axis lands on TPU lanes.
+
+``Seek`` (signal.rs:48-58) maps to ``seekable`` signals which additionally
+expose a *pure* ``host_params_at`` (parameters for a time-shifted, rate-warped
+read that does not advance state) plus ``host_seek`` — the pair the spatial
+scene's per-ear doppler resampling needs (spatial.rs:438-470).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["Signal", "ControlBlock", "arch_of"]
+
+
+class ControlBlock:
+    """Routes control-handle writes to wherever a signal's host state lives.
+
+    Replaces oddio's per-filter cross-thread cells (``Arc<AtomicU32>`` in
+    gain.rs:58-93, ``swap`` channels in spatial.rs:93-116): a handle writes a
+    value; the signal observes it at its next block. When a signal is played
+    into an engine pool its host state is copied into the pool's column
+    arrays and the ControlBlock is rebound to (pool signal, slot); a slot
+    generation counter makes writes through stale handles harmless no-ops
+    (mirroring oddio, where writes to a dropped voice's atomics go nowhere).
+    """
+
+    def __init__(self, sig):
+        self.sig = sig
+        self.idx = ()  # () indexes the 0-d arrays of a standalone signal
+        self.pool = None
+        self.gen = 0
+
+    def rebind(self, sig, idx, pool, gen):
+        self.sig = sig
+        self.idx = idx
+        self.pool = pool
+        self.gen = gen
+
+    def live(self):
+        return self.pool is None or self.pool.slot_gen[self.idx] == self.gen
+
+    def set(self, field, value):
+        if self.live():
+            getattr(self.sig, field)[self.idx] = value
+
+    def get(self, field, default=None):
+        if self.live():
+            return getattr(self.sig, field)[self.idx]
+        return default
+
+
+def arch_of(sig):
+    return sig.archetype()
+
+
+class Signal:
+    """Base class for all signal templates."""
+
+    #: number of output channels (1 = mono)
+    channels = 1
+    #: whether the signal supports deterministic time-shifted evaluation
+    #: (oddio's ``Seek``, signal.rs:48-58)
+    seekable = False
+
+    def __init__(self):
+        self.batch = ()
+        self._moved = False  # set when played into an engine (Rust move semantics)
+        self._dev = None  # this node's own device-state leaves
+
+    # -- structure ---------------------------------------------------------
+
+    def children(self):
+        """Ordered mapping name -> child Signal."""
+        return {}
+
+    def _arch_extra(self):
+        """Static (trace-relevant) config beyond channels, e.g. buffer sizes."""
+        return ()
+
+    def archetype(self):
+        """Hashable structural key; equal archetypes can share a pool/jit."""
+        kids = tuple((k, c.archetype()) for k, c in self.children().items())
+        return (type(self).__qualname__, self.channels, self._arch_extra(), kids)
+
+    # -- host state lifecycle -----------------------------------------------
+
+    #: names of numpy host-state attributes, each shaped ``batch + extra``
+    _host_fields = ()
+
+    def _alloc_host(self, batch):
+        """Allocate default host-state arrays for ``batch``. Per-class."""
+        raise NotImplementedError
+
+    def clone_batched(self, V):
+        """Build a batched (pool) template with the same structure."""
+        new = object.__new__(type(self))
+        Signal.__init__(new)
+        new.batch = (V,)
+        new.channels = self.channels
+        new._copy_static_from(self)
+        new._alloc_host((V,))
+        for k, c in self.children().items():
+            setattr(new, k, c.clone_batched(V))
+        return new
+
+    def _copy_static_from(self, other):
+        """Copy static (archetype-level) config when cloning. Per-class."""
+        pass
+
+    def write_slot(self, i, spec, pool, gen):
+        """Copy ``spec``'s (batch=()) host state into slot ``i`` and rebind
+        its controls. Mirrors oddio's move of the signal into the Set."""
+        if spec._moved:
+            raise RuntimeError("signal was already played (moved); construct a new one")
+        spec._moved = True  # recursion marks every node, incl. shared inners
+        for f in self._host_fields:
+            getattr(self, f)[i] = getattr(spec, f)[()] if getattr(spec, f).ndim == 0 else getattr(spec, f)
+        self._rebind_controls(spec, i, pool, gen)
+        for (k, mine), theirs in zip(self.children().items(), spec.children().values()):
+            mine.write_slot(i, theirs, pool, gen)
+
+    def _rebind_controls(self, spec, i, pool, gen):
+        cb = getattr(spec, "_cb", None)
+        if cb is not None:
+            cb.rebind(self, i, pool, gen)
+
+    # -- host per-block protocol ---------------------------------------------
+
+    def host_prepare(self, interval, n, count=None):
+        """Compute per-block device parameters and advance host state.
+
+        ``interval`` is an f32 array broadcastable to ``batch`` (seconds per
+        frame; may vary per voice under Speed).  ``count`` optionally gives
+        the number of frames actually consumed per voice (< n), used by the
+        spatial delay-ring writer whose per-voice write counts vary by one
+        (ring.rs:18-41); state must advance by ``count`` frames only.
+        Returns a pytree (dict) of numpy arrays shaped ``batch + (...)``.
+        """
+        return {}
+
+    def host_params_at(self, tshift, interval, n):
+        """Pure variant for Seek-path reads: parameters for sampling with the
+        start time shifted by ``tshift`` seconds at ``interval`` seconds per
+        frame, WITHOUT advancing host state. Only for ``seekable`` signals."""
+        raise NotImplementedError(f"{type(self).__name__} is not seekable")
+
+    def host_seek(self, seconds):
+        """Shift the playback cursor (signal.rs:48-51). Host-state mutation."""
+        raise NotImplementedError(f"{type(self).__name__} is not seekable")
+
+    def host_is_finished(self):
+        """Per-voice finished flags (signal.rs:21-27), computed from host state."""
+        return np.zeros(self.batch, dtype=bool)
+
+    # -- device state ---------------------------------------------------------
+    # Each node *owns* its device-state leaves (rings, accumulators) in
+    # ``self._dev``; collect/store assemble the nested pytree for the jitted
+    # step.  Engines reset rows in a node's own leaves when reusing a slot.
+
+    def _own_device_init(self):
+        """This node's own device-state leaves (jnp, shapes include batch)."""
+        return {}
+
+    def _own_slot_init(self, i):
+        """Numpy row values to reset this node's own leaves for slot ``i``."""
+        return {}
+
+    def _own_device_data(self):
+        """This node's read-only shared device arrays (e.g. sample arenas)."""
+        return {}
+
+    def device_collect(self):
+        if self._dev is None:
+            self._dev = self._own_device_init()
+        d = dict(self._dev)
+        for k, c in self.children().items():
+            # always include children (even empty) so the carry pytree
+            # structure matches render outputs exactly
+            d[k] = c.device_collect()
+        return d
+
+    def device_store(self, d):
+        kids = self.children()
+        self._dev = {k: v for k, v in d.items() if k not in kids}
+        for k, c in kids.items():
+            if k in d:
+                c.device_store(d[k])
+
+    def device_reset_slot(self, i):
+        """Reset device state for pool slot ``i`` after a new play()."""
+        if self._dev is None:
+            self._dev = self._own_device_init()
+        rows = self._own_slot_init(i)
+        if rows:
+            self._dev = {
+                k: (v.at[i].set(rows[k]) if k in rows else v)
+                for k, v in self._dev.items()
+            }
+        for c in self.children().values():
+            c.device_reset_slot(i)
+
+    def device_data(self):
+        """Read-only device arrays shared across blocks (e.g. sample arenas).
+        Passed to render separately so multi-block scans don't stack them."""
+        d = dict(self._own_device_data())
+        for k, c in self.children().items():
+            sub = c.device_data()
+            if sub:
+                d[k] = sub
+        return d
+
+    def grow_batched(self, new_V):
+        """Grow this batched template's capacity in place (the analogue of
+        oddio's set-realloc protocol, set.rs:57-63): host columns and device
+        leaves are extended; existing ControlBlocks stay valid because they
+        reference the signal object, not the arrays."""
+        old_V = self.batch[0]
+        add = new_V - old_V
+        fresh = self.clone_batched(add)
+        for f in self._host_fields:
+            setattr(self, f, np.concatenate([getattr(self, f), getattr(fresh, f)]))
+        if self._dev is not None:
+            import jax.numpy as jnp
+
+            fresh_dev = fresh._own_device_init()
+            self._dev = {
+                k: jnp.concatenate([v, fresh_dev[k]]) for k, v in self._dev.items()
+            }
+        for (k, c), fc in zip(self.children().items(), fresh.children().values()):
+            c.grow_batched(new_V)
+        self.batch = (new_V,)
+
+    # -- device render ---------------------------------------------------------
+
+    def render(self, dstate, ddata, params, n):
+        """Pure JAX function: returns ``(dstate', block)`` with block ``(C, n)``
+        f32 (channels-first so frames land on TPU lanes). Must be traceable
+        under jit and vmap; ``n`` is static."""
+        raise NotImplementedError

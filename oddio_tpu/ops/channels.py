@@ -1,0 +1,83 @@
+"""Channel-count adapters: MonoToStereo and Downmix.
+
+Reference: /root/reference/src/signal.rs:61-91 (MonoToStereo duplicates the
+mono channel) and /root/reference/src/downmix.rs (Downmix sums all channels).
+
+Note on Downmix: the reference samples its inner signal in fixed 256-frame
+staging chunks (downmix.rs:23-33), which advances the inner signal by
+``ceil(n/256)*256`` frames even when ``n`` is not a multiple of 256 — a
+side effect of its staging buffer, not a semantic goal.  This rebuild
+advances the inner signal by exactly ``n`` frames; outputs agree whenever
+``n`` is a multiple of 256 (and for deterministic inner signals always).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.signal import Signal
+
+__all__ = ["MonoToStereo", "Downmix"]
+
+
+class _Wrapper(Signal):
+    def __init__(self, signal):
+        super().__init__()
+        self.inner = signal
+        self.seekable = signal.seekable
+
+    def children(self):
+        return {"inner": self.inner}
+
+    def _alloc_host(self, batch):
+        pass
+
+    def _copy_static_from(self, other):
+        self.seekable = other.seekable
+        self.channels = other.channels
+
+    def host_prepare(self, interval, n, count=None):
+        return {"inner": self.inner.host_prepare(interval, n, count)}
+
+    def host_params_at(self, tshift, interval, n):
+        return {"inner": self.inner.host_params_at(tshift, interval, n)}
+
+    def host_seek(self, seconds):
+        self.inner.host_seek(seconds)
+
+    def host_is_finished(self):
+        return self.inner.host_is_finished()
+
+    def _inner_render(self, dstate, ddata, params, n):
+        d2, block = self.inner.render(
+            dstate.get("inner", {}), ddata.get("inner", {}), params["inner"], n
+        )
+        out = dict(dstate)
+        out["inner"] = d2
+        return out, block
+
+
+class MonoToStereo(_Wrapper):
+    """signal.rs:61-91 — duplicate a mono signal into both stereo channels."""
+
+    def __init__(self, signal):
+        if signal.channels != 1:
+            raise ValueError("MonoToStereo requires a mono inner signal")
+        super().__init__(signal)
+        self.channels = 2
+
+    def render(self, dstate, ddata, params, n):
+        d2, block = self._inner_render(dstate, ddata, params, n)
+        return d2, jnp.broadcast_to(block, (2, n))
+
+
+class Downmix(_Wrapper):
+    """downmix.rs — sum all channels to mono."""
+
+    def __init__(self, signal):
+        super().__init__(signal)
+        self.channels = 1
+
+    def render(self, dstate, ddata, params, n):
+        d2, block = self._inner_render(dstate, ddata, params, n)
+        return d2, jnp.sum(block, axis=0, keepdims=True)

@@ -1,0 +1,53 @@
+"""Constant signal.
+
+Reference: /root/reference/src/constant.rs — emits a fixed frame forever;
+"useful for testing". Seekable (trivially deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.hostmath import f32, full
+from ..core.signal import Signal
+
+__all__ = ["Constant"]
+
+
+class Constant(Signal):
+    seekable = True
+    _host_fields = ("value",)
+
+    def __init__(self, frame):
+        super().__init__()
+        v = f32(np.atleast_1d(frame))
+        self.channels = int(v.shape[0])
+        self._alloc_host(())
+        self.value[()] = v
+
+    @classmethod
+    def new(cls, frame):
+        return cls(frame)
+
+    def _alloc_host(self, batch):
+        self.value = full(batch, 0.0, extra=(self.channels,))
+
+    def _copy_static_from(self, other):
+        self.channels = other.channels
+
+    def _arch_extra(self):
+        return (self.channels,)
+
+    def host_prepare(self, interval, n, count=None):
+        return {"value": self.value.copy()}
+
+    def host_params_at(self, tshift, interval, n):
+        return {"value": self.value.copy()}
+
+    def host_seek(self, seconds):
+        pass  # constant.rs:21-23
+
+    def render(self, dstate, ddata, params, n):
+        block = jnp.broadcast_to(params["value"][..., None], (self.channels, n))
+        return dstate, block

@@ -1,0 +1,106 @@
+"""Looping playback of static frames.
+
+Reference: /root/reference/src/cycle.rs — loops ``Frames`` end-to-end with
+linear interpolation across the seam (cycle.rs:26-53); ``Seek`` wraps the f64
+cursor with ``rem_euclid`` (cycle.rs:56-60).
+
+TPU form: like FramesSignal, the f64 sample cursor is host state; the device
+computes positions ``(base + trunc(offset0 + i*ds)) mod len`` and gathers the
+seam pair ``(data[x], data[(x+1) mod len])`` from the arena.  The reference
+rebases its f32 offset in-loop when it walks past the end (cycle.rs:40-47);
+the modulo form is the same arithmetic without the sequential rebase.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.frames import _arena
+from ..core.hostmath import f32, f64, full, rem_euclid
+from ..core.signal import Signal
+from ._dev import iota_f32, lerp
+
+__all__ = ["Cycle"]
+
+
+class Cycle(Signal):
+    seekable = True
+    _host_fields = ("cursor", "off", "length", "rate")
+
+    def __init__(self, frames):
+        super().__init__()
+        self.channels = frames.channels
+        self._alloc_host(())
+        self.off[()] = frames.offset
+        self.length[()] = len(frames)
+        self.rate[()] = frames._rate
+
+    def _alloc_host(self, batch):
+        self.cursor = full(batch, 0.0, np.float64)
+        self.off = full(batch, 0, np.int32)
+        self.length = full(batch, 1, np.int32)
+        self.rate = full(batch, 1.0, np.float64)
+
+    def _arch_extra(self):
+        return (self.channels,)
+
+    def _params_from_cursor(self, cursor, interval):
+        # cycle.rs:27-30: ds = interval * rate() as f32; base = cursor as usize
+        ds = (f32(interval) * np.float32(1.0) * self.rate.astype(np.float32)).astype(np.float32)
+        base = np.trunc(cursor)
+        offset0 = (cursor - base).astype(np.float32)
+        return {
+            "base": np.clip(base, 0, 2**30).astype(np.int32),
+            "offset0": offset0,
+            "ds": ds,
+            "off": self.off.copy(),
+            "length": self.length.copy(),
+        }
+
+    def host_prepare(self, interval, n, count=None):
+        interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
+        params = self._params_from_cursor(self.cursor, interval)
+        cnt = np.broadcast_to(f64(n if count is None else count), self.batch)
+        ds64 = params["ds"].astype(np.float64)
+        length = self.length.astype(np.float64)
+        # Final cursor matches the reference's end-of-loop state: the last
+        # accessed position reduced mod len (cycle.rs:40-47), plus one step.
+        pos_last = params["base"].astype(np.float64) + params["offset0"].astype(np.float64) + (cnt - 1.0) * ds64
+        adv = rem_euclid(pos_last, length) + ds64
+        self.cursor = np.where(cnt > 0, adv, np.broadcast_to(np.asarray(self.cursor, np.float64), cnt.shape))
+        return params
+
+    def host_params_at(self, tshift, interval, n):
+        interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
+        cursor = rem_euclid(
+            self.cursor + f32(tshift).astype(np.float64) * self.rate,
+            self.length.astype(np.float64),
+        )
+        return self._params_from_cursor(np.broadcast_to(cursor, self.batch), interval)
+
+    def host_seek(self, seconds):
+        """cycle.rs:56-60."""
+        self.cursor = rem_euclid(
+            self.cursor + f32(seconds).astype(np.float64) * self.rate,
+            self.length.astype(np.float64),
+        )
+
+    def _own_device_data(self):
+        return {"arena": _arena(self.channels).device()}
+
+    def render(self, dstate, ddata, params, n):
+        i = iota_f32(n)
+        o = params["offset0"] + i * params["ds"]
+        tr = o.astype(jnp.int32)
+        fr = o - tr.astype(jnp.float32)
+        length = params["length"]
+        x = jnp.mod(params["base"] + tr, length)
+        arena = ddata["arena"]
+        a = jnp.take(arena, params["off"] + x, axis=0, mode="clip")
+        b = jnp.take(arena, params["off"] + jnp.mod(x + 1, length), axis=0, mode="clip")
+        if arena.ndim > 1:
+            fr = fr[:, None]
+        out = lerp(a, b, fr)
+        block = out[None, :] if arena.ndim == 1 else out.T
+        return dstate, block

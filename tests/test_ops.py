@@ -1,0 +1,315 @@
+"""Unit tests porting the reference's inline test vectors.
+
+Each test cites the reference test it mirrors; expected values are the exact
+arrays from oddio's `#[cfg(test)]` modules (dyadic rationals, so f32 math is
+bit-exact and `==` comparisons are meaningful).
+"""
+
+import numpy as np
+import pytest
+
+import oddio_tpu as ot
+
+
+def sample(sig, interval, n):
+    """Drive a signal like oddio's tests drive `Signal::sample`."""
+    r = getattr(sig, "_test_renderer", None)
+    if r is None:
+        r = ot.Renderer(sig, 1)
+        sig._test_renderer = r
+    return r.render_block(n, interval=np.float32(interval))
+
+
+def mono(block):
+    assert block.shape[1] == 1
+    return block[:, 0]
+
+
+# --- FramesSignal (frames.rs:250-304) --------------------------------------
+
+
+def test_frames_from_slice():
+    data = [1.0, 2.0, 3.0]
+    f = ot.Frames.from_slice(1, data)
+    assert len(f) == 3
+    np.testing.assert_array_equal(f.data, np.float32(data))
+
+
+def test_frames_sample():
+    """frames.rs:269-275: resampling and out-of-range zero padding."""
+    sig = ot.FramesSignal(ot.Frames.from_slice(1, [1.0, 2.0, 3.0, 4.0]), -2.0)
+    np.testing.assert_array_equal(mono(sample(sig, 0.25, 4)), [0.0, 0.0, 0.0, 0.0])
+    np.testing.assert_array_equal(mono(sample(sig, 0.5, 3)), [0.0, 0.5, 1.0])
+    np.testing.assert_array_equal(
+        mono(sample(sig, 1.0, 5)), [1.5, 2.5, 3.5, 2.0, 0.0]
+    )
+
+
+def test_frames_playback_position():
+    """frames.rs:277-303."""
+    control, sig = ot.FramesSignal.new(ot.Frames.from_slice(1, [1.0, 2.0, 3.0]), -2.0)
+    assert control.playback_position() == -2.0
+    assert not control.is_finished()
+
+    sample(sig, 0.2, 10)
+    assert control.playback_position() == 0.0
+    assert not control.is_finished()
+
+    sample(sig, 0.1, 10)
+    assert control.playback_position() == 1.0
+    sample(sig, 0.1, 10)
+    assert control.playback_position() == 2.0
+    sample(sig, 0.2, 10)
+    assert control.is_finished()
+    assert control.playback_position() == 4.0
+    sample(sig, 0.5, 10)
+    assert control.playback_position() == 9.0
+
+
+def test_frames_interpolate():
+    f = ot.Frames.from_slice(1, [1.0, 2.0, 3.0])
+    assert f.interpolate(0.5) == 1.5
+    assert f.interpolate(-1.0) == 0.0
+    assert f.interpolate(2.5) == pytest.approx(1.5)  # (3.0, 0.0) pair
+    assert f.interpolate(5.0) == 0.0
+
+
+# --- Sine -------------------------------------------------------------------
+
+
+def test_sine_values():
+    sig = ot.Sine(0.0, 1.0)  # 1 Hz
+    out = mono(sample(sig, 0.25, 4))
+    expected = np.sin(np.float32(2 * np.pi) * np.float32([0.0, 0.25, 0.5, 0.75]))
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_sine_phase_continuity():
+    a = ot.Sine(0.3, 440.0)
+    b = ot.Sine(0.3, 440.0)
+    whole = mono(sample(a, 1.0 / 48000.0, 256))
+    first = mono(sample(b, 1.0 / 48000.0, 128))
+    second = mono(sample(b, 1.0 / 48000.0, 128))
+    np.testing.assert_allclose(np.concatenate([first, second]), whole, atol=1e-5)
+
+
+def test_sine_seek():
+    a = ot.Sine(0.0, 2.0)
+    a.host_seek(0.25)
+    out = mono(sample(a, 0.125, 2))
+    expected = np.sin(np.float32(2 * np.pi) * np.float32(2.0) * np.float32([0.25, 0.375]))
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+# --- Gain (gain.rs:165-180) --------------------------------------------------
+
+
+def test_gain_smoothing():
+    """gain.rs:170-179: exact ramp values over the 0.1 s smoothing period."""
+    control, sig = ot.Gain.new(ot.Constant(1.0))
+    control.set_amplitude_ratio(5.0)
+    out = mono(sample(sig, 0.025, 6))
+    np.testing.assert_array_equal(out, [1.0, 2.0, 3.0, 4.0, 5.0, 5.0])
+    out = mono(sample(sig, 0.025, 6))
+    np.testing.assert_array_equal(out, [5.0] * 6)
+
+
+def test_fixed_gain_db():
+    sig = ot.FixedGain(ot.Constant(1.0), -6.0)
+    out = mono(sample(sig, 1.0, 4))
+    np.testing.assert_allclose(out, 10.0 ** (-6.0 / 20.0), rtol=1e-6)
+
+
+def test_gain_control_getters():
+    control, sig = ot.Gain.new(ot.Constant(1.0))
+    control.set_gain(-20.0)
+    assert control.amplitude_ratio() == pytest.approx(0.1)
+    assert control.gain() == pytest.approx(-20.0, abs=1e-4)
+
+
+# --- Speed -------------------------------------------------------------------
+
+
+def test_speed_scales_interval():
+    control, sig = ot.Speed.new(ot.FramesSignal(ot.Frames.from_slice(1, [0.0, 1.0, 2.0, 3.0]), 0.0))
+    control.set_speed(2.0)
+    out = mono(sample(sig, 0.5, 3))
+    np.testing.assert_array_equal(out, [0.0, 1.0, 2.0])
+
+
+# --- MonoToStereo (signal.rs:110-116) ----------------------------------------
+
+
+def test_mono_to_stereo():
+    sig = ot.MonoToStereo(ot.FramesSignal(ot.Frames.from_slice(1, [0.0, 1.0, 2.0, 3.0]), 0.0))
+    out = sample(sig, 1.0, 4)
+    np.testing.assert_array_equal(
+        out, [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]
+    )
+
+
+# --- Downmix (downmix.rs:50-61) ----------------------------------------------
+
+
+def test_downmix_smoke():
+    sig = ot.Downmix(ot.Constant([1.0, 2.0]))
+    out = mono(sample(sig, 1.0, 384))
+    np.testing.assert_array_equal(out, np.full(384, 3.0, np.float32))
+
+
+# --- Reinhard / Tanh -----------------------------------------------------------
+
+
+def test_reinhard():
+    sig = ot.Reinhard(ot.Constant(3.0))
+    out = mono(sample(sig, 1.0, 8))
+    np.testing.assert_allclose(out, 3.0 / 4.0, rtol=1e-7)
+
+
+def test_tanh():
+    sig = ot.Tanh(ot.Constant(0.5))
+    out = mono(sample(sig, 1.0, 8))
+    # XLA's f32 tanh differs from numpy's correctly-rounded one by ~1e-5 rel.
+    np.testing.assert_allclose(out, np.tanh(0.5), atol=1e-5)
+
+
+# --- Cycle (cycle.rs:64-122) ---------------------------------------------------
+
+
+def make_cycle():
+    return ot.Cycle(ot.Frames.from_slice(1, [1.0, 2.0, 3.0]))
+
+
+def test_cycle_wrap_single():
+    s = make_cycle()
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 5)), [1.0, 2.0, 3.0, 1.0, 2.0])
+
+
+def test_cycle_wrap_multi():
+    s = make_cycle()
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 2)), [1.0, 2.0])
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 3)), [3.0, 1.0, 2.0])
+
+
+def test_cycle_wrap_fract():
+    s = make_cycle()
+    np.testing.assert_array_equal(mono(sample(s, 0.5, 2)), [1.0, 1.5])
+    np.testing.assert_array_equal(
+        mono(sample(s, 0.5, 6)), [2.0, 2.5, 3.0, 2.0, 1.0, 1.5]
+    )
+
+
+def test_cycle_wrap_fract_offset():
+    s = make_cycle()
+    s.host_seek(0.25)
+    np.testing.assert_array_equal(mono(sample(s, 0.5, 2)), [1.25, 1.75])
+    np.testing.assert_array_equal(
+        mono(sample(s, 0.5, 5)), [2.25, 2.75, 2.5, 1.5, 1.25]
+    )
+
+
+def test_cycle_wrap_single_frame():
+    s = ot.Cycle(ot.Frames.from_slice(1, [1.0]))
+    s.host_seek(0.25)
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 2)), [1.0, 1.0])
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 1)), [1.0])
+
+
+def test_cycle_wrap_large_interval():
+    s = make_cycle()
+    np.testing.assert_array_equal(mono(sample(s, 10.0, 2)), [1.0, 2.0])
+    np.testing.assert_array_equal(mono(sample(s, 10.0, 1)), [3.0])
+
+
+# --- Smoothed (smooth.rs doctest) -----------------------------------------------
+
+
+def test_smoothed():
+    v = ot.Smoothed(0.0)
+    assert v.get() == 0.0
+    v.set(1.0)
+    assert v.get() == 0.0
+    v.advance(0.5)
+    assert v.get() == 0.5
+    v.set(1.5)
+    v.advance(0.5)
+    assert v.get() == 1.0
+    v.advance(0.5)
+    assert v.get() == 1.5
+    v.advance(0.5)
+    assert v.get() == 1.5
+
+
+# --- Mixer (mixer.rs:124-148) ------------------------------------------------
+
+
+def test_mixer_is_stopped():
+    """mixer.rs:129-147: finished voices are noticed one scan late."""
+    control, mixer = ot.Mixer.new(channels=1)
+    sig = ot.FramesSignal(ot.Frames.from_slice(1, [0.0, 0.0]), 0.0)
+    handle = control.play(sig)
+    assert not handle.is_stopped()
+
+    sample(mixer, 0.6, 1)
+    assert not handle.is_stopped()
+
+    sample(mixer, 0.6, 1)
+    # Signal is finished, but we won't actually notice until the next scan
+    assert not handle.is_stopped()
+
+    sample(mixer, 0.0, 1)
+    assert handle.is_stopped()
+
+
+def test_mixer_sums_voices():
+    control, mixer = ot.Mixer.new(channels=1)
+    control.play(ot.Constant(1.0))
+    control.play(ot.Constant(2.0))
+    out = mono(sample(mixer, 1.0, 4))
+    np.testing.assert_array_equal(out, [3.0, 3.0, 3.0, 3.0])
+    # different archetype joins a second pool
+    control.play(ot.Sine(np.pi / 2, 0.0))  # constant 1.0 via sine
+    out = mono(sample(mixer, 1.0, 4))
+    np.testing.assert_allclose(out, [4.0] * 4, atol=1e-6)
+
+
+def test_mixer_stop_and_reuse():
+    control, mixer = ot.Mixer.new(channels=1)
+    h1 = control.play(ot.Constant(1.0))
+    sample(mixer, 1.0, 2)
+    h1.stop()
+    out = mono(sample(mixer, 1.0, 2))
+    np.testing.assert_array_equal(out, [0.0, 0.0])
+    assert h1.is_stopped()
+    h2 = control.play(ot.Constant(5.0))
+    out = mono(sample(mixer, 1.0, 2))
+    np.testing.assert_array_equal(out, [5.0, 5.0])
+    assert not h2.is_stopped()
+    assert h1.is_stopped()  # stale handle stays stopped
+
+
+def test_mixer_growth():
+    control, mixer = ot.Mixer.new(channels=1)
+    handles = [control.play(ot.Constant(1.0)) for _ in range(40)]
+    out = mono(sample(mixer, 1.0, 2))
+    np.testing.assert_array_equal(out, [40.0, 40.0])
+    for h in handles[:39]:
+        h.stop()
+    out = mono(sample(mixer, 1.0, 2))
+    np.testing.assert_array_equal(out, [1.0, 1.0])
+
+
+def test_mixer_masked_equals_naive():
+    """Property: the masked dense mixer equals a naive per-voice loop."""
+    rng = np.random.default_rng(0)
+    control, mixer = ot.Mixer.new(channels=1)
+    freqs = rng.uniform(50, 1000, size=8)
+    for f in freqs:
+        control.play(ot.Sine(0.0, f))
+    out = mono(sample(mixer, 1.0 / 48000.0, 256))
+    t = np.arange(256, dtype=np.float32) * np.float32(1.0 / 48000.0)
+    naive = sum(
+        np.sin(t * np.float32(np.float32(f) * np.float32(2 * np.pi)))
+        for f in freqs
+    )
+    np.testing.assert_allclose(out, naive, atol=1e-5)
