@@ -28,6 +28,14 @@ from .ops.speed import Speed, SpeedControl
 from .ops.channels import MonoToStereo, Downmix
 from .ops.limit import Reinhard, Tanh
 from .mixer import Mixer, MixerControl, Mixed
+from .spatial import (
+    SpatialScene,
+    SpatialSceneControl,
+    Spatial,
+    SpatialOptions,
+    SPEED_OF_SOUND,
+    HEAD_RADIUS,
+)
 
 #: Unitless instantaneous sound wave amplitude measurement (lib.rs:85)
 Sample = float
@@ -56,5 +64,11 @@ __all__ = [
     "Mixer",
     "MixerControl",
     "Mixed",
+    "SpatialScene",
+    "SpatialSceneControl",
+    "Spatial",
+    "SpatialOptions",
+    "SPEED_OF_SOUND",
+    "HEAD_RADIUS",
     "Sample",
 ]

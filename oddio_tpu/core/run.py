@@ -36,43 +36,45 @@ class Renderer:
         self.rate = int(rate)
         # lib.rs:91: interval = 1.0 / sample_rate as f32
         self.interval = np.float32(1.0) / np.float32(self.rate)
-        self._arch = None
-        self._step = None
-        self._scan_steps = {}
+        # jitted steps keyed by (archetype, kind); archetype includes any
+        # trace-relevant statics updated by host_prepare (e.g. ring write
+        # bounds), so steps are resolved AFTER preparing the block.
+        self._steps = {}
 
-    def _ensure(self):
-        arch = self.signal.archetype()
-        if arch != self._arch:
-            self._arch = arch
+    def _get_step(self, kind):
+        key = (self.signal.archetype(), kind)
+        step = self._steps.get(key)
+        if step is None:
             sig = self.signal
+            if kind == "single":
 
-            def step(dstate, ddata, params, n):
-                return sig.render(dstate, ddata, params, n)
+                def step_fn(dstate, ddata, params, n):
+                    return sig.render(dstate, ddata, params, n)
 
-            self._step = jax.jit(step, static_argnums=3, donate_argnums=0)
+            else:
 
-            def scan_step(dstate, ddata, stacked, n):
-                def body(d, p):
-                    return sig.render(d, ddata, p, n)
+                def step_fn(dstate, ddata, stacked, n):
+                    def body(d, p):
+                        return sig.render(d, ddata, p, n)
 
-                d2, blocks = jax.lax.scan(body, dstate, stacked)
-                return d2, blocks
+                    return jax.lax.scan(body, dstate, stacked)
 
-            self._scan = jax.jit(scan_step, static_argnums=3, donate_argnums=0)
+            step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
+            self._steps[key] = step
+        return step
 
     def render_block(self, n, interval=None):
         """Render one block of ``n`` frames; returns float32 (n, C)."""
-        self._ensure()
         sig = self.signal
         params = sig.host_prepare(self.interval if interval is None else f32(interval), n)
-        d2, block = self._step(sig.device_collect(), sig.device_data(), params, n)
+        step = self._get_step("single")
+        d2, block = step(sig.device_collect(), sig.device_data(), params, n)
         sig.device_store(d2)
         return np.asarray(block).T
 
     def render_frames(self, total, block_size=512):
         """Offline render of ``total`` frames in fixed blocks via one on-device
         scan; returns float32 (total, C)."""
-        self._ensure()
         sig = self.signal
         nblocks, rem = divmod(total, block_size)
         pieces = []
@@ -81,7 +83,8 @@ class Renderer:
                 sig.host_prepare(self.interval, block_size) for _ in range(nblocks)
             ]
             stacked = _stack_params(params_list)
-            d2, blocks = self._scan(
+            step = self._get_step("scan")
+            d2, blocks = step(
                 sig.device_collect(), sig.device_data(), stacked, block_size
             )
             sig.device_store(d2)

@@ -1,0 +1,188 @@
+"""SpatialScene tests: the reference's reclamation test plus physical sanity
+checks (panning, attenuation, propagation delay, doppler)."""
+
+import numpy as np
+import pytest
+
+import oddio_tpu as ot
+from oddio_tpu.core.hostmath import quat_rotate
+
+
+def sample(scene, interval, n, renderer_rate=1):
+    r = getattr(scene, "_test_renderer", None)
+    if r is None:
+        r = ot.Renderer(scene, renderer_rate)
+        scene._test_renderer = r
+    return r.render_block(n, interval=np.float32(interval))
+
+
+class FinishedSignal(ot.Constant):
+    """spatial.rs:611-627: a signal that is immediately finished."""
+
+    def __init__(self):
+        super().__init__(0.0)
+
+    def host_is_finished(self):
+        return np.ones(self.batch, dtype=bool)
+
+
+def test_signal_finished_lingers_for_propagation():
+    """spatial.rs:629-665: a finished source is dropped only after its
+    propagation delay has elapsed."""
+    control, scene = ot.SpatialScene.new()
+    handle = control.play(
+        FinishedSignal(),
+        ot.SpatialOptions(position=[float(ot.SPEED_OF_SOUND), 0.0, 0.0]),
+    )
+    pool = list(scene._seek_pools.values())[0]
+
+    sample(scene, 0.0, 1)
+    assert pool.mask.sum() == 1, "signal remains after no time has passed"
+    sample(scene, 0.6, 1)
+    assert pool.mask.sum() == 1, "signal remains partway through propagation"
+    sample(scene, 0.6, 1)
+    assert pool.mask.sum() == 1, "signal remains immediately after delay expires"
+    assert not handle.is_finished()
+    sample(scene, 0.0, 1)
+    assert pool.mask.sum() == 0, "signal dropped on first pass after delay expires"
+    assert handle.is_finished()
+
+
+def render_position(position, seek=True, frames_hz=200.0, rate=8000, blocks=8):
+    """Render a sine at a fixed position; returns (nblocks*512, 2)."""
+    control, scene = ot.SpatialScene.new()
+    sig = ot.Sine(0.0, frames_hz)
+    opts = ot.SpatialOptions(position=position)
+    if seek:
+        control.play(sig, opts)
+    else:
+        control.play_buffered(sig, opts, max_distance=50.0, rate=rate,
+                              buffer_duration=0.1)
+    r = ot.Renderer(scene, rate)
+    return np.concatenate([r.render_block(512) for _ in range(blocks)])
+
+
+@pytest.mark.parametrize("seek", [True, False])
+def test_panning(seek):
+    """A source on the right is louder in the right ear."""
+    out = render_position([5.0, 0.0, 0.0], seek=seek)
+    tail = out[2048:]  # skip propagation-delay onset
+    rms = np.sqrt((tail**2).mean(axis=0))
+    assert rms[1] > 3.0 * rms[0], rms
+
+
+@pytest.mark.parametrize("seek", [True, False])
+def test_distance_attenuation(seek):
+    near = render_position([0.0, 0.0, -2.0], seek=seek)
+    far = render_position([0.0, 0.0, -20.0], seek=seek)
+    rms_near = np.sqrt((near[4000:] ** 2).mean())
+    rms_far = np.sqrt((far[4000:] ** 2).mean())
+    # gain = radius / distance => 10x farther = 10x quieter
+    assert rms_near / rms_far == pytest.approx(10.0, rel=0.05)
+
+
+def test_propagation_delay_buffered():
+    """A buffered source at 34.3 m starts 0.1 s late."""
+    out = render_position([0.0, 0.0, -34.3], seek=False, rate=8000, blocks=4)
+    onset = np.argmax(np.abs(out[:, 0]) > 1e-4)
+    assert onset == pytest.approx(800, abs=16), onset  # 0.1 s at 8 kHz
+
+
+def test_listener_rotation():
+    """Rotating the listener 180 deg about +Y swaps the ears."""
+    control, scene = ot.SpatialScene.new()
+    control.play(ot.Sine(0.0, 200.0), ot.SpatialOptions(position=[5.0, 0.0, 0.0]))
+    # quaternion for 180 deg about Y: (cos90, 0, sin90, 0) = (0, 0, 1, 0)
+    control.set_listener_rotation([0.0, 0.0, 1.0, 0.0])
+    r = ot.Renderer(scene, 8000)
+    out = np.concatenate([r.render_block(512) for _ in range(8)])
+    tail = out[2048:]
+    rms = np.sqrt((tail**2).mean(axis=0))
+    assert rms[0] > 3.0 * rms[1], rms  # now louder in the LEFT ear
+
+
+@pytest.mark.parametrize("seek", [True, False])
+def test_doppler_shift(seek):
+    """A source approaching at 34.3 m/s reads ~10% sharp (f' = f/(1 - v/c))."""
+    control, scene = ot.SpatialScene.new()
+    sig = ot.Sine(0.0, 400.0)
+    # stays >= 45 m in front of the listener for the whole ~3 s of motion
+    # (t runs 1.0 -> ~3.0, so z reaches z0 + ~103 m)
+    z0 = -150.0
+    opts = ot.SpatialOptions(position=[0.0, 0.0, z0], velocity=[0.0, 0.0, 34.3])
+    if seek:
+        h = control.play(sig, opts)
+    else:
+        h = control.play_buffered(sig, opts, max_distance=100.0, rate=8000,
+                                  buffer_duration=0.1)
+    rate = 8000
+    r = ot.Renderer(scene, rate)
+    # prime 1 s so smoothing settles, then give fresh motion every block
+    t = 1.0
+    chunks = []
+    for i in range(2 * rate // 512):
+        pos = [0.0, 0.0, z0 + 34.3 * t]
+        h.set_motion(pos, [0.0, 0.0, 34.3], False)
+        blk = r.render_block(512)
+        t += 512 / rate
+        if i >= rate // 512:
+            chunks.append(blk)
+    out = np.concatenate(chunks)[:, 0] + np.concatenate(chunks)[:, 1]
+    spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+    peak_hz = np.argmax(spec) * rate / len(out)
+    expected = 400.0 / (1.0 - 34.3 / 343.0)  # about 444 Hz
+    assert peak_hz == pytest.approx(expected, abs=6.0), peak_hz
+
+
+def test_buffered_voice_reuse_and_growth():
+    control, scene = ot.SpatialScene.new()
+    handles = [
+        control.play_buffered(
+            ot.Sine(0.0, 100.0 + 10 * i),
+            ot.SpatialOptions(position=[0.0, 0.0, -1.0]),
+            max_distance=10.0,
+            rate=8000,
+            buffer_duration=0.1,
+        )
+        for i in range(20)  # > initial capacity -> grow
+    ]
+    r = ot.Renderer(scene, 8000)
+    out = r.render_block(512)
+    assert np.abs(out).max() > 0
+    assert not handles[0].is_finished()
+
+
+def test_motion_smoothing_no_click():
+    """A position jump without discontinuity glides (0.5 s smoothing) —
+    output stays continuous."""
+    control, scene = ot.SpatialScene.new()
+    h = control.play(ot.Sine(0.0, 50.0), ot.SpatialOptions(position=[0.0, 0.0, -2.0]))
+    r = ot.Renderer(scene, 8000)
+    r.render_block(512)
+    h.set_motion([0.0, 0.0, -40.0], [0.0, 0.0, 0.0], False)
+    blocks = np.concatenate([r.render_block(512) for _ in range(8)])
+    diffs = np.abs(np.diff(blocks[:, 0]))
+    assert diffs.max() < 0.05, diffs.max()  # no step discontinuity
+
+
+def test_quat_rotate_axes():
+    """math/mod.rs:101-129: quaternion rotation sanity on all three axes."""
+
+    def axis_angle(axis, angle):
+        half = angle * 0.5
+        return np.float32([np.cos(half)] + [a * np.sin(half) for a in axis])
+
+    p = np.float32([[0.0, 0.0, -1.0]])
+    q = axis_angle([1.0, 0.0, 0.0], np.pi / 2)
+    rp = quat_rotate(q[None], p)[0]
+    assert rp[0] == 0.0 and abs(rp[1] - 1.0) < 1e-3
+
+    p = np.float32([[1.0, 0.0, 0.0]])
+    q = axis_angle([0.0, 1.0, 0.0], np.pi / 2)
+    rp = quat_rotate(q[None], p)[0]
+    assert abs(rp[2] + 1.0) < 1e-3
+
+    p = np.float32([[0.0, 1.0, 0.0]])
+    q = axis_angle([0.0, 0.0, 1.0], np.pi / 2)
+    rp = quat_rotate(q[None], p)[0]
+    assert abs(rp[0] + 1.0) < 1e-3
