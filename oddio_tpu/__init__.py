@@ -27,6 +27,9 @@ from .ops.gain import FixedGain, Gain, GainControl
 from .ops.speed import Speed, SpeedControl
 from .ops.channels import MonoToStereo, Downmix
 from .ops.limit import Reinhard, Tanh
+from .ops.stream import Stream, StreamControl
+from .ops.adapt import Adapt, AdaptOptions
+from .ops.fader import Fader, FaderControl
 from .mixer import Mixer, MixerControl, Mixed
 from .spatial import (
     SpatialScene,
@@ -61,6 +64,12 @@ __all__ = [
     "Downmix",
     "Reinhard",
     "Tanh",
+    "Stream",
+    "StreamControl",
+    "Adapt",
+    "AdaptOptions",
+    "Fader",
+    "FaderControl",
     "Mixer",
     "MixerControl",
     "Mixed",

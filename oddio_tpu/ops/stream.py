@@ -1,0 +1,198 @@
+"""Streaming audio ingest.
+
+Reference: /root/reference/src/stream.rs — dynamic audio pushed from outside
+(decoder/network) through a wait-free spsc channel; playback lerps between
+buffered samples, zero-pads on underrun (stream.rs:37-61), releases consumed
+samples back to the sender (stream.rs:63-69), and finishes once the sender is
+dropped and the buffer drained (stream.rs:88-91).
+
+TPU redesign: the spsc ring becomes a device-resident ring tensor per stream
+voice.  The control half appends samples into a host-side pending list; each
+block the pending chunk ships to the device and is scattered into the ring
+(the host→device copy *is* the producer side of the channel), while the host
+mirrors the ring's (start, len, t) bookkeeping with the reference's exact f32
+arithmetic.  Consumption ("release") is pure cursor math — the ring is simply
+overwritten later.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.hostmath import f32, full
+from ..core.signal import ControlBlock, Signal
+from ._dev import iota_f32, lerp
+
+__all__ = ["Stream", "StreamControl"]
+
+
+class Stream(Signal):
+    _host_fields = ("rate", "t", "buflen", "closed", "stopping", "start")
+
+    def __init__(self, rate, size, max_write_per_block=None):
+        """``rate``: stream sample rate; ``size``: max buffered frames
+        (stream.rs:17-34).  ``max_write_per_block`` caps how many new samples
+        ship to the device per block (defaults to ``size``, which is fully
+        faithful; smaller values bound per-block transfer for huge pools)."""
+        super().__init__()
+        self.size = int(size)
+        self.max_write = int(max_write_per_block or size)
+        self._alloc_host(())
+        self.rate[()] = np.float64(rate)
+        self._cb = ControlBlock(self)
+        # host-side producer queue (list of np chunks); aliases the slot queue
+        self._cb.pending = self._pending.flat[0]
+        self.control = StreamControl(self._cb)
+
+    @classmethod
+    def new(cls, rate, size):
+        sig = cls(rate, size)
+        return sig.control, sig
+
+    def _alloc_host(self, batch):
+        self.rate = full(batch, 1.0, np.float64)
+        self.t = full(batch, 0.0)
+        self.buflen = full(batch, 0, np.int32)
+        self.closed = np.zeros(batch, dtype=bool)
+        self.stopping = np.zeros(batch, dtype=bool)
+        self.start = full(batch, 0, np.int32)
+        # per-slot producer queues (object array so pools keep one per voice)
+        self._pending = np.empty(batch if batch else (1,), dtype=object)
+        for i in range(self._pending.size):
+            self._pending.flat[i] = []
+
+    def _copy_static_from(self, other):
+        self.size = other.size
+        self.max_write = other.max_write
+
+    def _arch_extra(self):
+        return (self.size, self.max_write)
+
+    def write_slot(self, i, spec, pool, gen):
+        super().write_slot(i, spec, pool, gen)
+        self._pending[i] = spec._cb.pending
+        spec._cb.pending = self._pending[i]
+
+    # control-side helpers (called through the ControlBlock)
+    def _free_space(self, idx):
+        pend = sum(len(c) for c in self._cb_pending(idx))
+        return max(0, self.size - int(self.buflen[idx]) - pend)
+
+    def _cb_pending(self, idx):
+        if self.batch == ():
+            return self._pending.flat[0]
+        return self._pending[idx]
+
+    def _own_device_init(self):
+        return {"ring": jnp.zeros(self.batch + (self.size,), jnp.float32)}
+
+    def _own_slot_init(self, i):
+        return {"ring": np.zeros(self.size, np.float32)}
+
+    def host_prepare(self, interval, n, count=None):
+        interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
+        # drain producer queues into a fixed-size chunk (Receiver::update)
+        V = self.batch[0] if self.batch else 1
+        chunk = np.zeros((V, self.max_write), np.float32)
+        counts = np.zeros(V, np.int32)
+        lens = np.atleast_1d(self.buflen).copy()
+        for v in range(V):
+            q = self._pending.flat[v]
+            room = self.max_write
+            got = []
+            while q and room > 0:
+                c = q[0]
+                if len(c) <= room:
+                    got.append(c)
+                    room -= len(c)
+                    q.pop(0)
+                else:
+                    got.append(c[:room])
+                    q[0] = c[room:]
+                    room = 0
+            if got:
+                flat = np.concatenate(got).astype(np.float32)
+                chunk[v, : len(flat)] = flat
+                counts[v] = len(flat)
+        write_pos = (np.atleast_1d(self.start) + lens) % np.int32(self.size)
+        new_len = lens + counts
+        self.stopping = self.stopping | self.closed  # stream.rs:76-78
+
+        ds = (interval * self.rate.astype(np.float32)).astype(np.float32)
+        params = {
+            "t": self.t.copy(),
+            "ds": ds,
+            "len": new_len.reshape(self.batch).astype(np.int32),
+            "start": self.start.copy(),
+            "chunk": chunk.reshape(self.batch + (self.max_write,)),
+            "wcount": counts.reshape(self.batch),
+            "wpos": write_pos.reshape(self.batch),
+        }
+        # advance (stream.rs:63-69): next = t + dt*rate, release whole samples
+        cnt = np.broadcast_to(f32(n if count is None else count), self.batch)
+        nxt = (self.t + (interval * cnt * self.rate.astype(np.float32))).astype(
+            np.float32
+        )
+        lenf = new_len.reshape(self.batch).astype(np.float32)
+        tc = np.minimum(nxt, lenf)
+        released = np.trunc(tc).astype(np.int32)
+        self.t = (tc - released).astype(np.float32)
+        self.buflen = (new_len.reshape(self.batch) - released).astype(np.int32)
+        self.start = ((self.start + released) % np.int32(self.size)).astype(np.int32)
+        return params
+
+    def host_is_finished(self):
+        """stream.rs:88-91: stopping && t == len (all drained)."""
+        return self.stopping & (self.t == self.buflen.astype(np.float32))
+
+    def render(self, dstate, ddata, params, n):
+        ring = dstate["ring"]  # (size,) unbatched
+        size = self.size
+        # producer: scatter the newly shipped chunk (Receiver::update)
+        j = jnp.arange(self.max_write)
+        idx = jnp.mod(params["wpos"] + j, size)
+        idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
+        ring = ring.at[idx].set(params["chunk"], mode="drop")
+        # consumer: lerp read with zero padding (stream.rs:37-61)
+        s = params["t"] + params["ds"] * iota_f32(n)
+        x0 = jnp.trunc(s).astype(jnp.int32)
+
+        def get(k):
+            valid = (k >= 0) & (k < params["len"])
+            kk = jnp.mod(params["start"] + jnp.clip(k, 0, size - 1), size)
+            return jnp.where(valid, ring[kk], 0.0)
+
+        a = get(x0)
+        b = get(x0 + 1)
+        out = lerp(a, b, s - jnp.trunc(s))
+        return {"ring": ring}, out[None, :]
+
+
+class StreamControl:
+    """Thread-safe control for a Stream (stream.rs:96-112)."""
+
+    def __init__(self, cb):
+        self._cb = cb
+
+    def free(self):
+        """Lower bound on samples the next write will consume (stream.rs:99-101)."""
+        if not self._cb.live():
+            return 0
+        return self._cb.sig._free_space(self._cb.idx)
+
+    def write(self, samples):
+        """Add samples; returns the number consumed (stream.rs:103-110)."""
+        if not self._cb.live():
+            return 0
+        samples = f32(np.atleast_1d(samples))
+        take = min(len(samples), self.free())
+        if take:
+            q = self._cb.sig._cb_pending(self._cb.idx)
+            q.append(np.array(samples[:take], np.float32))
+        return take
+
+    def close(self):
+        """Signal that no further samples will arrive (the sender-drop of
+        stream.rs:76-78); playback finishes once the buffer drains."""
+        self._cb.set("closed", True)

@@ -1,0 +1,178 @@
+"""Stream / Adapt / Fader tests, porting the reference's inline vectors."""
+
+import numpy as np
+import pytest
+
+import oddio_tpu as ot
+
+
+def sample(sig, interval, n):
+    r = getattr(sig, "_test_renderer", None)
+    if r is None:
+        r = ot.Renderer(sig, 1)
+        sig._test_renderer = r
+    return r.render_block(n, interval=np.float32(interval))
+
+
+def mono(block):
+    assert block.shape[1] == 1
+    return block[:, 0]
+
+
+# --- Stream (stream.rs:115-149) -----------------------------------------------
+
+
+def test_stream_smoke():
+    control, s = ot.Stream.new(1, 3)
+    assert control.write([1.0, 2.0]) == 2
+    assert control.write([3.0, 4.0]) == 1
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 5)), [1.0, 2.0, 3.0, 0.0, 0.0])
+    assert control.write([5.0, 6.0, 7.0, 8.0]) == 3
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 1)), [5.0])
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 4)), [6.0, 7.0, 0.0, 0.0])
+    np.testing.assert_array_equal(mono(sample(s, 1.0, 2)), [0.0, 0.0])
+
+
+def test_stream_cleanup():
+    """stream.rs:136-148: sender dropped -> finishes once drained."""
+    control, s = ot.Stream.new(1, 4)
+    assert control.write([1.0, 2.0]) == 2
+    assert not bool(s.host_is_finished())
+    control.close()
+    assert not bool(s.host_is_finished())
+    sample(s, 1.0, 1)
+    assert not bool(s.host_is_finished())
+    sample(s, 1.0, 1)
+    assert bool(s.host_is_finished())
+    sample(s, 1.0, 1)
+    assert bool(s.host_is_finished())
+
+
+def test_stream_resampling_lerp():
+    control, s = ot.Stream.new(1, 8)
+    control.write([0.0, 1.0, 2.0, 3.0])
+    out = mono(sample(s, 0.5, 6))
+    np.testing.assert_array_equal(out, [0.0, 0.5, 1.0, 1.5, 2.0, 2.5])
+
+
+def test_stream_in_mixer_pool():
+    control, mixer = ot.Mixer.new(channels=1)
+    sc1, s1 = ot.Stream.new(1, 8)
+    sc2, s2 = ot.Stream.new(1, 8)
+    control.play(s1)
+    control.play(s2)
+    sc1.write([1.0, 1.0, 1.0])
+    sc2.write([2.0, 2.0])
+    out = mono(sample(mixer, 1.0, 4))
+    np.testing.assert_array_equal(out, [3.0, 3.0, 1.0, 0.0])
+
+
+# --- Adapt (adapt.rs:96-147) -----------------------------------------------------
+
+
+def test_adapt_smoke():
+    """adapt.rs:100-147: one continuous instance through all phases, with
+    the inner constant mutated between them like `adapt.inner.0 = ...`."""
+    LOW, HIGH, MAX_GAIN = 0.1, 1.0, 10.0
+    inner = ot.Constant(0.0)
+    adapt = ot.Adapt(
+        inner, 0.0, ot.AdaptOptions(tau=0.5, low=LOW, high=HIGH, max_gain=MAX_GAIN)
+    )
+
+    # Silence isn't modified
+    for _ in range(10):
+        out = mono(sample(adapt, 0.1, 1))
+        assert out[0] == 0.0
+
+    # Suddenly loud: gain pulls down over time, strictly decreasing
+    inner.value[...] = 10.0
+    out = mono(sample(adapt, 0.1, 10))
+    assert 0.0 < out[0] < 10.0
+    assert np.all(np.diff(out) < 0)
+
+    # Back to quiet: gain rises, strictly increasing
+    inner.value[...] = 0.01
+    out = mono(sample(adapt, 0.1, 10))
+    assert out[0] > 0.0
+    assert np.all(np.diff(out) > 0)
+
+    # SUPER quiet: output capped by max_gain
+    inner.value[...] = 1e-6
+    for _ in range(100):
+        out = mono(sample(adapt, 0.1, 10))
+        assert np.all(out <= 1e-6 * MAX_GAIN + 1e-12)
+
+
+def test_adapt_matches_scalar_reference():
+    """Exact per-frame EMA against a scalar reimplementation."""
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal(64).astype(np.float32)
+    sig = ot.Adapt(
+        ot.FramesSignal(ot.Frames.from_slice(1, data), 0.0),
+        0.5,
+        ot.AdaptOptions(tau=0.3, low=0.2, high=0.6, max_gain=4.0),
+    )
+    out = mono(sample(sig, 1.0, 48))
+
+    # scalar reference (adapt.rs:69-88)
+    alpha = np.float32(1.0) - np.exp(np.float32(-1.0) / np.float32(0.3), dtype=np.float32)
+    avg = np.float32(0.25)
+    exp = []
+    sq2 = np.sqrt(np.float32(2.0), dtype=np.float32)
+    for i in range(48):
+        x = data[i]
+        avg = x * x * alpha + avg * (np.float32(1.0) - alpha)
+        peak = np.sqrt(avg, dtype=np.float32) * sq2
+        if peak < np.float32(0.2):
+            g = min(np.float32(0.2) / peak, np.float32(4.0))
+        elif peak > np.float32(0.6):
+            g = np.float32(0.6) / peak
+        else:
+            g = np.float32(1.0)
+        exp.append(x * g)
+    np.testing.assert_allclose(out, np.float32(exp), atol=2e-6)
+
+
+# --- Fader (fader.rs:99-117) -------------------------------------------------------
+
+
+def test_fader_smoke():
+    control, s = ot.Fader.new(ot.Constant(1.0))
+    out = mono(sample(s, 0.1, 12))
+    np.testing.assert_array_equal(out, np.ones(12, np.float32))
+    control.fade_to(ot.Constant(0.0), 1.0)
+    out = mono(sample(s, 0.1, 12))
+    assert out[0] == 1.0
+    assert out[11] == 0.0
+    assert abs(out[5] - np.sqrt(0.5)) < 1e-6
+
+
+def test_fader_swaps_and_fades_again():
+    control, s = ot.Fader.new(ot.Constant(1.0))
+    control.fade_to(ot.Constant(3.0), 0.5)
+    sample(s, 0.25, 4)  # completes fade (p: 0, .5, 1, 1)
+    out = mono(sample(s, 0.25, 2))
+    np.testing.assert_array_equal(out, [3.0, 3.0])  # idle on the new signal
+    # a fade queued while fading replaces the waiter (last-wins)
+    control.fade_to(ot.Constant(9.0), 0.5)
+    control.fade_to(ot.Constant(5.0), 1.0)
+    out = mono(sample(s, 0.5, 4))
+    # p = 0, .5, 1, 1 -> 3, sqrt(.5)*3+sqrt(.5)*5, 5, 5
+    np.testing.assert_allclose(
+        out, [3.0, np.sqrt(0.5) * 8.0, 5.0, 5.0], atol=1e-6
+    )
+
+
+def test_fader_mid_fade_command_waits():
+    control, s = ot.Fader.new(ot.Constant(1.0))
+    control.fade_to(ot.Constant(0.0), 1.0)
+    sample(s, 0.25, 2)  # p reaches 0.5, still fading
+    control.fade_to(ot.Constant(7.0), 1.0)  # must wait
+    out = mono(sample(s, 0.25, 2))  # continues original fade: p=.5,.75
+    exp = [np.sqrt(0.5), np.sqrt(0.25)]
+    np.testing.assert_allclose(out, exp, atol=1e-6)
+    out = mono(sample(s, 0.25, 4))  # fade done at start; new fade begins
+    # new fade frames: p = 0, .25, .5, .75 -> last = sqrt(.75)*7
+    np.testing.assert_allclose(out[-1], np.sqrt(0.75) * 7.0, atol=1e-5)
+    out = mono(sample(s, 0.25, 2))
+    np.testing.assert_allclose(out, [7.0, 7.0], atol=1e-6)
