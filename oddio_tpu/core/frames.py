@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .hostmath import EPS32, f32, f64, full
 from .signal import ControlBlock, Signal
-from ..ops._dev import iota_f32, lerp
+from ..ops._dev import exact_positions, iota_f32, lerp, split_ds
 
 __all__ = ["Frames", "FramesSignal", "FramesSignalControl"]
 
@@ -173,14 +173,18 @@ class FramesSignal(Signal):
         s0 = t * self.rate  # f64 (frames.rs:177)
         base = np.trunc(s0)  # `s0 as isize` truncates toward zero
         ds = (f32(interval) * self.rate.astype(np.float32)).astype(np.float32)
+        # the reference's fast path (frames.rs:180-187) renders |ds-1| <= eps
+        # as an exact unit step; snapping reproduces that exactly
+        ds = np.where(np.abs(ds - np.float32(1.0)) <= EPS32, np.float32(1.0), ds)
         offset0 = (s0 - base).astype(np.float32)
-        fast = np.abs(ds - np.float32(1.0)) <= EPS32  # frames.rs:180
         base_i = np.clip(base, -(2**30), 2**30).astype(np.int32)
+        ds_int, f_hi, f_lo = split_ds(ds)
         return {
             "base": base_i,
             "offset0": offset0,
-            "ds": ds,
-            "fast": fast,
+            "ds_int": ds_int,
+            "f_hi": f_hi,
+            "f_lo": f_lo,
             "off": self.off.copy(),
             "length": self.length.copy(),
         }
@@ -218,14 +222,15 @@ class FramesSignal(Signal):
         return {"arena": _arena(self.channels).device()}
 
     def render(self, dstate, ddata, params, n):
-        i = iota_f32(n)
-        off_gen = params["offset0"] + i * params["ds"]
-        tr = off_gen.astype(jnp.int32)  # truncation toward zero, like `to_int_unchecked`
-        fr = off_gen - tr.astype(jnp.float32)
-        # fast path (frames.rs:180-187): integral step, constant fract
-        tr = jnp.where(params["fast"], jnp.arange(n, dtype=jnp.int32), tr)
-        fr = jnp.where(params["fast"], params["offset0"], fr)
-        s = params["base"] + tr
+        tr, fr = exact_positions(
+            params["offset0"],
+            params["ds_int"],
+            params["f_hi"],
+            params["f_lo"],
+            n,
+            signed=True,
+        )
+        s = params["base"][..., None] + tr
         arena = ddata["arena"]
         a = _arena_get(arena, params["off"], params["length"], s)
         b = _arena_get(arena, params["off"], params["length"], s + 1)

@@ -2,7 +2,12 @@
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
+
+#: cursor splitting is exact for frame indices below this (12-bit i times a
+#: 12-bit-quantized fractional step stays within the f32 mantissa)
+SPLIT_MAX_N = 4096
 
 
 def iota_f32(n):
@@ -12,3 +17,51 @@ def iota_f32(n):
 def lerp(a, b, t):
     """frame::lerp (reference frame.rs:39-41): a + t*(b-a), elementwise."""
     return a + t * (b - a)
+
+
+def split_ds(ds):
+    """Host-side exact decomposition of an f32 step ``ds`` into
+    ``(ds_int:int32, f_hi:f32, f_lo:f32)`` with ``ds == ds_int + f_hi + f_lo``
+    exactly, ``f_hi`` holding at most 12 mantissa bits of the fraction.
+
+    TPUs have no f64, but playback cursors advance by ``i*ds`` for i up to the
+    block size; computing that product in plain f32 costs up to ~n*eps sample
+    positions.  With this split, ``i*ds_int`` is exact integer math and
+    ``i*f_hi`` is an exact f32 product for i < 4096, so device cursor
+    positions are within ~2 ulps-of-1.0 (~2e-7 samples) of exact — far inside
+    the reference's own intra-block f32 accumulation wobble.
+    """
+    ds64 = np.asarray(ds, np.float64)
+    ds_int = np.floor(ds64).astype(np.int32)
+    f = ds64 - ds_int  # exact in f64
+    f_hi = (np.floor(f * 4096.0) / 4096.0).astype(np.float32)  # 12-bit, exact
+    f_lo = (f - f_hi).astype(np.float32)
+    return ds_int, f_hi, f_lo
+
+
+def exact_positions(offset0, ds_int, f_hi, f_lo, n, signed=False):
+    """Device-side near-exact cursor positions ``offset0 + i*ds`` decomposed
+    as ``(whole:int32, fract:f32)`` per frame, matching the reference's
+    truncate-toward-zero / ``fract = offset - trunc`` convention
+    (frames.rs:189-196, ring.rs:59-77).
+
+    ``offset0`` must lie in (-1, 1).  With ``signed=False`` positions are
+    assumed nonnegative (fract in [0, 1)); with ``signed=True`` negative
+    positions get the toward-zero adjustment (fract in (-1, 0]).
+    Returns (whole, fract) with shapes (..., n).
+    """
+    i_f = jnp.arange(n, dtype=jnp.float32)
+    i_i = jnp.arange(n, dtype=jnp.int32)
+    H = i_f * f_hi[..., None]  # exact
+    g = offset0[..., None] + i_f * f_lo[..., None]
+    Hint = H.astype(jnp.int32)  # H >= 0 when f_hi >= 0
+    u = (H - Hint.astype(jnp.float32)) + g
+    fl_u = jnp.floor(u)
+    r = u - fl_u
+    whole = i_i * ds_int[..., None] + Hint + fl_u.astype(jnp.int32)
+    if not signed:
+        return whole, r
+    adjust = (whole < 0) & (r > 0)
+    whole = jnp.where(adjust, whole + 1, whole)
+    fract = jnp.where(adjust, r - 1.0, r)
+    return whole, fract

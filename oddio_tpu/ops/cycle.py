@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core.frames import _arena
 from ..core.hostmath import f32, f64, full, rem_euclid
 from ..core.signal import Signal
-from ._dev import iota_f32, lerp
+from ._dev import exact_positions, iota_f32, lerp, split_ds
 
 __all__ = ["Cycle"]
 
@@ -47,13 +47,16 @@ class Cycle(Signal):
 
     def _params_from_cursor(self, cursor, interval):
         # cycle.rs:27-30: ds = interval * rate() as f32; base = cursor as usize
-        ds = (f32(interval) * np.float32(1.0) * self.rate.astype(np.float32)).astype(np.float32)
+        ds = (f32(interval) * self.rate.astype(np.float32)).astype(np.float32)
         base = np.trunc(cursor)
         offset0 = (cursor - base).astype(np.float32)
+        ds_int, f_hi, f_lo = split_ds(ds)
         return {
             "base": np.clip(base, 0, 2**30).astype(np.int32),
             "offset0": offset0,
-            "ds": ds,
+            "ds_int": ds_int,
+            "f_hi": f_hi,
+            "f_lo": f_lo,
             "off": self.off.copy(),
             "length": self.length.copy(),
         }
@@ -62,7 +65,11 @@ class Cycle(Signal):
         interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
         params = self._params_from_cursor(self.cursor, interval)
         cnt = np.broadcast_to(f64(n if count is None else count), self.batch)
-        ds64 = params["ds"].astype(np.float64)
+        ds64 = (
+            params["ds_int"].astype(np.float64)
+            + params["f_hi"].astype(np.float64)
+            + params["f_lo"].astype(np.float64)
+        )
         length = self.length.astype(np.float64)
         # Final cursor matches the reference's end-of-loop state: the last
         # accessed position reduced mod len (cycle.rs:40-47), plus one step.
@@ -90,12 +97,11 @@ class Cycle(Signal):
         return {"arena": _arena(self.channels).device()}
 
     def render(self, dstate, ddata, params, n):
-        i = iota_f32(n)
-        o = params["offset0"] + i * params["ds"]
-        tr = o.astype(jnp.int32)
-        fr = o - tr.astype(jnp.float32)
-        length = params["length"]
-        x = jnp.mod(params["base"] + tr, length)
+        tr, fr = exact_positions(
+            params["offset0"], params["ds_int"], params["f_hi"], params["f_lo"], n
+        )
+        length = params["length"][..., None]
+        x = jnp.mod(params["base"][..., None] + tr, length)
         arena = ddata["arena"]
         a = jnp.take(arena, params["off"] + x, axis=0, mode="clip")
         b = jnp.take(arena, params["off"] + jnp.mod(x + 1, length), axis=0, mode="clip")

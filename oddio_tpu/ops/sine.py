@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core.hostmath import TAU32, f32, full, rust_rem
 from ..core.signal import Signal
-from ._dev import iota_f32
+from ._dev import exact_positions, split_ds
 
 __all__ = ["Sine"]
 
@@ -37,44 +37,66 @@ class Sine(Signal):
         return cls(phase, frequency_hz)
 
     def _alloc_host(self, batch):
-        self.phase = full(batch, 0.0)
+        # phase is kept in f64 on the host (the device only ever sees the
+        # f32 rounding of the wrapped phase), so the wrap arithmetic never
+        # accumulates f32 error across blocks; the modulus stays the
+        # reference's f32 TAU (sine.rs:25-28).
+        self.phase = full(batch, 0.0, np.float64)
         self.freq = full(batch, 0.0)
 
     def _seek_to(self, t):
         # sine.rs:25-28
         self.phase = rust_rem(
-            (self.phase + f32(t) * self.freq).astype(np.float32), TAU32
+            self.phase + np.float64(1.0) * np.asarray(t, np.float64) * self.freq,
+            np.float64(TAU32),
         )
 
     def host_prepare(self, interval, n, count=None):
         interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
-        params = {
-            "interval": interval.copy(),
-            "freq": self.freq.copy(),
-            "phase": self.phase.copy(),
-        }
+        params = self._cycle_params(interval)
         cnt = n if count is None else count
         cnt = np.broadcast_to(f32(cnt), self.batch)
         # sine.rs:38-39: seek_to(interval * out.len() as f32)
         self._seek_to((interval * cnt).astype(np.float32))
         return params
 
+    def _cycle_params(self, interval):
+        """Per-frame phase in *cycles* with the exact-split decomposition, so
+        the device evaluates sin on an argument already wrapped into
+        [0, TAU) — avoiding both f32 argument-magnitude rounding and XLA's
+        large-argument range reduction (the reference's f32 ``t*freq+phase``
+        carries ~eps*|arg| of its own rounding; this is the exact-math
+        version of the same semantics)."""
+        tau = np.float64(TAU32)
+        dc = interval.astype(np.float64) * (self.freq.astype(np.float64) / tau)
+        dc_int, f_hi, f_lo = split_ds(dc)
+        c0 = (self.phase / tau).astype(np.float32)
+        return {
+            "c0": np.broadcast_to(c0, self.batch).astype(np.float32),
+            "dc_int": np.broadcast_to(dc_int, self.batch).astype(np.int32),
+            "f_hi": np.broadcast_to(f_hi, self.batch).astype(np.float32),
+            "f_lo": np.broadcast_to(f_lo, self.batch).astype(np.float32),
+        }
+
     def host_params_at(self, tshift, interval, n):
         interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
-        phase = rust_rem(
-            (self.phase + f32(tshift) * self.freq).astype(np.float32), TAU32
+        saved = self.phase
+        self.phase = rust_rem(
+            self.phase + np.asarray(f32(tshift), np.float64) * self.freq,
+            np.float64(TAU32),
         )
-        return {
-            "interval": interval.copy(),
-            "freq": self.freq.copy(),
-            "phase": np.broadcast_to(phase, self.batch).astype(np.float32),
-        }
+        params = self._cycle_params(interval)
+        self.phase = saved
+        return params
 
     def host_seek(self, seconds):
         self._seek_to(f32(seconds))
 
     def render(self, dstate, ddata, params, n):
-        # sine.rs:34-40: t = interval * i; out = sin(t*freq + phase)
-        t = iota_f32(n) * params["interval"]
-        block = jnp.sin(t * params["freq"] + params["phase"])
+        # sine.rs:34-40: out = sin(t*freq + phase), evaluated as
+        # sin(TAU * frac(c0 + i*dc)) with near-exact cycle positions
+        _, frac = exact_positions(
+            params["c0"], params["dc_int"], params["f_hi"], params["f_lo"], n
+        )
+        block = jnp.sin(TAU32 * frac)
         return dstate, block[None, :]

@@ -47,6 +47,7 @@ from .core.hostmath import (
     v3_norm,
 )
 from .core.signal import Signal
+from .ops._dev import exact_positions, split_ds
 
 __all__ = [
     "SpatialScene",
@@ -334,14 +335,21 @@ class _BufferedPool(_VoicePool):
         offset0 = rem_euclid(
             (self.write[:, None] + prev_off * ratef).astype(np.float32), capf[:, None]
         )
+        # split into an exact integer base and a fractional start so device
+        # positions are near-exact (see ops/_dev.py)
+        obase = np.floor(offset0)
         ds = (dt_e * ratef).astype(np.float32)
+        ds_int, f_hi, f_lo = split_ds(ds)
         return {
             "mask": self.mask.copy(),
             "start": start_idx.astype(np.int32),
             "n_write": n_write,
             "cap": self.cap.copy(),
-            "offset0": offset0,
-            "ds": ds,
+            "obase": obase.astype(np.int32),
+            "ofrac": (offset0 - obase).astype(np.float32),
+            "ds_int": ds_int,
+            "f_hi": f_hi,
+            "f_lo": f_lo,
             "gain0": prev_gain,
             "d_gain": d_gain,
             "inner": inner_params,
@@ -366,14 +374,14 @@ class _BufferedPool(_VoicePool):
         ring = ring.at[jnp.arange(V)[:, None], idx].set(samples, mode="drop")
 
         # fractional delayed read + gain ramp + accumulate (ring.rs:51-79,
-        # spatial.rs:420-430)
+        # spatial.rs:420-430); near-exact positions via the split trick
         jn = jnp.arange(n, dtype=jnp.float32)
-        pos = params["offset0"][:, :, None] + jn[None, None, :] * params["ds"][:, :, None]
-        capf = params["cap"].astype(jnp.float32)[:, None, None]
-        pos = jnp.mod(pos, capf)
-        x = pos.astype(jnp.int32)
-        fr = pos - x.astype(jnp.float32)
-        x1 = jnp.mod(x + 1, params["cap"][:, None, None])
+        whole, fr = exact_positions(
+            params["ofrac"], params["ds_int"], params["f_hi"], params["f_lo"], n
+        )
+        cap3 = params["cap"][:, None, None]
+        x = jnp.mod(params["obase"][:, :, None] + whole, cap3)
+        x1 = jnp.mod(x + 1, cap3)
         flat = lambda ix: jnp.take_along_axis(
             ring, ix.reshape(V, 2 * n), axis=1
         ).reshape(V, 2, n)

@@ -1,0 +1,206 @@
+"""Golden numerical parity: the TPU engine vs the scalar oracle
+(tests/reference_impl.py) on the BASELINE.json workload configs (scaled down
+for the Python-loop oracle).
+
+Two comparison modes:
+
+* **exact oracle** (``exact=True``): the reference's semantics with per-frame
+  cursor offsets computed in f64 — mathematically exact.  The engine (which
+  computes near-exact positions on device via the split trick in
+  ops/_dev.py) must match within **1e-5**.
+* **faithful oracle** (default): bit-faithful emulation of the reference's
+  sequential f32 accumulation (``offset += ds`` per frame).  The reference's
+  own intra-block rounding wobble relative to exact math grows with the
+  resampling ratio and ring size (up to ~n*eps*|offset| per block, transient
+  and non-accumulating because the f64 cursor is re-derived each block).
+  Engine-vs-faithful assertions use bounds sized to that wobble and exist to
+  catch regressions, not to claim bit equality.
+"""
+
+import numpy as np
+import pytest
+
+import oddio_tpu as ot
+import reference_impl as ref
+
+F = np.float32
+
+
+def render_engine(sig, rate, total, block=512):
+    return ot.Renderer(sig, rate).render_frames(total, block_size=block)
+
+
+def render_oracle(osig, rate, total, block=512, channels=1):
+    shape = (block,) if channels == 1 else (block, channels)
+    chunks = []
+    for _ in range(total // block):
+        buf = np.zeros(shape, F)
+        ref.oddio_run(osig, rate, buf)
+        chunks.append(buf.copy())
+    out = np.concatenate(chunks)
+    return out[:, None] if channels == 1 else out
+
+
+def test_golden_sine_gain_mixer():
+    """BASELINE config 1: Sine -> Gain -> Mixer offline render."""
+    RATE, TOTAL = 44100, 44032
+    control, mixer = ot.Mixer.new(channels=1)
+    gctl, g = ot.Gain.new(ot.Sine(0.1, 500.0))
+    control.play(g)
+    r = ot.Renderer(mixer, RATE)
+    eng1 = r.render_frames(TOTAL // 2)
+    gctl.set_amplitude_ratio(0.25)  # mid-render ramp
+    eng2 = r.render_frames(TOTAL // 2)
+    eng = np.concatenate([eng1, eng2])
+
+    om = ref.OMixer()
+    og = ref.OGain(ref.OSine(0.1, 500.0, exact=True), exact=True)
+    om.play(og)
+    orc1 = render_oracle(om, RATE, TOTAL // 2)
+    og.set_amplitude_ratio(0.25)
+    orc2 = render_oracle(om, RATE, TOTAL // 2)
+    orc = np.concatenate([orc1, orc2])
+
+    err = np.abs(eng - orc).max()
+    assert err <= 1e-5, err
+    # the faithful-f32 oracle's phase wrap drifts ~eps*phase per block; the
+    # engine's f64-wrapped phase stays within that envelope
+    om2 = ref.OMixer()
+    og2 = ref.OGain(ref.OSine(0.1, 500.0), exact=True)
+    om2.play(og2)
+    orc1 = render_oracle(om2, RATE, TOTAL // 2)
+    og2.set_amplitude_ratio(0.25)
+    orc2 = render_oracle(om2, RATE, TOTAL // 2)
+    err_f = np.abs(eng - np.concatenate([orc1, orc2])).max()
+    assert err_f <= 1e-4, err_f
+
+
+def test_golden_frames_speed_resample():
+    """BASELINE config 2: FramesSignal + Speed resampling 44.1k->48k."""
+    rng = np.random.default_rng(7)
+    data = rng.uniform(-1, 1, 44100).astype(F)
+    RATE, TOTAL = 48000, 16384
+
+    def engine():
+        sctl, sp = ot.Speed.new(
+            ot.FramesSignal(ot.Frames.from_slice(44100, data), 0.0)
+        )
+        sctl.set_speed(1.2)
+        return render_engine(sp, RATE, TOTAL)
+
+    eng = engine()
+    exact = render_oracle(
+        ref.OSpeed(ref.OFramesSignal(ref.OFrames(44100, data), 0.0, exact=True), 1.2),
+        RATE, TOTAL,
+    )
+    err = np.abs(eng - exact).max()
+    assert err <= 1e-5, err
+
+    # vs the faithful f32-accumulating reference: bounded by its own wobble
+    faithful = render_oracle(
+        ref.OSpeed(ref.OFramesSignal(ref.OFrames(44100, data), 0.0), 1.2),
+        RATE, TOTAL,
+    )
+    err_f = np.abs(eng - faithful).max()
+    assert err_f <= 5e-3, err_f
+
+
+def test_golden_dense_mix_chain():
+    """BASELINE config 4 (scaled): voices with per-voice gains, Reinhard +
+    Tanh + Downmix over a stereo mixer.  Tolerance includes the reduction-
+    order difference of summing 24 voices (~V*eps per unit amplitude)."""
+    RATE, TOTAL, V = 44100, 8192, 24
+    rng = np.random.default_rng(3)
+    freqs = rng.uniform(100, 2000, V)
+    phases = rng.uniform(0, 6, V)
+    gains = rng.uniform(-12, 3, V)
+
+    control, mixer = ot.Mixer.new(channels=2)
+    for f, p, db in zip(freqs, phases, gains):
+        control.play(ot.MonoToStereo(ot.FixedGain(ot.Sine(p, f), db)))
+    chain = ot.Downmix(ot.Tanh(ot.Reinhard(mixer)))
+    eng = render_engine(chain, RATE, TOTAL)
+
+    def oracle(exact):
+        om = ref.OMixer(channels=2)
+        for f, p, db in zip(freqs, phases, gains):
+            om.play(ref.OMonoToStereo(ref.OFixedGain(ref.OSine(p, f, exact=exact), db)))
+        ochain = ref.ODownmix(ref.OTanh(ref.OReinhard(om)), channels=2)
+        return render_oracle(ochain, RATE, TOTAL)
+
+    err = np.abs(eng - oracle(True)).max()
+    assert err <= 2e-5, err  # XLA tanh + 24-voice reduction order
+    # faithful f32 phase wrap drifts with render length (the reference's own
+    # chunked-fmod accumulation); bound sized to this config
+    err_f = np.abs(eng - oracle(False)).max()
+    assert err_f <= 1e-3, err_f
+
+
+def test_golden_adapt():
+    """Adapt AGC over a mixed scene (BASELINE config 5's AGC component)."""
+    RATE, TOTAL = 44100, 4096
+    control, mixer = ot.Mixer.new(channels=1)
+    control.play(ot.FixedGain(ot.Sine(0.0, 500.0), -30.0))
+    sig = ot.Adapt(mixer, 1e-3 / np.sqrt(2),
+                   ot.AdaptOptions(tau=0.1, max_gain=1e6,
+                                   low=0.1 / np.sqrt(2), high=0.5 / np.sqrt(2)))
+    eng = render_engine(sig, RATE, TOTAL)
+
+    om = ref.OMixer()
+    om.play(ref.OFixedGain(ref.OSine(0.0, 500.0), -30.0))
+    osig = ref.OAdapt(om, F(1e-3) / np.sqrt(F(2.0), dtype=F), 0.1, 1e6,
+                      F(0.1) / np.sqrt(F(2.0), dtype=F),
+                      F(0.5) / np.sqrt(F(2.0), dtype=F))
+    orc = render_oracle(osig, RATE, TOTAL)
+
+    err = np.abs(eng - orc).max()
+    assert err <= 1e-5, err
+
+
+@pytest.mark.parametrize("buffered", [False, True])
+@pytest.mark.parametrize("exact", [True, False])
+def test_golden_spatial_flyby(buffered, exact):
+    """BASELINE config 3 (scaled): one source flying past the listener with
+    motion updates (including a discontinuity jump), both spatialization
+    paths, rotated listener."""
+    RATE, BLOCK, NBLK = 8000, 512, 12
+    tt = np.arange(RATE, dtype=F) / F(RATE)
+    boop = np.sin(tt * F(500 * 2 * np.pi), dtype=F)
+
+    control, scene = ot.SpatialScene.new()
+    opts = ot.SpatialOptions(position=[-20.0, 5.0, 0.0], velocity=[30.0, 0.0, 0.0])
+    sig = ot.FramesSignal(ot.Frames.from_slice(RATE, boop), 0.0)
+    if buffered:
+        h = control.play_buffered(sig, opts, max_distance=60.0, rate=RATE,
+                                  buffer_duration=0.1)
+    else:
+        h = control.play(sig, opts)
+    control.set_listener_rotation([np.cos(0.15), 0.0, np.sin(0.15), 0.0])
+    r = ot.Renderer(scene, RATE)
+
+    oscene = ref.OSpatialScene(exact=exact)
+    osig = ref.OFramesSignal(ref.OFrames(RATE, boop), 0.0, exact=exact)
+    if buffered:
+        ov = oscene.play_buffered(osig, [-20.0, 5.0, 0.0], [30.0, 0.0, 0.0], 0.1,
+                                  max_distance=60.0, rate=RATE, buffer_duration=0.1)
+    else:
+        ov = oscene.play(osig, [-20.0, 5.0, 0.0], [30.0, 0.0, 0.0], 0.1)
+    oscene.set_listener_rotation([np.cos(0.15), 0.0, np.sin(0.15), 0.0])
+
+    t = 0.0
+    errs = []
+    for i in range(NBLK):
+        if i == 4:
+            h.set_motion([-20.0 + 30.0 * t, 5.0, 0.0], [30.0, 0.0, 0.0], False)
+            ov.set_motion([-20.0 + 30.0 * t, 5.0, 0.0], [30.0, 0.0, 0.0], False)
+        if i == 8:  # discontinuity jump
+            h.set_motion([10.0, 2.0, -3.0], [5.0, 0.0, 0.0], True)
+            ov.set_motion([10.0, 2.0, -3.0], [5.0, 0.0, 0.0], True)
+        eng = r.render_block(BLOCK)
+        buf = np.zeros((BLOCK, 2), F)
+        ref.oddio_run(oscene, RATE, buf)
+        errs.append(np.abs(eng - buf).max())
+        t += BLOCK / RATE
+    err = max(errs)
+    bound = 1e-5 if exact else 1e-3
+    assert err <= bound, (err, errs)
