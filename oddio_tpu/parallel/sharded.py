@@ -1,0 +1,114 @@
+"""Sharded multi-scene rendering via shard_map over a (scene, voice) mesh.
+
+Design (SURVEY.md §5/§7): every engine pool's host params and device state
+carry a leading voice axis, and a pack of same-archetype scenes stacks a
+scene axis in front of that.  The jitted step then runs under ``shard_map``
+with every leaf partitioned ``P(scene, voice)``; per-voice work (source
+render, ring scatter/gather, gain ramps) needs no communication, and the
+masked mix reduction finishes with one ``psum`` over the voice axis — the
+only collective in the engine, riding ICI.  Scenes are pure data parallelism.
+
+The host control plane stays per-scene: each scene keeps its own handles and
+numpy state; per block the pack stacks their parameter pytrees (cheap numpy)
+and dispatches one donated device step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..core.hostmath import f32
+from .mesh import SCENE_AXIS, VOICE_AXIS
+
+__all__ = ["ScenePack"]
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
+class ScenePack:
+    """Renders S structurally identical scenes as one sharded device step.
+
+    ``scenes``: list of Signals with equal archetype (e.g. SpatialScene or
+    Mixer instances configured identically).  ``mesh``: a Mesh with
+    (SCENE_AXIS, VOICE_AXIS); S must divide by the scene-axis size and every
+    pool capacity by the voice-axis size.
+    """
+
+    def __init__(self, scenes, rate, mesh):
+        archs = {s.archetype() for s in scenes}
+        if len(archs) != 1:
+            raise ValueError("all scenes in a pack must share an archetype")
+        self.scenes = scenes
+        self.rate = int(rate)
+        self.interval = np.float32(1.0) / np.float32(self.rate)
+        self.mesh = mesh
+        self._steps = {}
+        self._dstate = None  # stacked (S, ...) sharded pytree
+        self._arch = None
+
+    def _specs(self, tree, prefix_dims):
+        return jax.tree.map(lambda _: P(*prefix_dims), tree)
+
+    def _ensure_state(self):
+        arch = self.scenes[0].archetype()
+        if self._dstate is None or arch != self._arch:
+            self._arch = arch
+            stacked = _stack([jax.tree.map(np.asarray, s.device_collect())
+                              for s in self.scenes])
+            sharding = jax.sharding.NamedSharding(
+                self.mesh, P(SCENE_AXIS, VOICE_AXIS)
+            )
+            self._dstate = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), stacked
+            )
+
+    def _get_step(self, n):
+        key = (self._arch, n)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        proto = self.scenes[0]
+
+        def shard_fn(dstate, ddata, params):
+            def one_scene(d, p):
+                d2, block = proto.render(d, ddata, p, n)
+                return d2, block
+
+            d2, blocks = jax.vmap(one_scene)(dstate, params)
+            # the only collective: finish the voice-axis mix reduction
+            blocks = jax.lax.psum(blocks, VOICE_AXIS)
+            return d2, blocks
+
+        sv = P(SCENE_AXIS, VOICE_AXIS)
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(
+                self._specs(self._dstate, (SCENE_AXIS, VOICE_AXIS)),
+                self._specs(proto.device_data(), ()),
+                self._specs(self._params_struct, (SCENE_AXIS, VOICE_AXIS)),
+            ),
+            out_specs=(
+                self._specs(self._dstate, (SCENE_AXIS, VOICE_AXIS)),
+                P(SCENE_AXIS),
+            ),
+            check_vma=False,
+        )
+        step = jax.jit(mapped, donate_argnums=0)
+        self._steps[key] = step
+        return step
+
+    def render_block(self, n):
+        """Render one block for every scene; returns float32 (S, n, C)."""
+        params = _stack([s.host_prepare(self.interval, n) for s in self.scenes])
+        self._params_struct = params
+        self._ensure_state()
+        step = self._get_step(n)
+        ddata = self.scenes[0].device_data()
+        self._dstate, blocks = step(self._dstate, ddata, params)
+        return np.moveaxis(np.asarray(blocks), 1, 2)

@@ -359,7 +359,9 @@ class _BufferedPool(_VoicePool):
         # static: set by host_prepare; archetype() includes it so the driver
         # re-traces when it changes (different block size / interval)
         n_inner = self._n_inner
-        V = self.capacity
+        # derive the voice count from the data: under shard_map this is the
+        # per-shard slice of the pool, not the full capacity
+        V = dstate["ring"].shape[0]
         dsub, blocks = jax.vmap(
             lambda d, p: self.sig.render(d, ddata.get("inner", {}), p, n_inner)
         )(dstate["inner"], params["inner"])
@@ -465,9 +467,9 @@ class SpatialScene(Signal):
         self._buffered_pools = {}
 
     @classmethod
-    def new(cls):
+    def new(cls, initial_capacity=DEFAULT_CAPACITY):
         """spatial.rs:170-188 — returns (SpatialSceneControl, SpatialScene)."""
-        sig = cls()
+        sig = cls(initial_capacity)
         return SpatialSceneControl(sig), sig
 
     # -- control side ---------------------------------------------------------

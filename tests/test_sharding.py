@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the virtual 8-CPU-device mesh: the sharded
+ScenePack must produce the same audio as per-scene single-device Renderers."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import oddio_tpu as ot
+from oddio_tpu.parallel.mesh import make_mesh
+from oddio_tpu.parallel.sharded import ScenePack
+
+
+def need_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def build_spatial_scene(seed):
+    rng = np.random.default_rng(seed)
+    control, scene = ot.SpatialScene.new()
+    handles = []
+    for i in range(8):
+        opts = ot.SpatialOptions(
+            position=rng.uniform(-20, 20, 3), velocity=rng.uniform(-5, 5, 3)
+        )
+        h = control.play_buffered(
+            ot.Sine(rng.uniform(0, 6), rng.uniform(100, 1000)),
+            opts, max_distance=50.0, rate=8000, buffer_duration=0.1,
+        )
+        handles.append(h)
+    for i in range(8):
+        h = control.play(
+            ot.Sine(rng.uniform(0, 6), rng.uniform(100, 1000)),
+            ot.SpatialOptions(position=rng.uniform(-20, 20, 3)),
+        )
+        handles.append(h)
+    return scene, handles
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1), (2, 4), (4, 2), (1, 8)])
+def test_scenepack_matches_single_device(mesh_shape):
+    need_devices(mesh_shape[0] * mesh_shape[1])
+    S = 4
+    # reference: unsharded per-scene renderers
+    singles = [build_spatial_scene(seed) for seed in range(S)]
+    expected = []
+    for scene, _ in singles:
+        r = ot.Renderer(scene, 8000)
+        expected.append(np.concatenate([r.render_block(512) for _ in range(3)]))
+    expected = np.stack(expected)
+
+    packed = [build_spatial_scene(seed)[0] for seed in range(S)]
+    mesh = make_mesh(*mesh_shape)
+    pack = ScenePack(packed, 8000, mesh)
+    got = np.concatenate([pack.render_block(512) for _ in range(3)], axis=1)
+
+    np.testing.assert_allclose(got, expected, atol=2e-6)
+
+
+def test_mixer_pack():
+    need_devices(8)
+    S = 2
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        control, mixer = ot.Mixer.new(channels=1)
+        for _ in range(16):
+            control.play(ot.Sine(rng.uniform(0, 6), rng.uniform(50, 2000)))
+        return mixer
+
+    expected = []
+    for s in range(S):
+        r = ot.Renderer(build(s), 48000)
+        expected.append(np.concatenate([r.render_block(512) for _ in range(2)]))
+    expected = np.stack(expected)
+    mesh = make_mesh(2, 4)
+    pack = ScenePack([build(s) for s in range(S)], 48000, mesh)
+    got = np.concatenate([pack.render_block(512) for _ in range(2)], axis=1)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
