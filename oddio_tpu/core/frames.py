@@ -241,6 +241,82 @@ class FramesSignal(Signal):
         return dstate, block
 
 
+class _FramesDR:
+    """Device-resident FramesSignal support, mixed into FramesSignal."""
+
+    def dr_supported(self):
+        return self.channels == 1
+
+    def dr_state_init(self, V):
+        import numpy as np
+
+        return {
+            "base": np.zeros(V, np.int32),
+            "frac": np.zeros(V, np.float32),
+            "off": np.zeros(V, np.int32),
+            "length": np.ones(V, np.int32),
+            "ds_int": np.ones(V, np.int32),
+            "f_hi": np.zeros(V, np.float32),
+            "f_lo": np.zeros(V, np.float32),
+        }
+
+    def dr_slot_row(self, interval):
+        # the f32-quantized step is the semantic step (frames.rs:178); its
+        # split decomposition is exact, so the device cursor never drifts
+        ds = np.float32(np.float32(interval) * self.rate.astype(np.float32))
+        if abs(ds - np.float32(1.0)) <= EPS32:
+            ds = np.float32(1.0)
+        ds_int, f_hi, f_lo = split_ds(ds)
+        s0 = self.t * self.rate
+        base = np.trunc(s0)
+        return {
+            "base": np.int32(np.clip(base, -(2**30), 2**30)),
+            "frac": np.float32(s0 - base),
+            "off": np.int32(self.off[()]),
+            "length": np.int32(self.length[()]),
+            "ds_int": np.int32(ds_int),
+            "f_hi": np.float32(f_hi),
+            "f_lo": np.float32(f_lo),
+        }
+
+    def dr_render(self, state, ddata, interval, n, count):
+        from ..ops._dev import device_advance, to_trunc_form
+
+        tr, fr = exact_positions(
+            state["frac"], state["ds_int"], state["f_hi"], state["f_lo"], n,
+            signed=True,
+        )
+        s = state["base"][:, None] + tr
+        arena = ddata["arena"]
+        a = _arena_get(arena, state["off"][:, None], state["length"][:, None], s)
+        b = _arena_get(arena, state["off"][:, None], state["length"][:, None], s + 1)
+        samples = lerp(a, b, fr)
+        base2, frac2 = device_advance(
+            state["base"], state["frac"], count,
+            state["ds_int"], state["f_hi"], state["f_lo"],
+        )
+        base2, frac2 = to_trunc_form(base2, frac2)
+        out = dict(state)
+        out["base"], out["frac"] = base2, frac2
+        return out, samples
+
+    def dr_is_finished(self, state):
+        """frames.rs:204-206: s >= len - 1 (s = base + frac, frac in (-1,1))."""
+        return (state["base"] >= state["length"] - 1) & ~(
+            (state["base"] == state["length"] - 1) & (state["frac"] < 0)
+        )
+
+
+for _name in (
+    "dr_supported",
+    "dr_state_init",
+    "dr_slot_row",
+    "dr_render",
+    "dr_is_finished",
+):
+    setattr(FramesSignal, _name, getattr(_FramesDR, _name))
+
+
 class FramesSignalControl:
     """Playback-position readout (frames.rs:223-248)."""
 

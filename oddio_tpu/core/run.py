@@ -92,6 +92,10 @@ class Renderer:
             pieces.append(np.moveaxis(out, 1, 2).reshape(nblocks * block_size, out.shape[1]))
         if rem:
             pieces.append(self.render_block(rem))
+        # device-resident engines sync handle-visible state once per batch
+        sync = getattr(self.signal, "sync", None)
+        if sync is not None:
+            sync()
         return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
 
 

@@ -175,6 +175,13 @@ class Signal:
         """Per-voice finished flags (signal.rs:21-27), computed from host state."""
         return np.zeros(self.batch, dtype=bool)
 
+    def params_voice_axes(self, params):
+        """Pytree of bools: True where a param leaf has a leading voice axis
+        (shardable over the voice mesh axis); sparse delta leaves are False."""
+        import jax
+
+        return jax.tree.map(lambda _: True, params)
+
     # -- device state ---------------------------------------------------------
     # Each node *owns* its device-state leaves (rings, accumulators) in
     # ``self._dev``; collect/store assemble the nested pytree for the jitted
@@ -252,6 +259,36 @@ class Signal:
         for (k, c), fc in zip(self.children().items(), fresh.children().values()):
             c.grow_batched(new_V)
         self.batch = (new_V,)
+
+    # -- device-resident (dr) mode ---------------------------------------------
+    # Sources whose entire state can live on the TPU implement these; engines
+    # then run the whole control plane in-graph, with the host shipping only
+    # sparse control deltas.  Round-1 scope: chains that are static after
+    # play() (sources + fixed filters).  ``state`` pytrees are batched (V,...).
+
+    def dr_supported(self):
+        return False
+
+    def dr_state_init(self, V):
+        """Benign default device state for V slots (numpy pytree)."""
+        raise NotImplementedError
+
+    def dr_slot_row(self, interval):
+        """Row values (numpy pytree, unbatched) encoding THIS spec's current
+        host state for a play() into a dr pool sampled at ``interval``."""
+        raise NotImplementedError
+
+    def dr_render(self, state, ddata, interval, n, count):
+        """Batched pure render: (state', samples (V, n)) advancing each voice
+        by ``count`` (V,) frames at static ``interval`` seconds/frame."""
+        raise NotImplementedError
+
+    def dr_is_finished(self, state):
+        import jax.numpy as jnp
+
+        leaf = next(iter(state.values())) if state else None
+        V = leaf.shape[0] if leaf is not None else 0
+        return jnp.zeros((V,), dtype=bool)
 
     # -- device render ---------------------------------------------------------
 

@@ -65,3 +65,34 @@ def exact_positions(offset0, ds_int, f_hi, f_lo, n, signed=False):
     whole = jnp.where(adjust, whole + 1, whole)
     fract = jnp.where(adjust, r - 1.0, r)
     return whole, fract
+
+
+def device_split_ds(ds):
+    """jnp variant of split_ds for steps only known on device (f32 input;
+    the decomposition of the f32 value is exact)."""
+    ds_int = jnp.floor(ds)
+    f = ds - ds_int
+    f_hi = jnp.floor(f * 4096.0) * jnp.float32(1.0 / 4096.0)
+    f_lo = f - f_hi
+    return ds_int.astype(jnp.int32), f_hi, f_lo
+
+
+def device_advance(base, frac, count, ds_int, f_hi, f_lo):
+    """Advance an (int32 base, f32 frac) sample cursor by ``count*ds`` with
+    near-exact arithmetic (count < 4096).  Returns floor-normalized
+    (base', frac' in [0,1))."""
+    cf = count.astype(jnp.float32)
+    H = cf * f_hi  # exact
+    Hfl = jnp.floor(H)
+    u = (H - Hfl) + (frac + cf * f_lo)
+    fl = jnp.floor(u)
+    base2 = base + count * ds_int + Hfl.astype(jnp.int32) + fl.astype(jnp.int32)
+    return base2, u - fl
+
+
+def to_trunc_form(base, frac):
+    """Renormalize a floor-form cursor (frac in [0,1)) to the reference's
+    truncate-toward-zero form (frac in (-1,1) with the sign of the position),
+    matching frames.rs:189-196 for negative positions."""
+    neg = (base < 0) & (frac > 0)
+    return jnp.where(neg, base + 1, base), jnp.where(neg, frac - 1.0, frac)

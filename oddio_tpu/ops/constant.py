@@ -51,3 +51,21 @@ class Constant(Signal):
     def render(self, dstate, ddata, params, n):
         block = jnp.broadcast_to(params["value"][..., None], (self.channels, n))
         return dstate, block
+
+    # -- device-resident mode ------------------------------------------------
+
+    def dr_supported(self):
+        return self.channels == 1
+
+    def dr_state_init(self, V):
+        return {"value": np.zeros(V, np.float32)}
+
+    def dr_slot_row(self, interval):
+        return {"value": np.float32(self.value[0] if self.value.ndim else self.value)}
+
+    def dr_render(self, state, ddata, interval, n, count):
+        V = state["value"].shape[0]
+        return state, jnp.broadcast_to(state["value"][:, None], (V, n))
+
+    def dr_is_finished(self, state):
+        return jnp.zeros(state["value"].shape[0], dtype=bool)

@@ -96,6 +96,71 @@ class Cycle(Signal):
     def _own_device_data(self):
         return {"arena": _arena(self.channels).device()}
 
+    # -- device-resident mode ------------------------------------------------
+
+    def dr_supported(self):
+        return self.channels == 1
+
+    def dr_state_init(self, V):
+        return {
+            "base": np.zeros(V, np.int32),
+            "frac": np.zeros(V, np.float32),
+            "off": np.zeros(V, np.int32),
+            "length": np.ones(V, np.int32),
+            "ds_int": np.ones(V, np.int32),
+            "f_hi": np.zeros(V, np.float32),
+            "f_lo": np.zeros(V, np.float32),
+        }
+
+    def dr_slot_row(self, interval):
+        ds = np.float32(np.float32(interval) * self.rate.astype(np.float32))
+        ds_int, f_hi, f_lo = split_ds(ds)
+        base = np.trunc(self.cursor)
+        return {
+            "base": np.int32(np.clip(base, 0, 2**30)),
+            "frac": np.float32(self.cursor - base),
+            "off": np.int32(self.off[()]),
+            "length": np.int32(self.length[()]),
+            "ds_int": np.int32(ds_int),
+            "f_hi": np.float32(f_hi),
+            "f_lo": np.float32(f_lo),
+        }
+
+    def dr_render(self, state, ddata, interval, n, count):
+        from ._dev import device_advance
+
+        tr, fr = exact_positions(
+            state["frac"], state["ds_int"], state["f_hi"], state["f_lo"], n
+        )
+        length = state["length"][:, None]
+        x = jnp.mod(state["base"][:, None] + tr, length)
+        arena = ddata["arena"]
+        a = jnp.take(arena, state["off"][:, None] + x, axis=0, mode="clip")
+        b = jnp.take(
+            arena, state["off"][:, None] + jnp.mod(x + 1, length), axis=0, mode="clip"
+        )
+        samples = lerp(a, b, fr)
+        # cursor end state matches the host path: position of the last frame
+        # reduced mod len, plus one step (cycle.rs:40-47 rebase semantics)
+        cm1 = jnp.maximum(count - 1, 0)
+        b1, f1 = device_advance(
+            state["base"], state["frac"], cm1,
+            state["ds_int"], state["f_hi"], state["f_lo"],
+        )
+        b1 = jnp.mod(b1, state["length"])
+        b2, f2 = device_advance(
+            b1, f1, jnp.ones_like(count),
+            state["ds_int"], state["f_hi"], state["f_lo"],
+        )
+        keep = count <= 0
+        out = dict(state)
+        out["base"] = jnp.where(keep, state["base"], b2)
+        out["frac"] = jnp.where(keep, state["frac"], f2)
+        return out, samples
+
+    def dr_is_finished(self, state):
+        return jnp.zeros(state["base"].shape, dtype=bool)
+
     def render(self, dstate, ddata, params, n):
         tr, fr = exact_positions(
             params["offset0"], params["ds_int"], params["f_hi"], params["f_lo"], n

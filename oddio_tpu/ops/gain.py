@@ -80,6 +80,32 @@ class FixedGain(Signal):
         out["inner"] = d2
         return out, block * params["gain"]
 
+    # -- device-resident mode ------------------------------------------------
+
+    def dr_supported(self):
+        return self.channels == 1 and self.inner.dr_supported()
+
+    def dr_state_init(self, V):
+        return {
+            "gain": np.ones(V, np.float32),
+            "inner": self.inner.dr_state_init(V),
+        }
+
+    def dr_slot_row(self, interval):
+        return {
+            "gain": np.float32(self.gain[()]),
+            "inner": self.inner.dr_slot_row(interval),
+        }
+
+    def dr_render(self, state, ddata, interval, n, count):
+        d2, samples = self.inner.dr_render(
+            state["inner"], ddata.get("inner", {}), interval, n, count
+        )
+        return {"gain": state["gain"], "inner": d2}, samples * state["gain"][:, None]
+
+    def dr_is_finished(self, state):
+        return self.inner.dr_is_finished(state["inner"])
+
 
 class Gain(Signal):
     """Dynamically controlled gain with 0.1 s smoothing (gain.rs:58-127)."""

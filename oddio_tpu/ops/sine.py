@@ -100,3 +100,43 @@ class Sine(Signal):
         )
         block = jnp.sin(TAU32 * frac)
         return dstate, block[None, :]
+
+    # -- device-resident mode ------------------------------------------------
+
+    def dr_supported(self):
+        return True
+
+    def dr_state_init(self, V):
+        return {
+            "freq": np.zeros(V, np.float32),
+            "cyc": np.zeros(V, np.float32),  # wrapped phase in cycles [0,1)
+        }
+
+    def dr_slot_row(self, interval):
+        tau = np.float64(TAU32)
+        return {
+            "freq": np.float32(self.freq[()]),
+            "cyc": np.float32(np.mod(self.phase[()] / tau, 1.0)),
+        }
+
+    def dr_render(self, state, ddata, interval, n, count):
+        import jax.numpy as jnp
+        from ._dev import device_split_ds
+
+        # per-frame phase step in cycles; f32 quantization of dc costs
+        # <= n*eps*dc (~1e-5 rad per block), non-accumulating
+        dc = state["freq"] * np.float32(np.float64(interval) / np.float64(TAU32))
+        dc_int, f_hi, f_lo = device_split_ds(dc)
+        _, frac = exact_positions(state["cyc"], dc_int, f_hi, f_lo, n)
+        samples = jnp.sin(TAU32 * frac)
+        # advance the wrapped phase by count frames with exact pieces so the
+        # per-block bias is ~eps (no audible frequency shift)
+        cf = count.astype(jnp.float32)
+        H = cf * f_hi  # exact
+        adv = (H - jnp.floor(H)) + cf * f_lo
+        cyc2 = state["cyc"] + adv
+        cyc2 = cyc2 - jnp.floor(cyc2)
+        return {"freq": state["freq"], "cyc": cyc2}, samples
+
+    def dr_is_finished(self, state):
+        return jnp.zeros(state["freq"].shape, dtype=bool)

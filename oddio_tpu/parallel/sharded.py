@@ -84,14 +84,19 @@ class ScenePack:
             blocks = jax.lax.psum(blocks, VOICE_AXIS)
             return d2, blocks
 
-        sv = P(SCENE_AXIS, VOICE_AXIS)
+        # delta/broadcast param leaves replicate over the voice axis;
+        # per-voice leaves shard
+        vflags = proto.params_voice_axes(self._params_single)
+        pspecs = jax.tree.map(
+            lambda f: P(SCENE_AXIS, VOICE_AXIS) if f else P(SCENE_AXIS), vflags
+        )
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=(
                 self._specs(self._dstate, (SCENE_AXIS, VOICE_AXIS)),
                 self._specs(proto.device_data(), ()),
-                self._specs(self._params_struct, (SCENE_AXIS, VOICE_AXIS)),
+                pspecs,
             ),
             out_specs=(
                 self._specs(self._dstate, (SCENE_AXIS, VOICE_AXIS)),
@@ -105,10 +110,25 @@ class ScenePack:
 
     def render_block(self, n):
         """Render one block for every scene; returns float32 (S, n, C)."""
-        params = _stack([s.host_prepare(self.interval, n) for s in self.scenes])
-        self._params_struct = params
+        from .context import voice_axis
+
+        per_scene = [s.host_prepare(self.interval, n) for s in self.scenes]
+        self._params_single = per_scene[0]
+        params = _stack(per_scene)
         self._ensure_state()
         step = self._get_step(n)
         ddata = self.scenes[0].device_data()
-        self._dstate, blocks = step(self._dstate, ddata, params)
+        with voice_axis(VOICE_AXIS):
+            self._dstate, blocks = step(self._dstate, ddata, params)
         return np.moveaxis(np.asarray(blocks), 1, 2)
+
+    def sync(self):
+        """Pull handle-visible device state back into each scene's host
+        mirrors (slot reclamation, is_finished)."""
+        unstacked = jax.tree.map(np.asarray, self._dstate) if self._dstate else None
+        if unstacked is None:
+            return
+        for si, scene in enumerate(self.scenes):
+            scene.device_store(jax.tree.map(lambda x: jnp.asarray(x[si]), unstacked))
+            if hasattr(scene, "sync"):
+                scene.sync()

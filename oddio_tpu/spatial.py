@@ -47,7 +47,8 @@ from .core.hostmath import (
     v3_norm,
 )
 from .core.signal import Signal
-from .ops._dev import exact_positions, split_ds
+from .ops._dev import device_split_ds, exact_positions, split_ds
+from .ops.pallas_ring import PAGE, strip_place, strip_select
 
 __all__ = [
     "SpatialScene",
@@ -58,25 +59,12 @@ __all__ = [
     "HEAD_RADIUS",
 ]
 
-#: spatial.rs:602 — rate sound travels from signals to listeners (m/s)
-SPEED_OF_SOUND = np.float32(343.0)
-#: spatial.rs:605 — distance from center of head to an ear (m)
-HEAD_RADIUS = np.float32(0.1075)
-#: spatial.rs:520 — seconds over which to smooth position discontinuities
-POSITION_SMOOTHING_PERIOD = np.float32(0.5)
-
-# Ear geometry (spatial.rs:571-598): positions of ears wrt a head facing -Z,
-# and the unit direction of least attenuation ([+-4, 0, -1] normalized).
-_SQRT17 = np.sqrt(np.float32(17.0), dtype=np.float32)
-EAR_POS = np.array(
-    [[-HEAD_RADIUS, 0.0, 0.0], [HEAD_RADIUS, 0.0, 0.0]], dtype=np.float32
-)
-EAR_DIR = np.array(
-    [
-        [np.float32(-4.0) / _SQRT17, 0.0, np.float32(-1.0) / _SQRT17],
-        [np.float32(4.0) / _SQRT17, 0.0, np.float32(-1.0) / _SQRT17],
-    ],
-    dtype=np.float32,
+from .ops.geometry import (  # noqa: F401  (re-exported API surface)
+    EAR_DIR,
+    EAR_POS,
+    HEAD_RADIUS,
+    POSITION_SMOOTHING_PERIOD,
+    SPEED_OF_SOUND,
 )
 
 DEFAULT_CAPACITY = 16
@@ -244,6 +232,22 @@ class _VoicePool:
                 self.slot_gen[i] += 1
                 self._free.append(int(i))
         return prev_position, next_position
+
+    # handle interface shared with the DR pool
+    def push_motion(self, slot, gen, pos, vel, disc):
+        if self.slot_gen[slot] == gen:
+            self.pend_pos[slot] = f32(pos)
+            self.pend_vel[slot] = f32(vel)
+            self.pend_disc[slot] = bool(disc)
+            self.pend_flag[slot] = True
+
+    def handle_finished(self, slot, gen):
+        if self.slot_gen[slot] != gen:
+            return True
+        return bool(self.stopped[slot])
+
+    def sync(self):
+        pass
 
 
 class _BufferedPool(_VoicePool):
@@ -446,6 +450,401 @@ class _SeekPool(_VoicePool):
         return {"inner": d3}, jnp.sum(contrib, axis=0)
 
 
+class _BufferedPoolDR:
+    """Device-resident buffered pool: the flagship scale path.
+
+    All per-voice control-plane state — motion, smoothing, lingering, masks,
+    ring cursors, and the inner sources' playback cursors — lives on the TPU;
+    every block the geometry (spatial.rs:204-261, 530-550), the delay-ring
+    write (ring.rs:18-41), the inner source render, and the fractional ear
+    reads (ring.rs:51-79, spatial.rs:409-431) run inside one jitted graph.
+    The host ships only *sparse control deltas* (plays, set_motion) — the
+    TPU-native equivalent of oddio's bounded spsc/swap channels, with the
+    same bounded-capacity backpressure (overflow carries to the next block).
+
+    Requires the inner chain to be device-resident capable (static after
+    play: Sine/Constant/FramesSignal/Cycle/FixedGain). Handle state
+    (is_finished) is observed at sync points (every render_frames, or
+    SpatialScene.sync()).
+    """
+
+    is_dr = True
+
+    #: bounds the per-block doppler walk handled by the shift-select read
+    #: kernel: |ds-1|*n <= 2K (K=64 covers > ±40 m/s radial at 512@48k)
+    K_DOPPLER = 64
+    def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=16):
+        self.name = name
+        self.proto = spec
+        self.capacity = capacity
+        self.rate = int(rate)
+        #: uniform ring modulus for the pool (>= every voice's required
+        #: capacity; a longer history is audio-identical, the per-voice
+        #: max_delay column still clamps reads like spatial.rs:414-415).
+        #: A multiple of PAGE >= 2*PAGE so wraparound is page-index modulo.
+        self.cap_pool = int(cap_pool)
+        assert self.cap_pool % PAGE == 0 and self.cap_pool >= 2 * PAGE
+        self.ring_len = self.cap_pool
+        self.interval_inner = float(np.float32(1.0) / np.float32(rate))
+        self.k_motion = k_motion
+        self.k_play = k_play
+        self._n_inner = 1
+        self._elapsed = 0.0
+        self.slot_gen = np.zeros(capacity, dtype=np.int64)
+        self._free = list(range(capacity - 1, -1, -1))
+        self.mask_host = np.zeros(capacity, dtype=bool)
+        self.stopped_host = np.zeros(capacity, dtype=bool)
+        self.pending_plays = []  # (slot, row pytree)
+        self.pending_motion = {}  # slot -> (pos, vel, disc); last-wins
+        self.state = None
+
+    # -- state ---------------------------------------------------------------
+
+    def dr_state(self):
+        if self.state is None:
+            V = self.capacity
+            self.state = {
+                "ring": jnp.zeros(
+                    (V * (self.ring_len // PAGE), PAGE), jnp.float32
+                ),
+                "write": jnp.zeros(V, jnp.float32),
+                "mask": jnp.zeros(V, bool),
+                "stopped": jnp.zeros(V, bool),
+                "finished_for": jnp.full(V, jnp.nan, dtype=jnp.float32),
+                "radius": jnp.full(V, 0.1, dtype=jnp.float32),
+                "motion_pos": jnp.zeros((V, 3), jnp.float32),
+                "motion_vel": jnp.zeros((V, 3), jnp.float32),
+                "prev_position": jnp.zeros((V, 3), jnp.float32),
+                "smdt": jnp.zeros(V, jnp.float32),
+                "max_delay": jnp.zeros(V, jnp.float32),
+                "inner": jax.tree.map(
+                    jnp.asarray, self.proto.dr_state_init(V)
+                ),
+            }
+        return self.state
+
+    def grow(self):
+        old = self.capacity
+        new = old * 2
+        self.dr_state()
+        fresh_inner = jax.tree.map(jnp.asarray, self.proto.dr_state_init(old))
+        fresh = {
+            "ring": jnp.zeros((old * (self.ring_len // PAGE), PAGE), jnp.float32),
+            "write": jnp.zeros(old, jnp.float32),
+            "mask": jnp.zeros(old, bool),
+            "stopped": jnp.zeros(old, bool),
+            "finished_for": jnp.full(old, jnp.nan, dtype=jnp.float32),
+            "radius": jnp.full(old, 0.1, dtype=jnp.float32),
+            "motion_pos": jnp.zeros((old, 3), jnp.float32),
+            "motion_vel": jnp.zeros((old, 3), jnp.float32),
+            "prev_position": jnp.zeros((old, 3), jnp.float32),
+            "smdt": jnp.zeros(old, jnp.float32),
+            "max_delay": jnp.zeros(old, jnp.float32),
+            "inner": fresh_inner,
+        }
+        P = self.ring_len // PAGE
+        old_ring = self.state["ring"].reshape(old, P, PAGE)
+        fresh_ring = fresh.pop("ring").reshape(old, P, PAGE)
+        st = dict(self.state)
+        ring2 = jnp.concatenate([old_ring, fresh_ring]).reshape(new * P, PAGE)
+        st.pop("ring")
+        self.state = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), st, fresh)
+        self.state["ring"] = ring2
+        self.slot_gen = np.concatenate([self.slot_gen, np.zeros(old, np.int64)])
+        self.mask_host = np.concatenate([self.mask_host, np.zeros(old, bool)])
+        self.stopped_host = np.concatenate([self.stopped_host, np.zeros(old, bool)])
+        self._free = list(range(new - 1, old - 1, -1)) + self._free
+        self.capacity = new
+
+    # -- control side ----------------------------------------------------------
+
+    def play(self, spec, options, max_delay):
+        if not self._free:
+            self.grow()
+        i = self._free.pop()
+        gen = int(self.slot_gen[i])
+        stack = [spec]
+        while stack:  # Rust move semantics, recursively
+            s = stack.pop()
+            if s._moved:
+                raise RuntimeError(
+                    "signal was already played (moved); construct a new one"
+                )
+            s._moved = True
+            stack.extend(s.children().values())
+        cap = int(np.ceil(np.float32(max_delay) * np.float32(self.rate))) + 1
+        assert cap <= self.cap_pool
+        # SpatialSignalBuffered::new pre-delay (spatial.rs:39-43); the pool
+        # modulus is uniform (longer history, audio-identical)
+        d = np.minimum(
+            v3_norm(f32(options.position)[None, :])[0] / SPEED_OF_SOUND,
+            np.float32(max_delay),
+        )
+        row = {
+            "write": rust_rem(
+                np.float32(self.rate) * np.float32(d), np.float32(self.cap_pool)
+            ),
+            "mask": True,
+            "stopped": False,
+            "finished_for": np.float32(np.nan),
+            "radius": np.float32(options.radius),
+            "motion_pos": f32(options.position),
+            "motion_vel": f32(options.velocity),
+            "prev_position": f32(options.position),
+            "smdt": np.float32(0.0),
+            "max_delay": np.float32(max_delay),
+            "inner": spec.dr_slot_row(self.interval_inner),
+        }
+        self.pending_plays.append((i, row))
+        self.mask_host[i] = True
+        self.stopped_host[i] = False
+        return i, gen
+
+    def push_motion(self, slot, gen, pos, vel, disc):
+        if self.slot_gen[slot] == gen:
+            self.pending_motion[slot] = (f32(pos), f32(vel), bool(disc))
+
+    def handle_finished(self, slot, gen):
+        if self.slot_gen[slot] != gen:
+            return True
+        return bool(self.stopped_host[slot])
+
+    def _apply_plays_eager(self):
+        """Apply all pending plays directly to device state (one-off scatters
+        outside the jitted step; the bulk-setup path)."""
+        self.dr_state()
+        idx = jnp.asarray([i for i, _ in self.pending_plays], jnp.int32)
+        rows = jax.tree.map(
+            lambda *xs: np.stack(xs), *[r for _, r in self.pending_plays]
+        )
+        self.pending_plays = []
+        S = dict(self.state)
+        for k in (
+            "write", "mask", "stopped", "finished_for", "radius", "motion_pos",
+            "motion_vel", "prev_position", "smdt", "max_delay",
+        ):
+            S[k] = S[k].at[idx].set(jnp.asarray(rows[k]))
+        S["inner"] = jax.tree.map(
+            lambda st, rv: st.at[idx].set(jnp.asarray(rv)), S["inner"], rows["inner"]
+        )
+        P = self.ring_len // PAGE
+        pidx_pages = (idx[:, None] * P + jnp.arange(P)).reshape(-1)
+        S["ring"] = S["ring"].at[pidx_pages].set(0.0)
+        self.state = S
+
+    def sync(self):
+        """Pull mask/stopped back from the device; reclaim freed slots."""
+        if self.state is None:
+            return
+        mask = np.asarray(self.state["mask"])
+        stopped = np.asarray(self.state["stopped"])
+        pending = {i for i, _ in self.pending_plays}
+        for i in range(self.capacity):
+            if i in pending:
+                continue
+            if self.mask_host[i] and stopped[i] and not mask[i]:
+                self.mask_host[i] = False
+                self.stopped_host[i] = True
+                self.slot_gen[i] += 1
+                self._free.append(i)
+
+    # -- per block ---------------------------------------------------------------
+
+    def host_prepare(self, prev_rot, rot, interval, n):
+        elapsed = float(np.float32(f32(interval) * np.float32(n)))
+        self._elapsed = elapsed
+        self._n_inner = (
+            int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
+        )
+        # two-page strips bound the block size (see pallas_ring.py)
+        assert self._n_inner <= PAGE + 1
+        assert n + 2 * self.K_DOPPLER + 17 <= PAGE + 1, "block too large for 2-page reads"
+        # bulk plays (engine setup) apply eagerly outside the jitted step so
+        # per-block delta shapes stay constant; the per-block channel handles
+        # the steady trickle
+        if len(self.pending_plays) > self.k_play:
+            self._apply_plays_eager()
+        Kp = self.k_play
+        take = self.pending_plays[:Kp]
+        self.pending_plays = self.pending_plays[Kp:]
+        play_idx = np.full(Kp, self.capacity, np.int32)
+        rows = [r for _, r in take]
+        # pad with a benign default row
+        if len(rows) < Kp:
+            default = {
+                "write": np.float32(0), "mask": False, "stopped": True,
+                "finished_for": np.float32(np.nan), "radius": np.float32(0.1),
+                "motion_pos": np.zeros(3, np.float32),
+                "motion_vel": np.zeros(3, np.float32),
+                "prev_position": np.zeros(3, np.float32),
+                "smdt": np.float32(0),
+                "max_delay": np.float32(0),
+                "inner": jax.tree.map(
+                    lambda a: np.asarray(a[0]), self.proto.dr_state_init(1)
+                ),
+            }
+            rows = rows + [default] * (Kp - len(rows))
+        for j, (i, _) in enumerate(take):
+            play_idx[j] = i
+        play_rows = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+
+        # motion deltas (last-wins per slot; overflow carries to the next
+        # block — bounded-channel semantics like a full swap/spsc pair)
+        Km = self.k_motion
+        items = list(self.pending_motion.items())[:Km]
+        for k, _ in items:
+            del self.pending_motion[k]
+        mot_idx = np.full(Km, self.capacity, np.int32)
+        mot_pos = np.zeros((Km, 3), np.float32)
+        mot_vel = np.zeros((Km, 3), np.float32)
+        mot_disc = np.zeros(Km, bool)
+        for j, (slot, (p, v, d)) in enumerate(items):
+            mot_idx[j] = slot
+            mot_pos[j] = p
+            mot_vel[j] = v
+            mot_disc[j] = d
+        return {
+            "play_idx": play_idx,
+            "play": play_rows,
+            "mot_idx": mot_idx,
+            "mot_pos": mot_pos,
+            "mot_vel": mot_vel,
+            "mot_disc": mot_disc,
+            "rot_prev": f32(prev_rot),
+            "rot": f32(rot),
+        }
+
+    def render(self, dstate, ddata, params, n):
+        from .ops.geometry import ear_states, quat_rotate, smoothed_position, v3_norm as jnorm
+        from .parallel.context import localize_index
+
+        S = dict(dstate)
+        V = S["write"].shape[0]
+        elapsed = np.float32(self._elapsed)
+        ratef = np.float32(self.rate)
+        n_inner = self._n_inner
+
+        # 1. plays (set.rs insert semantics: applied before the walk)
+        pidx = localize_index(params["play_idx"], V)
+        rows = params["play"]
+        for k in (
+            "write", "mask", "stopped", "finished_for", "radius", "motion_pos",
+            "motion_vel", "prev_position", "smdt", "max_delay",
+        ):
+            S[k] = S[k].at[pidx].set(rows[k], mode="drop")
+        S["inner"] = jax.tree.map(
+            lambda st, rv: st.at[pidx].set(rv, mode="drop"), S["inner"], rows["inner"]
+        )
+        Pp = self.ring_len // PAGE
+        VP = S["ring"].shape[0]
+        page_idx = jnp.where(pidx < V, pidx, VP)
+        page_idx = (page_idx[:, None] * Pp + jnp.arange(Pp)).reshape(-1)
+        S["ring"] = S["ring"].at[page_idx].set(0.0, mode="drop")
+
+        # 2. motion refresh (swap-channel drain + smoothing, spatial.rs:216-227)
+        midx = localize_index(params["mot_idx"], V)
+        upd = jnp.zeros(V, bool).at[midx].set(True, mode="drop")
+        pend_pos = S["motion_pos"].at[midx].set(params["mot_pos"], mode="drop")
+        pend_vel = S["motion_vel"].at[midx].set(params["mot_vel"], mode="drop")
+        pend_disc = jnp.zeros(V, bool).at[midx].set(params["mot_disc"], mode="drop")
+        sm_orig = smoothed_position(
+            S["prev_position"], S["smdt"], 0.0, S["motion_pos"], S["motion_vel"]
+        )
+        new_prev = jnp.where(pend_disc[:, None], pend_pos, sm_orig)
+        S["prev_position"] = jnp.where(upd[:, None], new_prev, S["prev_position"])
+        S["smdt"] = jnp.where(upd, 0.0, S["smdt"])
+        S["motion_pos"] = jnp.where(upd[:, None], pend_pos, S["motion_pos"])
+        S["motion_vel"] = jnp.where(upd[:, None], pend_vel, S["motion_vel"])
+
+        # 3. geometry (spatial.rs:228-238)
+        sm0 = smoothed_position(
+            S["prev_position"], S["smdt"], 0.0, S["motion_pos"], S["motion_vel"]
+        )
+        sm1 = smoothed_position(
+            S["prev_position"], S["smdt"], elapsed, S["motion_pos"], S["motion_vel"]
+        )
+        prev_pos = quat_rotate(params["rot_prev"][None, :], sm0)
+        next_pos = quat_rotate(params["rot"][None, :], sm1)
+        S["smdt"] = S["smdt"] + elapsed
+
+        # 4. lingering reclamation (spatial.rs:241-261)
+        dist = jnorm(prev_pos)
+        inner_fin = self.proto.dr_is_finished(S["inner"])
+        ff = S["finished_for"]
+        lingering = ~jnp.isnan(ff)
+        expire = lingering & (ff > dist / SPEED_OF_SOUND)
+        S["stopped"] = S["stopped"] | (expire & S["mask"])
+        ff = jnp.where(lingering & ~expire, ff + elapsed, ff)
+        newly = S["mask"] & ~lingering & inner_fin
+        S["finished_for"] = jnp.where(newly, elapsed, ff)
+        S["mask"] = S["mask"] & ~S["stopped"]
+        mask = S["mask"]
+
+        # 5. ring write bookkeeping (ring.rs:18-41); uniform pool modulus
+        cap = self.cap_pool
+        capf = np.float32(cap)
+        adv = np.float32(elapsed * ratef)
+        end = jnp.mod(S["write"] + adv, capf)
+        start_i = jnp.ceil(S["write"]).astype(jnp.int32)
+        end_i = jnp.ceil(end).astype(jnp.int32)
+        n_write = jnp.where(end_i > start_i, end_i - start_i, (cap - start_i) + end_i)
+        n_write = jnp.where((end_i == start_i) | ~mask, 0, n_write)
+        S["write"] = jnp.where(mask, end, S["write"])
+
+        # 6. inner source render; page-strip append (ring.rs:18-41).  All
+        # n_inner frames are written every block — the <=1-frame overlap past
+        # n_write is recomputed identically next block (deterministic
+        # sources), so audio is exact while writes stay page-granular.
+        inner2, samples = self.proto.dr_render(
+            S["inner"], ddata.get("inner", {}), self.interval_inner, n_inner, n_write
+        )
+        S["inner"] = inner2
+        interp = jax.default_backend() != "tpu"
+        P = cap // PAGE
+        pages = S["ring"]
+        vbase = jnp.arange(V, dtype=jnp.int32) * P
+        wpage = start_i // PAGE
+        extra_w = start_i - wpage * PAGE
+        idx_w = (vbase[:, None] + jnp.mod(wpage[:, None] + jnp.arange(2), P)).reshape(-1)
+        strips = jnp.take(pages, idx_w, axis=0).reshape(V, 2 * PAGE)
+        strips = strip_place(strips, samples, extra_w, interpret=interp)
+        pages = pages.at[idx_w].set(strips.reshape(V * 2, PAGE))
+        S["ring"] = pages
+
+        # 7. per-ear fractional reads with gain ramps (spatial.rs:409-431)
+        K = self.K_DOPPLER
+        p_off, p_gain = ear_states(prev_pos, S["radius"])
+        n_off, n_gain = ear_states(next_pos, S["radius"])
+        p_off = jnp.maximum(p_off - elapsed, -S["max_delay"][:, None])
+        n_off = jnp.maximum(n_off, -S["max_delay"][:, None])
+        nf = np.float32(n) if n > 0 else np.float32(1.0)
+        dt_e = (n_off - p_off) / nf
+        d_gain = (n_gain - p_gain) / nf
+        offset0 = jnp.mod(S["write"][:, None] + p_off * ratef, capf)
+        obase = jnp.floor(offset0)
+        ds = dt_e * ratef
+        ds_int, f_hi, f_lo = device_split_ds(ds)
+        whole, fr = exact_positions(offset0 - obase, ds_int, f_hi, f_lo, n)
+        # window starts at obase - K (mod cap); the kernel reconstructs
+        # a_j = win[j + kk_j] with kk_j = whole_j - j + K in [0, 2K]
+        rstart = jnp.mod(obase.astype(jnp.int32) - K, cap)
+        kk = jnp.clip(
+            whole - jnp.arange(n, dtype=jnp.int32)[None, None, :] + K, 0, 2 * K
+        )
+        rpage = rstart // PAGE
+        extra_r = rstart - rpage * PAGE
+        idx_r = (
+            vbase[:, None, None]
+            + jnp.mod(rpage[:, :, None] + jnp.arange(2), P)
+        ).reshape(-1)
+        rstrips = jnp.take(pages, idx_r, axis=0).reshape(V, 2, 2 * PAGE)
+        out = strip_select(
+            rstrips, kk, fr, p_gain, d_gain, mask.astype(jnp.float32), extra_r,
+            K=K, interpret=interp,
+        )
+        return S, out
+
+
 def _next_pow2(x):
     p = 1
     while p < x:
@@ -498,20 +897,28 @@ class SpatialScene(Signal):
             buffer_duration
         )
         cap = int(np.ceil(np.float32(max_delay) * np.float32(rate))) + 1
-        ring_len = _next_pow2(cap)
-        key = (spec.archetype(), int(rate), ring_len)
+        bucket = max(2048, _next_pow2(cap))  # pool modulus / storage bucket
+        dr = spec.dr_supported()
+        key = (spec.archetype(), int(rate), bucket, dr)
         pool = self._buffered_pools.get(key)
         if pool is None:
-            pool = _BufferedPool(
+            cls = _BufferedPoolDR if dr else _BufferedPool
+            pool = cls(
                 f"b{len(self._buffered_pools)}",
                 spec,
                 self.initial_capacity,
                 rate,
-                ring_len,
+                bucket,
             )
             self._buffered_pools[key] = pool
         i, gen = pool.play(spec, options, max_delay)
         return Spatial(pool, i, gen)
+
+    def sync(self):
+        """Pull device-resident voice state back to the host so handles
+        observe finishes and freed slots become reusable."""
+        for p in self._all_pools():
+            p.sync()
 
     def _set_listener_rotation(self, rotation):
         """spatial.rs:345-349 — stores the inverse quaternion."""
@@ -527,9 +934,11 @@ class SpatialScene(Signal):
         pools = tuple(
             (
                 p.name,
-                p.sig.archetype(),
+                (p.proto if getattr(p, "is_dr", False) else p.sig).archetype(),
                 getattr(p, "ring_len", 0),
                 getattr(p, "_n_inner", 0),
+                getattr(p, "is_dr", False),
+                getattr(p, "_elapsed", 0.0),
             )
             for p in self._all_pools()
         )
@@ -550,20 +959,31 @@ class SpatialScene(Signal):
     def device_collect(self):
         out = {}
         for p in self._all_pools():
-            d = {"inner": p.sig.device_collect()}
-            if isinstance(p, _BufferedPool):
-                d["ring"] = p.ring_state()
-            out[p.name] = d
+            if getattr(p, "is_dr", False):
+                out[p.name] = p.dr_state()
+            else:
+                d = {"inner": p.sig.device_collect()}
+                if isinstance(p, _BufferedPool):
+                    d["ring"] = p.ring_state()
+                out[p.name] = d
         return out
 
     def device_store(self, d):
         for p in self._all_pools():
-            p.sig.device_store(d[p.name]["inner"])
-            if isinstance(p, _BufferedPool):
-                p.ring = d[p.name]["ring"]
+            if getattr(p, "is_dr", False):
+                p.state = d[p.name]
+            else:
+                p.sig.device_store(d[p.name]["inner"])
+                if isinstance(p, _BufferedPool):
+                    p.ring = d[p.name]["ring"]
 
     def device_data(self):
-        return {p.name: {"inner": p.sig.device_data()} for p in self._all_pools()}
+        return {
+            p.name: {
+                "inner": (p.proto if getattr(p, "is_dr", False) else p.sig).device_data()
+            }
+            for p in self._all_pools()
+        }
 
     def render(self, dstate, ddata, params, n):
         out = jnp.zeros((2, n), dtype=jnp.float32)
@@ -573,6 +993,19 @@ class SpatialScene(Signal):
             d2[p.name] = dsub
             out = out + block
         return d2, out
+
+    def params_voice_axes(self, params):
+        """Which param leaves carry a leading voice axis (for sharding):
+        device-resident pools ship sparse deltas (replicated), host pools
+        ship per-voice arrays (voice-sharded)."""
+        import jax
+
+        return {
+            p.name: jax.tree.map(
+                lambda _, dr=getattr(p, "is_dr", False): not dr, params[p.name]
+            )
+            for p in self._all_pools()
+        }
 
 
 class SpatialSceneControl:
@@ -609,18 +1042,10 @@ class Spatial:
 
     def set_motion(self, position, velocity, discontinuity=False):
         """spatial.rs:137-149 — last-value-wins, applied at the next block."""
-        if not self._live():
-            return
-        i = self._slot
-        p = self._pool
-        p.pend_pos[i] = f32(position)
-        p.pend_vel[i] = f32(velocity)
-        p.pend_disc[i] = bool(discontinuity)
-        p.pend_flag[i] = True
+        self._pool.push_motion(self._slot, self._gen, position, velocity, discontinuity)
 
     def is_finished(self):
         """Whether the signal has completed and can no longer be heard,
-        accounting for propagation delay (spatial.rs:151-157)."""
-        if not self._live():
-            return True
-        return bool(self._pool.stopped[self._slot])
+        accounting for propagation delay (spatial.rs:151-157).  For
+        device-resident pools this is observed as of the last state sync."""
+        return self._pool.handle_finished(self._slot, self._gen)
