@@ -41,8 +41,8 @@ class Renderer:
         # bounds), so steps are resolved AFTER preparing the block.
         self._steps = {}
 
-    def _get_step(self, kind):
-        key = (self.signal.archetype(), kind)
+    def _get_step(self, kind, arch=None):
+        key = (arch if arch is not None else self.signal.archetype(), kind)
         step = self._steps.get(key)
         if step is None:
             sig = self.signal
@@ -79,17 +79,38 @@ class Renderer:
         nblocks, rem = divmod(total, block_size)
         pieces = []
         if nblocks:
-            params_list = [
-                sig.host_prepare(self.interval, block_size) for _ in range(nblocks)
-            ]
-            stacked = _stack_params(params_list)
-            step = self._get_step("scan")
-            d2, blocks = step(
-                sig.device_collect(), sig.device_data(), stacked, block_size
-            )
-            sig.device_store(d2)
-            out = np.asarray(blocks)  # (B, C, n)
-            pieces.append(np.moveaxis(out, 1, 2).reshape(nblocks * block_size, out.shape[1]))
+            # prepare per block, then scan runs of structurally identical
+            # params (control-event blocks carry delta arrays, idle blocks
+            # don't — the zero-delta fast path)
+            prepared = []
+            for _ in range(nblocks):
+                p = sig.host_prepare(self.interval, block_size)
+                prepared.append((sig.archetype(), p))
+            i = 0
+            while i < nblocks:
+                j = i
+                while j < nblocks and prepared[j][0] == prepared[i][0]:
+                    j += 1
+                run_params = [p for _, p in prepared[i:j]]
+                if j - i == 1:
+                    step = self._get_step("single", prepared[i][0])
+                    d2, block = step(
+                        sig.device_collect(), sig.device_data(), run_params[0],
+                        block_size,
+                    )
+                    blocks = block[None]
+                else:
+                    stacked = _stack_params(run_params)
+                    step = self._get_step("scan", prepared[i][0])
+                    d2, blocks = step(
+                        sig.device_collect(), sig.device_data(), stacked, block_size
+                    )
+                sig.device_store(d2)
+                out = np.asarray(blocks)  # (B, C, n)
+                pieces.append(
+                    np.moveaxis(out, 1, 2).reshape((j - i) * block_size, out.shape[1])
+                )
+                i = j
         if rem:
             pieces.append(self.render_block(rem))
         # device-resident engines sync handle-visible state once per batch

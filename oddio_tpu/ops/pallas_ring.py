@@ -200,3 +200,174 @@ def strip_select(strips, kk, fr, gain0, d_gain, maskf, extra, *, K,
         grid_spec=grid_spec,
         interpret=interpret,
     )(strips, kk, fr, gain, maskf[:, None], extra[:, :, None].astype(jnp.int32))
+
+
+# --- fully fused ring step ----------------------------------------------------
+
+
+def _step_kernel(samples_ref, wpage_ref, extra_w_ref, rpage_ref, extra_r_ref,
+                 kk_ref, fr_ref, gain_ref, mask_ref, pages_in, pages_out,
+                 out_ref, *, tile, P, n, n_inner, K):
+    """One pass per voice tile: place the new source block into its two ring
+    pages, then resample both ears from the updated pages — the whole ring
+    streams HBM->VMEM->HBM exactly once per block."""
+    i = pl.program_id(0)
+    S = 2 * PAGE
+    pages = pages_in[...].reshape(tile, P, PAGE)
+
+    # -- write: build the 2-page strip, place samples, scatter back
+    wpage = wpage_ref[...]  # (tile, 1)
+    wp1 = jnp.where(wpage + 1 >= P, wpage + 1 - P, wpage + 1)
+    strip_lo = jnp.zeros((tile, PAGE), jnp.float32)
+    strip_hi = jnp.zeros((tile, PAGE), jnp.float32)
+    for p in range(P):
+        pg = pages[:, p, :]
+        strip_lo = strip_lo + pg * (wpage == p).astype(jnp.float32)
+        strip_hi = strip_hi + pg * (wp1 == p).astype(jnp.float32)
+    strip = jnp.concatenate([strip_lo, strip_hi], axis=-1)  # (tile, S)
+
+    extra = extra_w_ref[...]  # (tile, 1)
+    q = extra // 128
+    rem = extra - q * 128
+    a = rem // 16
+    b = rem - a * 16
+    src = samples_ref[...]
+    s0 = jnp.concatenate(
+        [src, jnp.zeros((tile, S - n_inner), jnp.float32)], axis=-1
+    )
+    s1 = jnp.zeros_like(s0)
+    for k in range(8):
+        s1 = s1 + _shift_right(s0, 128 * k, S) * (q == k)
+    s2 = jnp.zeros_like(s1)
+    for k in range(8):
+        s2 = s2 + _shift_right(s1, 16 * k, S) * (a == k)
+    s3 = jnp.zeros_like(s2)
+    for k in range(16):
+        s3 = s3 + _shift_right(s2, k, S) * (b == k)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, S), 1)
+    keep = (lane >= extra) & (lane < extra + n_inner)
+    strip = jnp.where(keep, s3, strip)
+
+    new_pages = []
+    for p in range(P):
+        sel0 = (wpage == p).astype(jnp.float32)
+        sel1 = (wp1 == p).astype(jnp.float32)
+        old = pages[:, p, :]
+        pg = (
+            old * (1.0 - sel0) * (1.0 - sel1)
+            + strip[:, :PAGE] * sel0
+            + strip[:, PAGE:] * sel1
+        )
+        new_pages.append(pg)
+    pages2 = jnp.stack(new_pages, axis=1)  # (tile, P, PAGE)
+    pages_out[...] = pages2.reshape(tile * P, PAGE)
+
+    # -- read: per-ear 2-page strips from the UPDATED pages
+    rpage = rpage_ref[...]  # (tile, 2, 1)
+    rp1 = jnp.where(rpage + 1 >= P, rpage + 1 - P, rpage + 1)
+    rlo = jnp.zeros((tile, 2, PAGE), jnp.float32)
+    rhi = jnp.zeros((tile, 2, PAGE), jnp.float32)
+    for p in range(P):
+        pg = new_pages[p][:, None, :]
+        rlo = rlo + pg * (rpage == p).astype(jnp.float32)
+        rhi = rhi + pg * (rp1 == p).astype(jnp.float32)
+    rstrips = jnp.concatenate([rlo, rhi], axis=-1)  # (tile, 2, S)
+
+    # -- realign + banded one-hot matmul resample (as in _select_kernel)
+    extra_r = extra_r_ref[...]
+    b7 = extra_r >> 7
+    b4 = (extra_r >> 4) & 7
+    b1 = extra_r & 15
+    tile2 = tile * 2
+    SB = 128 if n % 128 == 0 else n
+    kk = kk_ref[...]
+    fr = fr_ref[...]
+    Wf = SB + 2 * K + 2
+    parts = []
+    for sb in range(n // SB):
+        W4 = Wf + 15
+        W7 = W4 + 112
+        w1 = jnp.zeros((tile, 2, W7), jnp.float32)
+        for h in range(1023 // 128 + 1):
+            off = sb * SB + 128 * h
+            w1 = w1 + rstrips[:, :, off : off + W7] * (b7 == h).astype(jnp.float32)
+        w2 = jnp.zeros((tile, 2, W4), jnp.float32)
+        for h in range(8):
+            w2 = w2 + w1[:, :, 16 * h : 16 * h + W4] * (b4 == h).astype(jnp.float32)
+        w3 = jnp.zeros((tile, 2, Wf), jnp.float32)
+        for h in range(16):
+            w3 = w3 + w2[:, :, h : h + Wf] * (b1 == h).astype(jnp.float32)
+        w3r = w3.reshape(tile2, Wf)
+        kk_sb = kk[:, :, sb * SB : (sb + 1) * SB].reshape(tile2, SB)
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SB, Wf), 2)
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SB, Wf), 1)
+        E = (m_iota == j_iota + kk_sb[:, :, None]).astype(jnp.float32)
+        dn = (((2,), (1,)), ((0,), (0,)))
+        a_sb = jax.lax.dot_general(E, w3r, dn, preferred_element_type=jnp.float32)
+        w3b = jnp.concatenate(
+            [w3r[:, 1:], jnp.zeros((tile2, 1), jnp.float32)], axis=-1
+        )
+        b_sb = jax.lax.dot_general(E, w3b, dn, preferred_element_type=jnp.float32)
+        fr_sb = fr[:, :, sb * SB : (sb + 1) * SB].reshape(tile2, SB)
+        parts.append((a_sb + fr_sb * (b_sb - a_sb)).reshape(tile, 2, SB))
+    s = jnp.concatenate(parts, axis=-1)
+
+    jn = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2).astype(jnp.float32)
+    g = gain_ref[...]
+    gains = g[:, :, 0:1] + jn * g[:, :, 1:2]
+    contrib = jnp.sum(s * gains * mask_ref[...][:, :, None], axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def ring_step(pages, samples, wpage, extra_w, rpage, extra_r, kk, fr, gain0,
+              d_gain, maskf, *, P, K, interpret=False):
+    """Fused delay-ring step: write the block + resample both ears + masked
+    voice reduction, streaming the page array through VMEM exactly once.
+
+    pages (V*P, PAGE); samples (V, n_inner); wpage/extra_w (V,); rpage/
+    extra_r (V, 2); kk (V, 2, n); fr (V, 2, n); gain0/d_gain (V, 2);
+    maskf (V,).  Returns (pages', out (2, n))."""
+    VP, _ = pages.shape
+    V = VP // P
+    n = kk.shape[2]
+    n_inner = samples.shape[1]
+    tile = _tile_for(V)
+    gain = jnp.stack([gain0, d_gain], axis=-1)
+    grid_spec = pl.GridSpec(
+        grid=(V // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, n_inner), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile * P, PAGE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile * P, PAGE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _step_kernel, tile=tile, P=P, n=n, n_inner=n_inner, K=K
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((VP, PAGE), jnp.float32),
+            jax.ShapeDtypeStruct((2, n), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={9: 0},
+        interpret=interpret,
+    )(samples, wpage.astype(jnp.int32)[:, None], extra_w.astype(jnp.int32)[:, None],
+      rpage.astype(jnp.int32)[:, :, None], extra_r.astype(jnp.int32)[:, :, None],
+      kk, fr, gain, maskf[:, None], pages)

@@ -44,6 +44,10 @@ class ScenePack:
         if len(archs) != 1:
             raise ValueError("all scenes in a pack must share an archetype")
         self.scenes = scenes
+        for sc in scenes:
+            for pool in getattr(sc, "_all_pools", lambda: [])():
+                if hasattr(pool, "force_deltas"):
+                    pool.force_deltas = True
         self.rate = int(rate)
         self.interval = np.float32(1.0) / np.float32(self.rate)
         self.mesh = mesh

@@ -48,7 +48,7 @@ from .core.hostmath import (
 )
 from .core.signal import Signal
 from .ops._dev import device_split_ds, exact_positions, split_ds
-from .ops.pallas_ring import PAGE, strip_place, strip_select
+from .ops.pallas_ring import PAGE, ring_step, strip_place, strip_select
 
 __all__ = [
     "SpatialScene",
@@ -496,6 +496,12 @@ class _BufferedPoolDR:
         self.stopped_host = np.zeros(capacity, dtype=bool)
         self.pending_plays = []  # (slot, row pytree)
         self.pending_motion = {}  # slot -> (pos, vel, disc); last-wins
+        #: always ship delta arrays (ScenePack needs uniform structures)
+        self.force_deltas = False
+        #: single-pass ring kernel (streams the whole ring through VMEM);
+        #: the default 3-op path (page gather -> place -> select) measured
+        #: slightly faster at 4096 voices x 16 pages
+        self.use_fused_kernel = False
         self.state = None
 
     # -- state ---------------------------------------------------------------
@@ -659,60 +665,62 @@ class _BufferedPoolDR:
         # two-page strips bound the block size (see pallas_ring.py)
         assert self._n_inner <= PAGE + 1
         assert n + 2 * self.K_DOPPLER + 17 <= PAGE + 1, "block too large for 2-page reads"
+        params = {"rot_prev": f32(prev_rot), "rot": f32(rot)}
+
         # bulk plays (engine setup) apply eagerly outside the jitted step so
         # per-block delta shapes stay constant; the per-block channel handles
-        # the steady trickle
+        # the steady trickle.  Blocks without control events ship no delta
+        # arrays at all (the zero-delta fast path).
         if len(self.pending_plays) > self.k_play:
             self._apply_plays_eager()
-        Kp = self.k_play
-        take = self.pending_plays[:Kp]
-        self.pending_plays = self.pending_plays[Kp:]
-        play_idx = np.full(Kp, self.capacity, np.int32)
-        rows = [r for _, r in take]
-        # pad with a benign default row
-        if len(rows) < Kp:
-            default = {
-                "write": np.float32(0), "mask": False, "stopped": True,
-                "finished_for": np.float32(np.nan), "radius": np.float32(0.1),
-                "motion_pos": np.zeros(3, np.float32),
-                "motion_vel": np.zeros(3, np.float32),
-                "prev_position": np.zeros(3, np.float32),
-                "smdt": np.float32(0),
-                "max_delay": np.float32(0),
-                "inner": jax.tree.map(
-                    lambda a: np.asarray(a[0]), self.proto.dr_state_init(1)
-                ),
-            }
-            rows = rows + [default] * (Kp - len(rows))
-        for j, (i, _) in enumerate(take):
-            play_idx[j] = i
-        play_rows = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+        self._has_play = bool(self.pending_plays) or self.force_deltas
+        if self._has_play:
+            Kp = self.k_play
+            take = self.pending_plays[:Kp]
+            self.pending_plays = self.pending_plays[Kp:]
+            play_idx = np.full(Kp, self.capacity, np.int32)
+            rows = [r for _, r in take]
+            if len(rows) < Kp:
+                default = {
+                    "write": np.float32(0), "mask": False, "stopped": True,
+                    "finished_for": np.float32(np.nan), "radius": np.float32(0.1),
+                    "motion_pos": np.zeros(3, np.float32),
+                    "motion_vel": np.zeros(3, np.float32),
+                    "prev_position": np.zeros(3, np.float32),
+                    "smdt": np.float32(0),
+                    "max_delay": np.float32(0),
+                    "inner": jax.tree.map(
+                        lambda a: np.asarray(a[0]), self.proto.dr_state_init(1)
+                    ),
+                }
+                rows = rows + [default] * (Kp - len(rows))
+            for j, (i, _) in enumerate(take):
+                play_idx[j] = i
+            params["play_idx"] = play_idx
+            params["play"] = jax.tree.map(lambda *xs: np.stack(xs), *rows)
 
         # motion deltas (last-wins per slot; overflow carries to the next
         # block — bounded-channel semantics like a full swap/spsc pair)
-        Km = self.k_motion
-        items = list(self.pending_motion.items())[:Km]
-        for k, _ in items:
-            del self.pending_motion[k]
-        mot_idx = np.full(Km, self.capacity, np.int32)
-        mot_pos = np.zeros((Km, 3), np.float32)
-        mot_vel = np.zeros((Km, 3), np.float32)
-        mot_disc = np.zeros(Km, bool)
-        for j, (slot, (p, v, d)) in enumerate(items):
-            mot_idx[j] = slot
-            mot_pos[j] = p
-            mot_vel[j] = v
-            mot_disc[j] = d
-        return {
-            "play_idx": play_idx,
-            "play": play_rows,
-            "mot_idx": mot_idx,
-            "mot_pos": mot_pos,
-            "mot_vel": mot_vel,
-            "mot_disc": mot_disc,
-            "rot_prev": f32(prev_rot),
-            "rot": f32(rot),
-        }
+        self._has_mot = bool(self.pending_motion) or self.force_deltas
+        if self._has_mot:
+            Km = self.k_motion
+            items = list(self.pending_motion.items())[:Km]
+            for k, _ in items:
+                del self.pending_motion[k]
+            mot_idx = np.full(Km, self.capacity, np.int32)
+            mot_pos = np.zeros((Km, 3), np.float32)
+            mot_vel = np.zeros((Km, 3), np.float32)
+            mot_disc = np.zeros(Km, bool)
+            for j, (slot, (p, v, d)) in enumerate(items):
+                mot_idx[j] = slot
+                mot_pos[j] = p
+                mot_vel[j] = v
+                mot_disc[j] = d
+            params["mot_idx"] = mot_idx
+            params["mot_pos"] = mot_pos
+            params["mot_vel"] = mot_vel
+            params["mot_disc"] = mot_disc
+        return params
 
     def render(self, dstate, ddata, params, n):
         from .ops.geometry import ear_states, quat_rotate, smoothed_position, v3_norm as jnorm
@@ -725,36 +733,39 @@ class _BufferedPoolDR:
         n_inner = self._n_inner
 
         # 1. plays (set.rs insert semantics: applied before the walk)
-        pidx = localize_index(params["play_idx"], V)
-        rows = params["play"]
-        for k in (
-            "write", "mask", "stopped", "finished_for", "radius", "motion_pos",
-            "motion_vel", "prev_position", "smdt", "max_delay",
-        ):
-            S[k] = S[k].at[pidx].set(rows[k], mode="drop")
-        S["inner"] = jax.tree.map(
-            lambda st, rv: st.at[pidx].set(rv, mode="drop"), S["inner"], rows["inner"]
-        )
-        Pp = self.ring_len // PAGE
-        VP = S["ring"].shape[0]
-        page_idx = jnp.where(pidx < V, pidx, VP)
-        page_idx = (page_idx[:, None] * Pp + jnp.arange(Pp)).reshape(-1)
-        S["ring"] = S["ring"].at[page_idx].set(0.0, mode="drop")
+        if "play_idx" in params:
+            pidx = localize_index(params["play_idx"], V)
+            rows = params["play"]
+            for k in (
+                "write", "mask", "stopped", "finished_for", "radius", "motion_pos",
+                "motion_vel", "prev_position", "smdt", "max_delay",
+            ):
+                S[k] = S[k].at[pidx].set(rows[k], mode="drop")
+            S["inner"] = jax.tree.map(
+                lambda st, rv: st.at[pidx].set(rv, mode="drop"),
+                S["inner"], rows["inner"],
+            )
+            Pp = self.ring_len // PAGE
+            VP = S["ring"].shape[0]
+            page_idx = jnp.where(pidx < V, pidx, VP)
+            page_idx = (page_idx[:, None] * Pp + jnp.arange(Pp)).reshape(-1)
+            S["ring"] = S["ring"].at[page_idx].set(0.0, mode="drop")
 
         # 2. motion refresh (swap-channel drain + smoothing, spatial.rs:216-227)
-        midx = localize_index(params["mot_idx"], V)
-        upd = jnp.zeros(V, bool).at[midx].set(True, mode="drop")
-        pend_pos = S["motion_pos"].at[midx].set(params["mot_pos"], mode="drop")
-        pend_vel = S["motion_vel"].at[midx].set(params["mot_vel"], mode="drop")
-        pend_disc = jnp.zeros(V, bool).at[midx].set(params["mot_disc"], mode="drop")
-        sm_orig = smoothed_position(
-            S["prev_position"], S["smdt"], 0.0, S["motion_pos"], S["motion_vel"]
-        )
-        new_prev = jnp.where(pend_disc[:, None], pend_pos, sm_orig)
-        S["prev_position"] = jnp.where(upd[:, None], new_prev, S["prev_position"])
-        S["smdt"] = jnp.where(upd, 0.0, S["smdt"])
-        S["motion_pos"] = jnp.where(upd[:, None], pend_pos, S["motion_pos"])
-        S["motion_vel"] = jnp.where(upd[:, None], pend_vel, S["motion_vel"])
+        if "mot_idx" in params:
+            midx = localize_index(params["mot_idx"], V)
+            upd = jnp.zeros(V, bool).at[midx].set(True, mode="drop")
+            pend_pos = S["motion_pos"].at[midx].set(params["mot_pos"], mode="drop")
+            pend_vel = S["motion_vel"].at[midx].set(params["mot_vel"], mode="drop")
+            pend_disc = jnp.zeros(V, bool).at[midx].set(params["mot_disc"], mode="drop")
+            sm_orig = smoothed_position(
+                S["prev_position"], S["smdt"], 0.0, S["motion_pos"], S["motion_vel"]
+            )
+            new_prev = jnp.where(pend_disc[:, None], pend_pos, sm_orig)
+            S["prev_position"] = jnp.where(upd[:, None], new_prev, S["prev_position"])
+            S["smdt"] = jnp.where(upd, 0.0, S["smdt"])
+            S["motion_pos"] = jnp.where(upd[:, None], pend_pos, S["motion_pos"])
+            S["motion_vel"] = jnp.where(upd[:, None], pend_vel, S["motion_vel"])
 
         # 3. geometry (spatial.rs:228-238)
         sm0 = smoothed_position(
@@ -801,15 +812,8 @@ class _BufferedPoolDR:
         S["inner"] = inner2
         interp = jax.default_backend() != "tpu"
         P = cap // PAGE
-        pages = S["ring"]
-        vbase = jnp.arange(V, dtype=jnp.int32) * P
         wpage = start_i // PAGE
         extra_w = start_i - wpage * PAGE
-        idx_w = (vbase[:, None] + jnp.mod(wpage[:, None] + jnp.arange(2), P)).reshape(-1)
-        strips = jnp.take(pages, idx_w, axis=0).reshape(V, 2 * PAGE)
-        strips = strip_place(strips, samples, extra_w, interpret=interp)
-        pages = pages.at[idx_w].set(strips.reshape(V * 2, PAGE))
-        S["ring"] = pages
 
         # 7. per-ear fractional reads with gain ramps (spatial.rs:409-431)
         K = self.K_DOPPLER
@@ -825,7 +829,7 @@ class _BufferedPoolDR:
         ds = dt_e * ratef
         ds_int, f_hi, f_lo = device_split_ds(ds)
         whole, fr = exact_positions(offset0 - obase, ds_int, f_hi, f_lo, n)
-        # window starts at obase - K (mod cap); the kernel reconstructs
+        # read window starts at obase - K (mod cap); the kernel reconstructs
         # a_j = win[j + kk_j] with kk_j = whole_j - j + K in [0, 2K]
         rstart = jnp.mod(obase.astype(jnp.int32) - K, cap)
         kk = jnp.clip(
@@ -833,14 +837,29 @@ class _BufferedPoolDR:
         )
         rpage = rstart // PAGE
         extra_r = rstart - rpage * PAGE
+        maskf = mask.astype(jnp.float32)
+        if self.use_fused_kernel:
+            # single-pass variant: write + resample with the ring streaming
+            # through VMEM exactly once (bandwidth-optimal for small rings)
+            ring2, out = ring_step(
+                S["ring"], samples, wpage, extra_w, rpage, extra_r, kk, fr,
+                p_gain, d_gain, maskf, P=P, K=K, interpret=interp,
+            )
+            S["ring"] = ring2
+            return S, out
+        pages = S["ring"]
+        vbase = jnp.arange(V, dtype=jnp.int32) * P
+        idx_w = (vbase[:, None] + jnp.mod(wpage[:, None] + jnp.arange(2), P)).reshape(-1)
+        strips = jnp.take(pages, idx_w, axis=0).reshape(V, 2 * PAGE)
+        strips = strip_place(strips, samples, extra_w, interpret=interp)
+        pages = pages.at[idx_w].set(strips.reshape(V * 2, PAGE))
+        S["ring"] = pages
         idx_r = (
-            vbase[:, None, None]
-            + jnp.mod(rpage[:, :, None] + jnp.arange(2), P)
+            vbase[:, None, None] + jnp.mod(rpage[:, :, None] + jnp.arange(2), P)
         ).reshape(-1)
         rstrips = jnp.take(pages, idx_r, axis=0).reshape(V, 2, 2 * PAGE)
         out = strip_select(
-            rstrips, kk, fr, p_gain, d_gain, mask.astype(jnp.float32), extra_r,
-            K=K, interpret=interp,
+            rstrips, kk, fr, p_gain, d_gain, maskf, extra_r, K=K, interpret=interp
         )
         return S, out
 
@@ -939,6 +958,8 @@ class SpatialScene(Signal):
                 getattr(p, "_n_inner", 0),
                 getattr(p, "is_dr", False),
                 getattr(p, "_elapsed", 0.0),
+                getattr(p, "_has_play", False),
+                getattr(p, "_has_mot", False),
             )
             for p in self._all_pools()
         )
