@@ -39,6 +39,9 @@ from .spatial import (
     SPEED_OF_SOUND,
     HEAD_RADIUS,
 )
+from .control.realtime import RealtimeDriver
+from .utils.wav import read_wav, write_wav
+from .utils.profiler import XrtMeter
 
 #: Unitless instantaneous sound wave amplitude measurement (lib.rs:85)
 Sample = float
@@ -79,5 +82,9 @@ __all__ = [
     "SpatialOptions",
     "SPEED_OF_SOUND",
     "HEAD_RADIUS",
+    "RealtimeDriver",
+    "read_wav",
+    "write_wav",
+    "XrtMeter",
     "Sample",
 ]

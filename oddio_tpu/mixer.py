@@ -166,6 +166,34 @@ class Mixer(Signal):
         return d2, out
 
 
+    # -- checkpoint/resume ----------------------------------------------------
+
+    def host_snapshot(self):
+        from .utils.checkpoint import _host_state
+
+        return {
+            p.name: {
+                "mask": p.mask.copy(),
+                "stop": p.stop.copy(),
+                "gen": p.slot_gen.copy(),
+                "free": list(p._free),
+                "sig": _host_state(p.sig),
+            }
+            for p in self._pools.values()
+        }
+
+    def host_restore(self, snap):
+        from .utils.checkpoint import _set_host_state
+
+        for p in self._pools.values():
+            st = snap[p.name]
+            p.mask = st["mask"].copy()
+            p.stop = st["stop"].copy()
+            p.slot_gen = st["gen"].copy()
+            p._free = list(st["free"])
+            _set_host_state(p.sig, st["sig"])
+
+
 class MixerControl:
     """Handle for controlling a Mixer from the game thread (mixer.rs:7-27)."""
 

@@ -939,6 +939,42 @@ class SpatialScene(Signal):
         for p in self._all_pools():
             p.sync()
 
+    # -- checkpoint/resume -----------------------------------------------------
+
+    def host_snapshot(self):
+        from .utils.checkpoint import _host_state
+
+        out = {"rot": self._rot.copy(), "rot_pending": self._rot_pending}
+        for p in self._all_pools():
+            st = {"gen": p.slot_gen.copy(), "free": list(p._free)}
+            if getattr(p, "is_dr", False):
+                st["mask_host"] = p.mask_host.copy()
+                st["stopped_host"] = p.stopped_host.copy()
+            else:
+                st["cols"] = {c: np.copy(getattr(p, c)) for c in p._COL_NAMES}
+                st["sig"] = _host_state(p.sig)
+                if isinstance(p, _BufferedPool):
+                    st["write"] = p.write.copy()
+            out[p.name] = st
+        return out
+
+    def host_restore(self, snap):
+        from .utils.checkpoint import _set_host_state
+
+        self._rot = snap["rot"].copy()
+        self._rot_pending = snap["rot_pending"]
+        for p in self._all_pools():
+            st = snap[p.name]
+            p.slot_gen = st["gen"].copy()
+            p._free = list(st["free"])
+            if getattr(p, "is_dr", False):
+                p.mask_host = st["mask_host"].copy()
+                p.stopped_host = st["stopped_host"].copy()
+            else:
+                for c, v in st["cols"].items():
+                    setattr(p, c, np.copy(v))
+                _set_host_state(p.sig, st["sig"])
+
     def _set_listener_rotation(self, rotation):
         """spatial.rs:345-349 — stores the inverse quaternion."""
         q = f32(rotation)
