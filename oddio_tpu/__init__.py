@@ -46,6 +46,20 @@ from .utils.profiler import XrtMeter
 #: Unitless instantaneous sound wave amplitude measurement (lib.rs:85)
 Sample = float
 
+
+def frame_stereo(xs):
+    """View interleaved stereo data as (n, 2) frames (lib.rs:98-104)."""
+    import numpy as _np
+
+    return _np.asarray(xs).reshape(-1, 2)
+
+
+def flatten_stereo(xs):
+    """View (n, 2) stereo frames as interleaved samples (lib.rs:103-104)."""
+    import numpy as _np
+
+    return _np.asarray(xs).reshape(-1)
+
 __all__ = [
     "Signal",
     "ControlBlock",
@@ -87,4 +101,6 @@ __all__ = [
     "write_wav",
     "XrtMeter",
     "Sample",
+    "frame_stereo",
+    "flatten_stereo",
 ]

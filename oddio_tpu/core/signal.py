@@ -171,6 +171,13 @@ class Signal:
         """Shift the playback cursor (signal.rs:48-51). Host-state mutation."""
         raise NotImplementedError(f"{type(self).__name__} is not seekable")
 
+    def seek(self, seconds):
+        """Public Seek API (signal.rs:48-58): shift the starting point of the
+        next block by ``seconds``.  Only for ``seekable`` signals."""
+        if not self.seekable:
+            raise NotImplementedError(f"{type(self).__name__} is not seekable")
+        self.host_seek(seconds)
+
     def host_is_finished(self):
         """Per-voice finished flags (signal.rs:21-27), computed from host state."""
         return np.zeros(self.batch, dtype=bool)

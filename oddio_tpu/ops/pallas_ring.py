@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 8  # preferred voices per program
 PAGE = 1024  # ring page size (samples)
+SELECT_SB = 128  # frames per banded-matmul sub-block in the read kernels
 
 
 def _tile_for(V):
@@ -125,7 +126,7 @@ def _select_kernel(strips_ref, kk_ref, fr_ref, gain_ref, mask_ref, extra_ref,
     #    gather, and the same E reused with the 1-shifted window gives the
     #    lerp partner b.
     tile2 = strips.shape[0] * 2
-    SB = 128 if n % 128 == 0 else n
+    SB = SELECT_SB if n % SELECT_SB == 0 else n
     kk = kk_ref[...]
     fr = fr_ref[...]
     b7 = extra >> 7
@@ -279,7 +280,7 @@ def _step_kernel(samples_ref, wpage_ref, extra_w_ref, rpage_ref, extra_r_ref,
     b4 = (extra_r >> 4) & 7
     b1 = extra_r & 15
     tile2 = tile * 2
-    SB = 128 if n % 128 == 0 else n
+    SB = SELECT_SB if n % SELECT_SB == 0 else n
     kk = kk_ref[...]
     fr = fr_ref[...]
     Wf = SB + 2 * K + 2
