@@ -108,27 +108,16 @@ def strip_place(strips, samples, extra, *, interpret=False):
 # --- read: realign + doppler shift-select + lerp + gains + reduce --------------
 
 
-def _select_kernel(strips_ref, kk_ref, fr_ref, gain_ref, mask_ref, extra_ref,
-                   out_ref, *, n, K, S):
-    i = pl.program_id(0)
-    strips = strips_ref[...]  # (tile, 2, S)
-    extra = extra_ref[...]  # (tile, 2, 1)
-
-    # total per-element left shift: a_j = strips[j + shift_j],
-    # shift_j = extra_row + kk_j in [0, 1023 + 2K]
-    # a_j = strips[j + extra + kk_j], decomposed per 128-frame sub-block:
-    # 1) the row-constant page offset ``extra`` realigns with broadcast-
-    #    masked static slices (3 levels: 128/16/1) — exact for row
-    #    constants;
-    # 2) the per-element doppler walk kk_j in [0, 2K] becomes a *banded
-    #    one-hot matmul* on the MXU: a = E @ w3 with E[j, m] = (m == j+kk_j)
-    #    — one vectorized compare builds E, the systolic array does the
-    #    gather, and the same E reused with the 1-shifted window gives the
-    #    lerp partner b.
-    tile2 = strips.shape[0] * 2
-    SB = SELECT_SB if n % SELECT_SB == 0 else n
-    kk = kk_ref[...]
-    fr = fr_ref[...]
+def _ear_pipeline(strips, kk, fr, extra, *, n, K, SB):
+    """2-D realign + banded-matmul resample for one ear at full sublane
+    occupancy.  a_j = strips[j + extra + kk_j]:
+    1) the row-constant page offset ``extra`` realigns with broadcast-masked
+       static slices (3 levels: 128/16/1) — exact for row constants;
+    2) the per-element doppler walk kk_j in [0, 2K] becomes a *banded one-hot
+       matmul* on the MXU: a = E @ w3 with E[j, m] = (m == j + kk_j) — one
+       vectorized compare builds E, the systolic array does the gather, and
+       the same E over the 1-shifted window gives the lerp partner b."""
+    tile = strips.shape[0]
     b7 = extra >> 7
     b4 = (extra >> 4) & 7
     b1 = extra & 15
@@ -137,34 +126,50 @@ def _select_kernel(strips_ref, kk_ref, fr_ref, gain_ref, mask_ref, extra_ref,
     for sb in range(n // SB):
         W4 = Wf + 15
         W7 = W4 + 112
-        w1 = jnp.zeros(strips.shape[:-1] + (W7,), jnp.float32)
+        w1 = jnp.zeros((tile, W7), jnp.float32)
         for h in range(1023 // 128 + 1):
             off = sb * SB + 128 * h
-            w1 = w1 + strips[:, :, off : off + W7] * (b7 == h).astype(jnp.float32)
-        w2 = jnp.zeros(strips.shape[:-1] + (W4,), jnp.float32)
+            w1 = w1 + strips[:, off : off + W7] * (b7 == h).astype(jnp.float32)
+        w2 = jnp.zeros((tile, W4), jnp.float32)
         for h in range(8):
-            w2 = w2 + w1[:, :, 16 * h : 16 * h + W4] * (b4 == h).astype(jnp.float32)
-        w3 = jnp.zeros(strips.shape[:-1] + (Wf,), jnp.float32)
+            w2 = w2 + w1[:, 16 * h : 16 * h + W4] * (b4 == h).astype(jnp.float32)
+        w3 = jnp.zeros((tile, Wf), jnp.float32)
         for h in range(16):
-            w3 = w3 + w2[:, :, h : h + Wf] * (b1 == h).astype(jnp.float32)
-        w3r = w3.reshape(tile2, Wf)
-        kk_sb = kk[:, :, sb * SB : (sb + 1) * SB].reshape(tile2, SB)
+            w3 = w3 + w2[:, h : h + Wf] * (b1 == h).astype(jnp.float32)
+        kk_sb = kk[:, sb * SB : (sb + 1) * SB]
         m_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SB, Wf), 2)
         j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SB, Wf), 1)
         E = (m_iota == j_iota + kk_sb[:, :, None]).astype(jnp.float32)
         dn = (((2,), (1,)), ((0,), (0,)))
-        a_sb = jax.lax.dot_general(E, w3r, dn, preferred_element_type=jnp.float32)
+        a_sb = jax.lax.dot_general(E, w3, dn, preferred_element_type=jnp.float32)
         w3b = jnp.concatenate(
-            [w3r[:, 1:], jnp.zeros((tile2, 1), jnp.float32)], axis=-1
+            [w3[:, 1:], jnp.zeros((tile, 1), jnp.float32)], axis=-1
         )
         b_sb = jax.lax.dot_general(E, w3b, dn, preferred_element_type=jnp.float32)
-        fr_sb = fr[:, :, sb * SB : (sb + 1) * SB].reshape(tile2, SB)
-        parts.append((a_sb + fr_sb * (b_sb - a_sb)).reshape(-1, 2, SB))
-    s = jnp.concatenate(parts, axis=-1)
-    jn = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2).astype(jnp.float32)
-    g = gain_ref[...]
-    gains = g[:, :, 0:1] + jn * g[:, :, 1:2]
-    contrib = jnp.sum(s * gains * mask_ref[...][:, :, None], axis=0)
+        fr_sb = fr[:, sb * SB : (sb + 1) * SB]
+        parts.append(a_sb + fr_sb * (b_sb - a_sb))
+    return jnp.concatenate(parts, axis=-1)  # (tile, n)
+
+
+def _select_kernel(s0_ref, s1_ref, kk0_ref, kk1_ref, fr0_ref, fr1_ref,
+                   g0_ref, g1_ref, mask_ref, e0_ref, e1_ref, out_ref,
+                   *, n, K, S):
+    i = pl.program_id(0)
+    SB = SELECT_SB if n % SELECT_SB == 0 else n
+    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    m = mask_ref[...]
+    rows = []
+    for s_ref, kk_ref, fr_ref, g_ref, e_ref in (
+        (s0_ref, kk0_ref, fr0_ref, g0_ref, e0_ref),
+        (s1_ref, kk1_ref, fr1_ref, g1_ref, e1_ref),
+    ):
+        samp = _ear_pipeline(
+            s_ref[...], kk_ref[...], fr_ref[...], e_ref[...], n=n, K=K, SB=SB
+        )
+        g = g_ref[...]
+        gains = g[:, 0:1] + jn * g[:, 1:2]
+        rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
+    contrib = jnp.concatenate(rows, axis=0)  # (2, n)
 
     @pl.when(i == 0)
     def _():
@@ -178,29 +183,45 @@ def strip_select(strips, kk, fr, gain0, d_gain, maskf, extra, *, K,
     """strips (V, 2, S) page strips starting at the page containing the read
     cursor; extra (V, 2) in-page offset of the cursor; kk (V, 2, n) doppler
     shift indices in [0, 2K]; fr fractions; gain0/d_gain (V, 2); maskf (V,).
-    Returns the mixed (2, n) block."""
+    Returns the mixed (2, n) block.  Ears are split into separate 2-D inputs
+    so every in-kernel op runs at full sublane occupancy."""
     V, _, S = strips.shape
     n = kk.shape[2]
     tile = _tile_for(V)
-    gain = jnp.stack([gain0, d_gain], axis=-1)
+    gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
+
+    def ts(*shape):
+        return pl.BlockSpec(
+            shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pl.GridSpec(
         grid=(V // tile,),
         in_specs=[
-            pl.BlockSpec((tile, 2, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ts(tile, S), ts(tile, S),
+            ts(tile, n), ts(tile, n),
+            ts(tile, n), ts(tile, n),
+            ts(tile, 2), ts(tile, 2),
+            ts(tile, 1),
+            ts(tile, 1), ts(tile, 1),
         ],
         out_specs=pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
+    e = extra.astype(jnp.int32)
     return pl.pallas_call(
         functools.partial(_select_kernel, n=n, K=K, S=S),
         out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(strips, kk, fr, gain, maskf[:, None], extra[:, :, None].astype(jnp.int32))
+    )(
+        strips[:, 0], strips[:, 1],
+        kk[:, 0], kk[:, 1],
+        fr[:, 0], fr[:, 1],
+        gain[:, 0], gain[:, 1],
+        maskf[:, None],
+        e[:, 0:1], e[:, 1:2],
+    )
 
 
 # --- fully fused ring step ----------------------------------------------------

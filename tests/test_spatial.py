@@ -186,3 +186,35 @@ def test_quat_rotate_axes():
     q = axis_angle([0.0, 0.0, 1.0], np.pi / 2)
     rp = quat_rotate(q[None], p)[0]
     assert abs(rp[0] + 1.0) < 1e-3
+
+
+def test_stream_as_buffered_spatial_source():
+    """play_buffered accepts arbitrary (non-deterministic) signals — here a
+    Stream — via the host-path pool (spatial.rs:304-340)."""
+    control, scene = ot.SpatialScene.new()
+    sc, stream = ot.Stream.new(8000, 4096)
+    h = control.play_buffered(
+        stream, ot.SpatialOptions(position=[0.0, 0.0, -2.0]),
+        max_distance=10.0, rate=8000, buffer_duration=0.1,
+    )
+    pool = list(scene._buffered_pools.values())[0]
+    assert not getattr(pool, "is_dr", False)  # stream state is host-fed
+    sc.write(np.sin(np.arange(4000) * 0.3).astype(np.float32))
+    r = ot.Renderer(scene, 8000)
+    out = np.concatenate([r.render_block(512) for _ in range(4)])
+    assert np.abs(out).max() > 0.01
+    # both ears hear the centered source roughly equally
+    rms = np.sqrt((out[1024:] ** 2).mean(axis=0))
+    assert abs(rms[0] - rms[1]) < 0.3 * rms.max()
+
+
+def test_filters_wrap_scene():
+    """Scenes compose like any Signal: SpatialScene -> Reinhard -> Tanh."""
+    control, scene = ot.SpatialScene.new()
+    control.play(ot.FixedGain(ot.Sine(0.0, 200.0), 24.0),
+                 ot.SpatialOptions(position=[0.0, 0.0, -0.05]))
+    chain = ot.Tanh(ot.Reinhard(scene))
+    r = ot.Renderer(chain, 8000)
+    out = r.render_block(512)
+    assert np.abs(out).max() <= np.tanh(1.0) + 1e-6  # limited
+    assert np.abs(out).max() > 0.4
