@@ -78,3 +78,37 @@ def test_mixer_pack():
     pack = ScenePack([build(s) for s in range(S)], 48000, mesh)
     got = np.concatenate([pack.render_block(512) for _ in range(2)], axis=1)
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_streaming_agc_scene_pack():
+    """BASELINE config 5 (scaled): scenes x stream voices with adapt AGC,
+    block-pipelined through a sharded pack."""
+    need_devices(8)
+    S, VOICES = 2, 8
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        control, mixer = ot.Mixer.new(channels=1)
+        senders = []
+        for _ in range(VOICES):
+            sc, stream = ot.Stream.new(8000, 2048)
+            control.play(
+                ot.Adapt(stream, 0.1, ot.AdaptOptions(tau=0.1, max_gain=4.0))
+            )
+            senders.append(sc)
+        return mixer, senders
+
+    scenes, senders = zip(*[build(s) for s in range(S)])
+    mesh = make_mesh(2, 4)
+    pack = ScenePack(list(scenes), 8000, mesh)
+    rng = np.random.default_rng(42)
+    outs = []
+    for _ in range(4):
+        for group in senders:
+            for sc in group:
+                sc.write(rng.standard_normal(700).astype(np.float32) * 0.2)
+        outs.append(pack.render_block(512))
+    out = np.concatenate(outs, axis=1)
+    assert out.shape == (S, 2048, 1)
+    assert np.isfinite(out).all()
+    assert np.abs(out[:, 512:]).max() > 0.05  # audio flows after ingest
