@@ -393,3 +393,202 @@ def ring_step(pages, samples, wpage, extra_w, rpage, extra_r, kk, fr, gain0,
     )(samples, wpage.astype(jnp.int32)[:, None], extra_w.astype(jnp.int32)[:, None],
       rpage.astype(jnp.int32)[:, :, None], extra_r.astype(jnp.int32)[:, :, None],
       kk, fr, gain, maskf[:, None], pages)
+
+
+# --- self-DMA ring step (experimental; ROADMAP item 1) -------------------------
+#
+# Replaces the XLA page gather/scatter entirely: the kernel DMAs each voice's
+# touched pages itself.  The ring gains one MIRROR page per voice
+# (row P := row 0) so write strips and read windows are always contiguous —
+# one 2*PAGE DMA each.  Aligned 1-D HBM slices into native 1-D VMEM scratch
+# measured ~0.12 us/DMA on the v5e.
+
+
+def _dma_kernel(wpage_ref, rpage_ref, samples_ref, extra_w_ref, kk0_ref,
+                kk1_ref, fr0_ref, fr1_ref, g0_ref, g1_ref, mask_ref, e0_ref,
+                e1_ref, ring_in, ring_out, out_ref, *scr, tile, P, n, n_inner, K):
+    S = 2 * PAGE
+    rowlen = (P + 1) * PAGE
+    sems = scr[-1]  # DMA sems (tile, 8)
+    wb = scr[:tile]                 # write strips, 1-D (S,)
+    rb0 = scr[tile : 2 * tile]      # ear-0 read strips
+    rb1 = scr[2 * tile : 3 * tile]  # ear-1 read strips
+    i = pl.program_id(0)
+
+    def wdma(r, out):
+        v = i * tile + r
+        off = pl.multiple_of(v * rowlen + wpage_ref[v] * PAGE, PAGE)
+        hbm = (ring_out if out else ring_in).at[pl.ds(off, S)]
+        sem = sems.at[r, 1 if out else 0]
+        if out:
+            return pltpu.make_async_copy(wb[r], hbm, sem)
+        return pltpu.make_async_copy(hbm, wb[r], sem)
+
+    def mirror_dma(r, kind):
+        # kind 0: wrote row 0 -> refresh mirror row P
+        # kind 1: wrote mirror row P -> refresh row 0
+        v = i * tile + r
+        base = v * rowlen
+        if kind == 0:
+            src = wb[r].at[pl.ds(0, PAGE)]
+            dst = ring_out.at[pl.ds(pl.multiple_of(base + P * PAGE, PAGE), PAGE)]
+        else:
+            src = wb[r].at[pl.ds(PAGE, PAGE)]
+            dst = ring_out.at[pl.ds(pl.multiple_of(base, PAGE), PAGE)]
+        return pltpu.make_async_copy(src, dst, sems.at[r, 2 + kind])
+
+    def rdma(r, e):
+        v = i * tile + r
+        rp = rpage_ref[v * 2 + e]
+        off = pl.multiple_of(v * rowlen + rp * PAGE, PAGE)
+        buf = (rb0 if e == 0 else rb1)[r]
+        return pltpu.make_async_copy(
+            ring_out.at[pl.ds(off, S)], buf, sems.at[r, 4 + e]
+        )
+
+    # pipeline: write-in all rows; per row place + write-out; read after the
+    # row's write-out lands (read pages can include the written ones)
+    for r in range(tile):
+        wdma(r, out=False).start()
+
+    # place all rows (vectorized at full occupancy once strips are in)
+    for r in range(tile):
+        wdma(r, out=False).wait()
+    strips = jnp.concatenate(
+        [wb[r][...].reshape(1, S) for r in range(tile)], axis=0
+    )
+    extra = extra_w_ref[...]
+    q = extra // 128
+    rem = extra - q * 128
+    a_ = rem // 16
+    b_ = rem - a_ * 16
+    src = samples_ref[...]
+    s0 = jnp.concatenate(
+        [src, jnp.zeros((tile, S - n_inner), jnp.float32)], axis=-1
+    )
+    s1 = jnp.zeros_like(s0)
+    for k in range(8):
+        s1 = s1 + _shift_right(s0, 128 * k, S) * (q == k)
+    s2 = jnp.zeros_like(s1)
+    for k in range(8):
+        s2 = s2 + _shift_right(s1, 16 * k, S) * (a_ == k)
+    s3 = jnp.zeros_like(s2)
+    for k in range(16):
+        s3 = s3 + _shift_right(s2, k, S) * (b_ == k)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, S), 1)
+    keep = (lane >= extra) & (lane < extra + n_inner)
+    placed = jnp.where(keep, s3, strips)
+
+    for r in range(tile):
+        wb[r][...] = placed[r]
+        wdma(r, out=True).start()
+    for r in range(tile):
+        v = i * tile + r
+        wdma(r, out=True).wait()
+
+        @pl.when(wpage_ref[v] == 0)
+        def _():
+            mirror_dma(r, 0).start()
+            mirror_dma(r, 0).wait()
+
+        @pl.when(wpage_ref[v] + 1 == P)
+        def _():
+            mirror_dma(r, 1).start()
+            mirror_dma(r, 1).wait()
+
+        rdma(r, 0).start()
+        rdma(r, 1).start()
+
+    for r in range(tile):
+        rdma(r, 0).wait()
+        rdma(r, 1).wait()
+    strips0 = jnp.concatenate(
+        [rb0[r][...].reshape(1, S) for r in range(tile)], axis=0
+    )
+    strips1 = jnp.concatenate(
+        [rb1[r][...].reshape(1, S) for r in range(tile)], axis=0
+    )
+
+    SB = SELECT_SB if n % SELECT_SB == 0 else n
+    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    m = mask_ref[...]
+    rows = []
+    for strips_e, kk_ref, fr_ref, g_ref, e_ref in (
+        (strips0, kk0_ref, fr0_ref, g0_ref, e0_ref),
+        (strips1, kk1_ref, fr1_ref, g1_ref, e1_ref),
+    ):
+        samp = _ear_pipeline(
+            strips_e, kk_ref[...], fr_ref[...], e_ref[...], n=n, K=K, SB=SB
+        )
+        g = g_ref[...]
+        gains = g[:, 0:1] + jn * g[:, 1:2]
+        rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
+    contrib = jnp.concatenate(rows, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def ring_step_dma(ring, samples, wpage, extra_w, rpage, extra_r, kk, fr,
+                  gain0, d_gain, maskf, *, P, K, interpret=False):
+    """Fused ring step with in-kernel page DMAs.  ``ring`` is (V, (P+1)*PAGE)
+    flat rows with the mirror invariant row[P] == row[0].
+    Returns (ring', out (2, n))."""
+    V = ring.shape[0]
+    rowlen = (P + 1) * PAGE
+    n = kk.shape[2]
+    n_inner = samples.shape[1]
+    tile = _tile_for(V)
+    gain = jnp.stack([gain0, d_gain], axis=-1)
+
+    def ts(*shape):
+        return pl.BlockSpec(
+            shape, lambda i, *_: (i,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(V // tile,),
+        in_specs=[
+            ts(tile, n_inner),
+            ts(tile, 1),
+            ts(tile, n), ts(tile, n),
+            ts(tile, n), ts(tile, n),
+            ts(tile, 2), ts(tile, 2),
+            ts(tile, 1),
+            ts(tile, 1), ts(tile, 1),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((2, n), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((2 * PAGE,), jnp.float32) for _ in range(3 * _tile_for(V))]
+        + [pltpu.SemaphoreType.DMA((_tile_for(V), 8))],
+    )
+    e = extra_r.astype(jnp.int32)
+    flat, out = pl.pallas_call(
+        functools.partial(
+            _dma_kernel, tile=tile, P=P, n=n, n_inner=n_inner, K=K
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((V * rowlen,), jnp.float32),
+            jax.ShapeDtypeStruct((2, n), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={13: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        wpage.astype(jnp.int32), rpage.astype(jnp.int32).reshape(-1),
+        samples, extra_w.astype(jnp.int32)[:, None],
+        kk[:, 0], kk[:, 1], fr[:, 0], fr[:, 1],
+        gain[:, 0], gain[:, 1], maskf[:, None],
+        e[:, 0:1], e[:, 1:2],
+        ring.reshape(-1),
+    )
+    return flat.reshape(V, rowlen), out

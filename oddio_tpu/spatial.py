@@ -48,7 +48,7 @@ from .core.hostmath import (
 )
 from .core.signal import Signal
 from .ops._dev import device_split_ds, exact_positions, split_ds
-from .ops.pallas_ring import PAGE, ring_step, strip_place, strip_select
+from .ops.pallas_ring import PAGE, ring_step, ring_step_dma, strip_place, strip_select
 
 __all__ = [
     "SpatialScene",
@@ -502,17 +502,25 @@ class _BufferedPoolDR:
         #: the default 3-op path (page gather -> place -> select) measured
         #: slightly faster at 4096 voices x 16 pages
         self.use_fused_kernel = False
+        #: experimental self-DMA kernel (ROADMAP item 1): the kernel fetches
+        #: touched pages itself; ring rows gain a mirror page.  Set before
+        #: the first render.
+        self.use_dma_kernel = False
         self.state = None
 
     # -- state ---------------------------------------------------------------
+
+    def _ring_shape(self, V):
+        P = self.ring_len // PAGE
+        if self.use_dma_kernel:
+            return (V, (P + 1) * PAGE)  # +1: mirror page (row P == row 0)
+        return (V * P, PAGE)
 
     def dr_state(self):
         if self.state is None:
             V = self.capacity
             self.state = {
-                "ring": jnp.zeros(
-                    (V * (self.ring_len // PAGE), PAGE), jnp.float32
-                ),
+                "ring": jnp.zeros(self._ring_shape(V), jnp.float32),
                 "write": jnp.zeros(V, jnp.float32),
                 "mask": jnp.zeros(V, bool),
                 "stopped": jnp.zeros(V, bool),
@@ -535,7 +543,7 @@ class _BufferedPoolDR:
         self.dr_state()
         fresh_inner = jax.tree.map(jnp.asarray, self.proto.dr_state_init(old))
         fresh = {
-            "ring": jnp.zeros((old * (self.ring_len // PAGE), PAGE), jnp.float32),
+            "ring": jnp.zeros(self._ring_shape(old), jnp.float32),
             "write": jnp.zeros(old, jnp.float32),
             "mask": jnp.zeros(old, bool),
             "stopped": jnp.zeros(old, bool),
@@ -549,10 +557,13 @@ class _BufferedPoolDR:
             "inner": fresh_inner,
         }
         P = self.ring_len // PAGE
-        old_ring = self.state["ring"].reshape(old, P, PAGE)
-        fresh_ring = fresh.pop("ring").reshape(old, P, PAGE)
+        rl = self._ring_shape(old)
+        old_ring = self.state["ring"].reshape((old, -1))
+        fresh_ring = fresh.pop("ring").reshape((old, -1))
         st = dict(self.state)
-        ring2 = jnp.concatenate([old_ring, fresh_ring]).reshape(new * P, PAGE)
+        ring2 = jnp.concatenate([old_ring, fresh_ring]).reshape(
+            self._ring_shape(new)
+        )
         st.pop("ring")
         self.state = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), st, fresh)
         self.state["ring"] = ring2
@@ -633,9 +644,12 @@ class _BufferedPoolDR:
         S["inner"] = jax.tree.map(
             lambda st, rv: st.at[idx].set(jnp.asarray(rv)), S["inner"], rows["inner"]
         )
-        P = self.ring_len // PAGE
-        pidx_pages = (idx[:, None] * P + jnp.arange(P)).reshape(-1)
-        S["ring"] = S["ring"].at[pidx_pages].set(0.0)
+        if self.use_dma_kernel:
+            S["ring"] = S["ring"].at[idx].set(0.0)
+        else:
+            P = self.ring_len // PAGE
+            pidx_pages = (idx[:, None] * P + jnp.arange(P)).reshape(-1)
+            S["ring"] = S["ring"].at[pidx_pages].set(0.0)
         self.state = S
 
     def sync(self):
@@ -745,11 +759,14 @@ class _BufferedPoolDR:
                 lambda st, rv: st.at[pidx].set(rv, mode="drop"),
                 S["inner"], rows["inner"],
             )
-            Pp = self.ring_len // PAGE
-            VP = S["ring"].shape[0]
-            page_idx = jnp.where(pidx < V, pidx, VP)
-            page_idx = (page_idx[:, None] * Pp + jnp.arange(Pp)).reshape(-1)
-            S["ring"] = S["ring"].at[page_idx].set(0.0, mode="drop")
+            if self.use_dma_kernel:
+                S["ring"] = S["ring"].at[pidx].set(0.0, mode="drop")
+            else:
+                Pp = self.ring_len // PAGE
+                VP = S["ring"].shape[0]
+                page_idx = jnp.where(pidx < V, pidx, VP)
+                page_idx = (page_idx[:, None] * Pp + jnp.arange(Pp)).reshape(-1)
+                S["ring"] = S["ring"].at[page_idx].set(0.0, mode="drop")
 
         # 2. motion refresh (swap-channel drain + smoothing, spatial.rs:216-227)
         if "mot_idx" in params:
@@ -838,6 +855,13 @@ class _BufferedPoolDR:
         rpage = rstart // PAGE
         extra_r = rstart - rpage * PAGE
         maskf = mask.astype(jnp.float32)
+        if self.use_dma_kernel:
+            ring2, out = ring_step_dma(
+                S["ring"], samples, wpage, extra_w, rpage, extra_r, kk, fr,
+                p_gain, d_gain, maskf, P=P, K=K, interpret=interp,
+            )
+            S["ring"] = ring2
+            return S, out
         if self.use_fused_kernel:
             # single-pass variant: write + resample with the ring streaming
             # through VMEM exactly once (bandwidth-optimal for small rings)

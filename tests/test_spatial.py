@@ -218,3 +218,25 @@ def test_filters_wrap_scene():
     out = r.render_block(512)
     assert np.abs(out).max() <= np.tanh(1.0) + 1e-6  # limited
     assert np.abs(out).max() > 0.4
+
+
+def test_dma_kernel_matches_default():
+    """The experimental self-DMA ring kernel is bit-identical to the page
+    gather path (both run in interpret mode on CPU)."""
+    def build(dma):
+        rng = np.random.default_rng(5)
+        control, scene = ot.SpatialScene.new()
+        for _ in range(12):
+            control.play_buffered(
+                ot.Sine(rng.uniform(0, 6), rng.uniform(100, 2000)),
+                ot.SpatialOptions(position=rng.uniform(-20, 20, 3),
+                                  velocity=rng.uniform(-3, 3, 3)),
+                max_distance=40.0, rate=8000, buffer_duration=0.1,
+            )
+        for p in scene._buffered_pools.values():
+            p.use_dma_kernel = dma
+        return scene
+
+    a = ot.Renderer(build(False), 8000).render_frames(512 * 5)
+    b = ot.Renderer(build(True), 8000).render_frames(512 * 5)
+    np.testing.assert_array_equal(a, b)
