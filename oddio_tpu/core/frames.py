@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .hostmath import EPS32, f32, f64, full
 from .signal import ControlBlock, Signal
-from ..ops._dev import exact_positions, iota_f32, lerp, split_ds
+from ..ops._dev import exact_positions, lerp, split_ds
 
 __all__ = ["Frames", "FramesSignal", "FramesSignalControl"]
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core.frames import _arena
 from ..core.hostmath import f32, f64, full, rem_euclid
 from ..core.signal import Signal
-from ._dev import exact_positions, iota_f32, lerp, split_ds
+from ._dev import exact_positions, lerp, split_ds
 
 __all__ = ["Cycle"]
 

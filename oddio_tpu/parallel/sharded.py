@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..core.hostmath import f32
 from .mesh import SCENE_AXIS, VOICE_AXIS
 
 __all__ = ["ScenePack"]

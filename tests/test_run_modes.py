@@ -1,0 +1,57 @@
+"""Renderer mode equivalence: single blocks, scans, and mixed/remainder
+paths must produce identical audio streams."""
+
+import numpy as np
+
+import oddio_tpu as ot
+
+
+def build():
+    control, mixer = ot.Mixer.new(channels=2)
+    control.play(ot.MonoToStereo(ot.Sine(0.2, 313.0)))
+    g, gain = ot.Gain.new(ot.MonoToStereo(ot.Sine(1.2, 551.0)))
+    control.play(gain)
+    return control, g, mixer
+
+
+def test_block_vs_scan_vs_remainder():
+    _, _, m1 = build()
+    r1 = ot.Renderer(m1, 8000)
+    a = np.concatenate([r1.render_block(512) for _ in range(5)])
+
+    _, _, m2 = build()
+    r2 = ot.Renderer(m2, 8000)
+    b = r2.render_frames(512 * 5)
+
+    _, _, m3 = build()
+    r3 = ot.Renderer(m3, 8000)
+    c = np.concatenate([r3.render_frames(512 * 2), r3.render_frames(512 * 3)])
+
+    _, _, m4 = build()
+    r4 = ot.Renderer(m4, 8000)
+    d = r4.render_frames(2560 - 512 + 200 + 312)  # scan + remainder block
+
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(a, d)
+
+
+def test_run_convenience():
+    _, _, m = build()
+    out1 = ot.run(m, 8000, 256)
+    out2 = ot.run(m, 8000, 256)  # streams on, state persists
+    assert out1.shape == (256, 2)
+    assert not np.array_equal(out1, out2)
+
+
+def test_control_mid_scan_boundary():
+    """Controls set between render_frames calls land exactly on the chunk
+    boundary (block-granular semantics)."""
+    control, g, m = build()
+    r = ot.Renderer(m, 8000)
+    r.render_frames(1024)
+    g.set_amplitude_ratio(0.0)  # hard-reset ramp: silence the second voice
+    out = r.render_frames(1024)
+    # only the 313 Hz voice remains
+    spec = np.abs(np.fft.rfft(out[:, 0] * np.hanning(len(out))))
+    assert np.argmax(spec) * 8000 / len(out) < 400
