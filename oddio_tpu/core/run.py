@@ -28,7 +28,7 @@ def _stack_params(params_list):
 
 
 class Renderer:
-    def __init__(self, signal, rate):
+    def __init__(self, signal, rate, sync_every=16):
         if signal._moved:
             raise RuntimeError("signal was moved into an engine; render the engine")
         self.signal = signal
@@ -39,6 +39,13 @@ class Renderer:
         # trace-relevant statics updated by host_prepare (e.g. ring write
         # bounds), so steps are resolved AFTER preparing the block.
         self._steps = {}
+        #: device-resident engines sync handle-visible state (is_finished,
+        #: slot reclamation) every `sync_every` render_block calls — the
+        #: block-streaming analogue of the reference's per-sample stop-flag
+        #: visibility (mixer.rs:102-105, spatial.rs:241-261).  The copy is
+        #: prefetched one block early so the readback overlaps rendering.
+        self.sync_every = int(sync_every)
+        self._since_sync = 0
 
     def _get_step(self, kind, arch=None):
         key = (arch if arch is not None else self.signal.archetype(), kind)
@@ -69,6 +76,16 @@ class Renderer:
         step = self._get_step("single")
         d2, block = step(sig.device_collect(), sig.device_data(), params, n)
         sig.device_store(d2)
+        sync = getattr(sig, "sync", None)
+        if sync is not None and self.sync_every > 0:
+            self._since_sync += 1
+            if self._since_sync == self.sync_every - 1:
+                prefetch = getattr(sig, "sync_prefetch", None)
+                if prefetch is not None:
+                    prefetch()
+            elif self._since_sync >= self.sync_every:
+                sync()
+                self._since_sync = 0
         return np.asarray(block).T
 
     def render_frames(self, total, block_size=512):
@@ -116,6 +133,7 @@ class Renderer:
         sync = getattr(self.signal, "sync", None)
         if sync is not None:
             sync()
+            self._since_sync = 0
         return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
 
 

@@ -108,26 +108,45 @@ def strip_place(strips, samples, extra, *, interpret=False):
 # --- read: realign + doppler shift-select + lerp + gains + reduce --------------
 
 
-def _ear_pipeline(strips, kk, fr, extra, *, n, K, SB):
-    """2-D realign + banded-matmul resample for one ear at full sublane
+#: residual doppler-walk bound per SELECT_SB sub-block (see _ear_pipeline):
+#: |ds-1|*(SB-1)+1 <= R-1 covers radial velocities to ~40 m/s at SB=128 —
+#: the same clamp regime as K=64 over full blocks (beyond it the reference
+#: itself pops).
+SELECT_R = 16
+
+
+def _ear_pipeline(strips, kk, fr, extra, *, n, K, SB, R=SELECT_R):
+    """2-D realign + bounded-residual select for one ear at full sublane
     occupancy.  a_j = strips[j + extra + kk_j]:
-    1) the row-constant page offset ``extra`` realigns with broadcast-masked
-       static slices (3 levels: 128/16/1) — exact for row constants;
-    2) the per-element doppler walk kk_j in [0, 2K] becomes a *banded one-hot
-       matmul* on the MXU: a = E @ w3 with E[j, m] = (m == j + kk_j) — one
-       vectorized compare builds E, the systolic array does the gather, and
-       the same E over the 1-shifted window gives the lerp partner b."""
+    1) the read positions are near-linear (kk_j ≈ j*(ds-1) + K with ds =
+       1 ± v/c), so over one SB-frame sub-block kk spans at most
+       ~|ds-1|*SB + 1 distinct values.  The row-constant sub-block minimum
+       ``kmin`` is absorbed into the page-offset realign: the 3-level
+       broadcast-masked static-slice shifter (128/16/1 — exact for row
+       constants) realigns by ``extra + kmin`` per sub-block;
+    2) the per-element residual r_j = kk_j - kmin in [0, R) becomes an R-term
+       masked sum of statically shifted windows — pure VPU work, ~R*SB ops
+       per row instead of the (SB, SB+2K+2) one-hot band matrix this
+       replaces (measured VPU-bound on E-construction, ROADMAP item 4)."""
     tile = strips.shape[0]
-    b7 = extra >> 7
-    b4 = (extra >> 4) & 7
-    b1 = extra & 15
-    Wf = SB + 2 * K + 2
+    S = strips.shape[-1]
+    Wf = SB + R + 1
+    W4 = Wf + 15
+    W7 = W4 + 112
+    H7 = (1023 + 2 * K) // 128 + 1  # realign shift range is extra + kmin
+    assert (n - SB) + 128 * (H7 - 1) + W7 <= S, "block too large for strips"
     parts = []
     for sb in range(n // SB):
-        W4 = Wf + 15
-        W7 = W4 + 112
+        kk_sb = kk[:, sb * SB : (sb + 1) * SB]
+        # kk is monotone in j (linear read positions), so the row min is at
+        # an end; jnp.min keeps this robust to clipping either way.
+        kmin = jnp.min(kk_sb, axis=-1, keepdims=True)
+        shift = extra + kmin  # (tile, 1) in [0, 1023 + 2K]
+        b7 = shift >> 7
+        b4 = (shift >> 4) & 7
+        b1 = shift & 15
         w1 = jnp.zeros((tile, W7), jnp.float32)
-        for h in range(1023 // 128 + 1):
+        for h in range(H7):
             off = sb * SB + 128 * h
             w1 = w1 + strips[:, off : off + W7] * (b7 == h).astype(jnp.float32)
         w2 = jnp.zeros((tile, W4), jnp.float32)
@@ -136,16 +155,13 @@ def _ear_pipeline(strips, kk, fr, extra, *, n, K, SB):
         w3 = jnp.zeros((tile, Wf), jnp.float32)
         for h in range(16):
             w3 = w3 + w2[:, h : h + Wf] * (b1 == h).astype(jnp.float32)
-        kk_sb = kk[:, sb * SB : (sb + 1) * SB]
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SB, Wf), 2)
-        j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SB, Wf), 1)
-        E = (m_iota == j_iota + kk_sb[:, :, None]).astype(jnp.float32)
-        dn = (((2,), (1,)), ((0,), (0,)))
-        a_sb = jax.lax.dot_general(E, w3, dn, preferred_element_type=jnp.float32)
-        w3b = jnp.concatenate(
-            [w3[:, 1:], jnp.zeros((tile, 1), jnp.float32)], axis=-1
-        )
-        b_sb = jax.lax.dot_general(E, w3b, dn, preferred_element_type=jnp.float32)
+        r = jnp.clip(kk_sb - kmin, 0, R - 1)  # (tile, SB)
+        a_sb = jnp.zeros((tile, SB), jnp.float32)
+        b_sb = jnp.zeros((tile, SB), jnp.float32)
+        for k in range(R):
+            mk = (r == k).astype(jnp.float32)
+            a_sb = a_sb + w3[:, k : k + SB] * mk
+            b_sb = b_sb + w3[:, k + 1 : k + 1 + SB] * mk
         fr_sb = fr[:, sb * SB : (sb + 1) * SB]
         parts.append(a_sb + fr_sb * (b_sb - a_sb))
     return jnp.concatenate(parts, axis=-1)  # (tile, n)
@@ -179,7 +195,7 @@ def _select_kernel(s0_ref, s1_ref, kk0_ref, kk1_ref, fr0_ref, fr1_ref,
 
 
 def strip_select(strips, kk, fr, gain0, d_gain, maskf, extra, *, K,
-                 interpret=False):
+                 interpret=False, tile=None):
     """strips (V, 2, S) page strips starting at the page containing the read
     cursor; extra (V, 2) in-page offset of the cursor; kk (V, 2, n) doppler
     shift indices in [0, 2K]; fr fractions; gain0/d_gain (V, 2); maskf (V,).
@@ -187,7 +203,8 @@ def strip_select(strips, kk, fr, gain0, d_gain, maskf, extra, *, K,
     so every in-kernel op runs at full sublane occupancy."""
     V, _, S = strips.shape
     n = kk.shape[2]
-    tile = _tile_for(V)
+    if tile is None:
+        tile = _tile_for(V)
     gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
 
     def ts(*shape):

@@ -6,13 +6,17 @@ buffered samples, zero-pads on underrun (stream.rs:37-61), releases consumed
 samples back to the sender (stream.rs:63-69), and finishes once the sender is
 dropped and the buffer drained (stream.rs:88-91).
 
+Like the reference's ``Stream<T>`` (stream.rs:6), streams are frame-generic:
+``channels=C`` buffers (frame, C) data and renders a (C, n) block.
+
 TPU redesign: the spsc ring becomes a device-resident ring tensor per stream
-voice.  The control half appends samples into a host-side pending list; each
+voice.  The control half appends frames into a host-side pending list; each
 block the pending chunk ships to the device and is scattered into the ring
 (the host→device copy *is* the producer side of the channel), while the host
 mirrors the ring's (start, len, t) bookkeeping with the reference's exact f32
 arithmetic.  Consumption ("release") is pure cursor math — the ring is simply
-overwritten later.
+overwritten later.  Ingest bookkeeping is O(active writers), not O(voices):
+a dirty-set tracks which voices have pending frames.
 """
 
 from __future__ import annotations
@@ -30,24 +34,27 @@ __all__ = ["Stream", "StreamControl"]
 class Stream(Signal):
     _host_fields = ("rate", "t", "buflen", "closed", "stopping", "start")
 
-    def __init__(self, rate, size, max_write_per_block=None):
+    def __init__(self, rate, size, max_write_per_block=None, channels=1):
         """``rate``: stream sample rate; ``size``: max buffered frames
-        (stream.rs:17-34).  ``max_write_per_block`` caps how many new samples
-        ship to the device per block (defaults to ``size``, which is fully
-        faithful; smaller values bound per-block transfer for huge pools)."""
+        (stream.rs:17-34); ``channels``: frame width (Stream<T>, stream.rs:6).
+        ``max_write_per_block`` caps how many new frames ship to the device
+        per block (defaults to ``size``, which is fully faithful; smaller
+        values bound per-block transfer for huge pools)."""
         super().__init__()
         self.size = int(size)
         self.max_write = int(max_write_per_block or size)
+        self.channels = int(channels)
         self._alloc_host(())
         self.rate[()] = np.float64(rate)
         self._cb = ControlBlock(self)
-        # host-side producer queue (list of np chunks); aliases the slot queue
+        # host-side producer queue (list of np (k, C) chunks); aliases the
+        # slot queue once played into a pool
         self._cb.pending = self._pending.flat[0]
         self.control = StreamControl(self._cb)
 
     @classmethod
-    def new(cls, rate, size):
-        sig = cls(rate, size)
+    def new(cls, rate, size, channels=1):
+        sig = cls(rate, size, channels=channels)
         return sig.control, sig
 
     def _alloc_host(self, batch):
@@ -61,18 +68,36 @@ class Stream(Signal):
         self._pending = np.empty(batch if batch else (1,), dtype=object)
         for i in range(self._pending.size):
             self._pending.flat[i] = []
+        # voices with queued frames — ingest cost is O(|dirty|) per block
+        self._dirty = set()
 
     def _copy_static_from(self, other):
         self.size = other.size
         self.max_write = other.max_write
+        self.channels = other.channels
+
+    def grow_batched(self, new_V):
+        # the per-slot producer queues are an object array, not a numpy
+        # host field — extend them alongside the columns
+        old = self._pending
+        super().grow_batched(new_V)
+        pend = np.empty((new_V,), dtype=object)
+        pend[: len(old)] = old
+        for i in range(len(old), new_V):
+            pend[i] = []
+        self._pending = pend
 
     def _arch_extra(self):
-        return (self.size, self.max_write)
+        return (self.size, self.max_write, self.channels)
 
     def write_slot(self, i, spec, pool, gen):
         super().write_slot(i, spec, pool, gen)
         self._pending[i] = spec._cb.pending
         spec._cb.pending = self._pending[i]
+        if self._pending[i]:
+            self._dirty.add(int(i))
+        else:
+            self._dirty.discard(int(i))
 
     # control-side helpers (called through the ControlBlock)
     def _free_space(self, idx):
@@ -84,20 +109,27 @@ class Stream(Signal):
             return self._pending.flat[0]
         return self._pending[idx]
 
+    def _mark_dirty(self, idx):
+        self._dirty.add(0 if self.batch == () else int(idx))
+
     def _own_device_init(self):
-        return {"ring": jnp.zeros(self.batch + (self.size,), jnp.float32)}
+        return {
+            "ring": jnp.zeros(self.batch + (self.channels, self.size), jnp.float32)
+        }
 
     def _own_slot_init(self, i):
-        return {"ring": np.zeros(self.size, np.float32)}
+        return {"ring": np.zeros((self.channels, self.size), np.float32)}
 
     def host_prepare(self, interval, n, count=None):
         interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
-        # drain producer queues into a fixed-size chunk (Receiver::update)
+        # drain producer queues into a fixed-size chunk (Receiver::update);
+        # only voices in the dirty set are visited
         V = self.batch[0] if self.batch else 1
-        chunk = np.zeros((V, self.max_write), np.float32)
+        C = self.channels
+        chunk = np.zeros((V, C, self.max_write), np.float32)
         counts = np.zeros(V, np.int32)
         lens = np.atleast_1d(self.buflen).copy()
-        for v in range(V):
+        for v in sorted(self._dirty):
             q = self._pending.flat[v]
             room = self.max_write
             got = []
@@ -112,9 +144,10 @@ class Stream(Signal):
                     q[0] = c[room:]
                     room = 0
             if got:
-                flat = np.concatenate(got).astype(np.float32)
-                chunk[v, : len(flat)] = flat
+                flat = np.concatenate(got).astype(np.float32)  # (k, C)
+                chunk[v, :, : len(flat)] = flat.T
                 counts[v] = len(flat)
+        self._dirty = {v for v in self._dirty if self._pending.flat[v]}
         write_pos = (np.atleast_1d(self.start) + lens) % np.int32(self.size)
         new_len = lens + counts
         self.stopping = self.stopping | self.closed  # stream.rs:76-78
@@ -125,7 +158,7 @@ class Stream(Signal):
             "ds": ds,
             "len": new_len.reshape(self.batch).astype(np.int32),
             "start": self.start.copy(),
-            "chunk": chunk.reshape(self.batch + (self.max_write,)),
+            "chunk": chunk.reshape(self.batch + (C, self.max_write)),
             "wcount": counts.reshape(self.batch),
             "wpos": write_pos.reshape(self.batch),
         }
@@ -147,13 +180,13 @@ class Stream(Signal):
         return self.stopping & (self.t == self.buflen.astype(np.float32))
 
     def render(self, dstate, ddata, params, n):
-        ring = dstate["ring"]  # (size,) unbatched
+        ring = dstate["ring"]  # (C, size) unbatched (vmapped in pools)
         size = self.size
         # producer: scatter the newly shipped chunk (Receiver::update)
         j = jnp.arange(self.max_write)
         idx = jnp.mod(params["wpos"] + j, size)
         idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
-        ring = ring.at[idx].set(params["chunk"], mode="drop")
+        ring = ring.at[:, idx].set(params["chunk"], mode="drop")
         # consumer: lerp read with zero padding (stream.rs:37-61)
         s = params["t"] + params["ds"] * iota_f32(n)
         x0 = jnp.trunc(s).astype(jnp.int32)
@@ -161,12 +194,12 @@ class Stream(Signal):
         def get(k):
             valid = (k >= 0) & (k < params["len"])
             kk = jnp.mod(params["start"] + jnp.clip(k, 0, size - 1), size)
-            return jnp.where(valid, ring[kk], 0.0)
+            return jnp.where(valid[None, :], ring[:, kk], 0.0)
 
         a = get(x0)
         b = get(x0 + 1)
-        out = lerp(a, b, s - jnp.trunc(s))
-        return {"ring": ring}, out[None, :]
+        out = lerp(a, b, (s - jnp.trunc(s))[None, :])
+        return {"ring": ring}, out
 
 
 class StreamControl:
@@ -176,20 +209,30 @@ class StreamControl:
         self._cb = cb
 
     def free(self):
-        """Lower bound on samples the next write will consume (stream.rs:99-101)."""
+        """Lower bound on frames the next write will consume (stream.rs:99-101)."""
         if not self._cb.live():
             return 0
         return self._cb.sig._free_space(self._cb.idx)
 
     def write(self, samples):
-        """Add samples; returns the number consumed (stream.rs:103-110)."""
+        """Add frames; returns the number consumed (stream.rs:103-110).
+        Accepts (k,) mono or (k, C) frame arrays."""
         if not self._cb.live():
             return 0
+        sig = self._cb.sig
         samples = f32(np.atleast_1d(samples))
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        if samples.shape[1] != sig.channels:
+            raise ValueError(
+                f"stream carries {sig.channels}-channel frames, "
+                f"got {samples.shape[1]}"
+            )
         take = min(len(samples), self.free())
         if take:
-            q = self._cb.sig._cb_pending(self._cb.idx)
+            q = sig._cb_pending(self._cb.idx)
             q.append(np.array(samples[:take], np.float32))
+            sig._mark_dirty(self._cb.idx)
         return take
 
     def close(self):

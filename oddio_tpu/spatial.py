@@ -652,6 +652,13 @@ class _BufferedPoolDR:
             S["ring"] = S["ring"].at[pidx_pages].set(0.0)
         self.state = S
 
+    def sync_prefetch(self):
+        """Start the device->host copy of handle-visible state so a
+        following sync() doesn't stall the render pipeline."""
+        if self.state is not None:
+            self.state["mask"].copy_to_host_async()
+            self.state["stopped"].copy_to_host_async()
+
     def sync(self):
         """Pull mask/stopped back from the device; reclaim freed slots."""
         if self.state is None:
@@ -963,6 +970,12 @@ class SpatialScene(Signal):
         for p in self._all_pools():
             p.sync()
 
+    def sync_prefetch(self):
+        for p in self._all_pools():
+            pf = getattr(p, "sync_prefetch", None)
+            if pf is not None:
+                pf()
+
     # -- checkpoint/resume -----------------------------------------------------
 
     def host_snapshot(self):
@@ -974,6 +987,13 @@ class SpatialScene(Signal):
             if getattr(p, "is_dr", False):
                 st["mask_host"] = p.mask_host.copy()
                 st["stopped_host"] = p.stopped_host.copy()
+                # queued control events are part of engine state: a snapshot
+                # between play()/set_motion() and the next block must not
+                # lose them (the reference's channels hold them in memory)
+                import copy as _copy
+
+                st["pending_plays"] = _copy.deepcopy(p.pending_plays)
+                st["pending_motion"] = _copy.deepcopy(p.pending_motion)
             else:
                 st["cols"] = {c: np.copy(getattr(p, c)) for c in p._COL_NAMES}
                 st["sig"] = _host_state(p.sig)
@@ -994,6 +1014,10 @@ class SpatialScene(Signal):
             if getattr(p, "is_dr", False):
                 p.mask_host = st["mask_host"].copy()
                 p.stopped_host = st["stopped_host"].copy()
+                import copy as _copy
+
+                p.pending_plays = _copy.deepcopy(st.get("pending_plays", []))
+                p.pending_motion = _copy.deepcopy(st.get("pending_motion", {}))
             else:
                 for c, v in st["cols"].items():
                     setattr(p, c, np.copy(v))

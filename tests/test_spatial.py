@@ -48,6 +48,29 @@ def test_signal_finished_lingers_for_propagation():
     assert handle.is_finished()
 
 
+def test_render_block_auto_sync():
+    """Handle state syncs periodically in render_block-only streaming
+    (mixer.rs:102-105 visibility in the DR pool): is_finished() flips and
+    the slot is reclaimed without ever calling render_frames/sync()."""
+    control, scene = ot.SpatialScene.new()
+    frames = ot.Frames.from_slice(8000, np.ones(100, np.float32))
+    h = control.play_buffered(
+        ot.FramesSignal(frames, 0.0),
+        ot.SpatialOptions(position=[1.0, 0.0, 0.0]),
+        max_distance=10.0,
+        rate=8000,
+        buffer_duration=0.05,
+    )
+    pool = list(scene._buffered_pools.values())[0]
+    assert pool.is_dr
+    r = ot.Renderer(scene, 8000, sync_every=4)
+    for _ in range(40):  # 100 frames of source + linger + sync cadence
+        r.render_block(256)
+    assert h.is_finished()
+    assert pool.mask_host.sum() == 0
+    assert len(pool._free) == pool.capacity
+
+
 def render_position(position, seek=True, frames_hz=200.0, rate=8000, blocks=8):
     """Render a sine at a fixed position; returns (nblocks*512, 2)."""
     control, scene = ot.SpatialScene.new()

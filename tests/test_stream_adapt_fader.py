@@ -67,6 +67,45 @@ def test_stream_in_mixer_pool():
     np.testing.assert_array_equal(out, [3.0, 3.0, 1.0, 0.0])
 
 
+def test_stream_stereo():
+    """Stream<T> is frame-generic (stream.rs:6): stereo frames round-trip."""
+    control, s = ot.Stream.new(1, 8, channels=2)
+    frames = np.array([[1.0, -1.0], [2.0, -2.0], [3.0, -3.0]], np.float32)
+    assert control.write(frames) == 3
+    out = sample(s, 1.0, 4)
+    np.testing.assert_array_equal(
+        out, [[1.0, -1.0], [2.0, -2.0], [3.0, -3.0], [0.0, 0.0]]
+    )
+
+
+def test_stream_stereo_channel_mismatch():
+    control, s = ot.Stream.new(1, 8, channels=2)
+    with pytest.raises(ValueError):
+        control.write(np.zeros((4, 3), np.float32))
+
+
+def test_stream_many_voices_ingest():
+    """512 streams in one mixer: ingest is O(active writers); sustained
+    block-by-block writes keep every stream fed (VERDICT weak #5)."""
+    control, mixer = ot.Mixer.new(channels=1)
+    controls = []
+    for i in range(512):
+        sc, s = ot.Stream.new(1, 64)
+        control.play(s)
+        controls.append(sc)
+    # only 8 streams actively written; their sum should appear exactly
+    r = ot.Renderer(mixer, 1)
+    for blk in range(4):
+        for i in range(8):
+            wrote = controls[i].write(np.full(16, float(i + 1), np.float32))
+            assert wrote == 16
+        out = r.render_block(16, interval=np.float32(1.0))
+        np.testing.assert_array_equal(out[:, 0], np.full(16, 36.0))
+    # idle-writer bookkeeping: the dirty set is empty between blocks
+    pool_sig = next(iter(mixer._pools.values())).sig
+    assert pool_sig._dirty == set()
+
+
 # --- Adapt (adapt.rs:96-147) -----------------------------------------------------
 
 
