@@ -13,12 +13,17 @@ but handles *row-granular* gather/scatter on (N, 1024) page arrays natively
 * **reads** (ring.rs:51-79, spatial.rs:409-431): XLA gathers two pages per
   (voice, ear); the ``strip_select`` kernel realigns and resamples.
 
-Per-voice *dynamic* lane offsets inside the kernels are decomposed into
-static shift levels (128/16/1): each level is a small loop of statically
-sliced VMEM windows multiplied by a selection mask — pure VPU work, no
-gathers, no per-row DMA.  The final 1-lane level fuses with the doppler
-shift-select: read positions are near-linear (``pos_j ≈ const + j*ds``,
-``ds = 1 ± v/c``), so ``a_j = win[j + k_j]`` with ``k_j`` bounded by 2K.
+Per-voice offsets inside the read kernels split into (a) a row-constant
+128-granule shift, realigned by a small loop of statically sliced VMEM
+windows multiplied by a selection mask (exact for row constants), and (b)
+everything finer — the low offset bits plus the per-element doppler walk —
+which rides Mosaic's per-element 128-lane dynamic gather (jnp.take_along_axis
+inside the kernel; see _gather3).  Read positions are reconstructed in-kernel
+from 4 scalars/(voice, ear) with the exact split-ds math (ops/_dev.py), so
+nothing per-frame streams from HBM.  Positions are near-linear
+(``pos_j ≈ const + j*ds``, ``ds = 1 ± v/c``), ``a_j = win[j + k_j]`` with
+``k_j`` bounded by 2K.  The write kernel still uses the masked static-shift
+levels (its insert offset is row-constant).
 
 ``K`` bounds the per-block doppler walk (|ds-1|*n <= 2K); K=64 at 512-frame
 blocks covers radial velocities beyond ±40 m/s (clamped above — where the
@@ -114,74 +119,106 @@ def strip_place(strips, samples, extra, *, interpret=False):
 #: itself pops).
 SELECT_R = 16
 
+#: realign window width: 3 x 128-lane gather tables (one vreg each; 272
+#: needed lanes pad to 384 anyway, so the headroom is free)
+SELECT_W = 384
 
-def _ear_pipeline(strips, kk, fr, extra, *, n, K, SB, R=SELECT_R):
-    """2-D realign + bounded-residual select for one ear at full sublane
-    occupancy.  a_j = strips[j + extra + kk_j]:
-    1) the read positions are near-linear (kk_j ≈ j*(ds-1) + K with ds =
-       1 ± v/c), so over one SB-frame sub-block kk spans at most
-       ~|ds-1|*SB + 1 distinct values.  The row-constant sub-block minimum
-       ``kmin`` is absorbed into the page-offset realign: the 3-level
-       broadcast-masked static-slice shifter (128/16/1 — exact for row
-       constants) realigns by ``extra + kmin`` per sub-block;
-    2) the per-element residual r_j = kk_j - kmin in [0, R) becomes an R-term
-       masked sum of statically shifted windows — pure VPU work, ~R*SB ops
-       per row instead of the (SB, SB+2K+2) one-hot band matrix this
-       replaces (measured VPU-bound on E-construction, ROADMAP item 4)."""
+
+def _positions_sb(scal, j0, SB, K):
+    """Exact in-kernel cursor positions for one SB-frame sub-block starting
+    at frame ``j0``.  ``scal`` is (tile, 4) f32 rows [offset0-frac, f_hi,
+    f_lo, ds_int] from the split-ds decomposition (ops/_dev.py:22-67); the
+    arithmetic below is term-for-term identical to ``exact_positions``, so
+    device cursor positions match the XLA path bit-for-bit.
+
+    Returns (kk, fr): kk = clip(whole - j + K, 0, 2K) in [0, 2K], fr in
+    [0, 1)."""
+    tile = scal.shape[0]
+    o0 = scal[:, 0:1]
+    f_hi = scal[:, 1:2]
+    f_lo = scal[:, 2:3]
+    ds_int = scal[:, 3:4].astype(jnp.int32)
+    t_i = jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1) + j0
+    t_f = t_i.astype(jnp.float32)
+    H = t_f * f_hi  # exact f32 product for t < 4096 (12-bit f_hi)
+    Hint = H.astype(jnp.int32)
+    u = (H - Hint.astype(jnp.float32)) + (o0 + t_f * f_lo)
+    fl_u = jnp.floor(u)
+    fr = u - fl_u
+    whole = t_i * ds_int + Hint + fl_u.astype(jnp.int32)
+    kk = jnp.clip(whole - t_i + K, 0, 2 * K)
+    return kk, fr
+
+
+def _gather3(w1, m):
+    """Per-element lookup a[j] = w1[m_j] for m in [0, SELECT_W) via three
+    128-lane dynamic gathers + selects (Mosaic's dynamic_gather handles a
+    full cross-lane per-element gather but only within one 128-lane vreg)."""
+    g0 = jnp.take_along_axis(w1[:, 0:128], jnp.clip(m, 0, 127), axis=-1)
+    g1 = jnp.take_along_axis(w1[:, 128:256], jnp.clip(m - 128, 0, 127), axis=-1)
+    g2 = jnp.take_along_axis(w1[:, 256:384], jnp.clip(m - 256, 0, 127), axis=-1)
+    return jnp.where(m < 128, g0, jnp.where(m < 256, g1, g2))
+
+
+def _ear_pipeline(strips, scal, extra, *, n, K, SB=SELECT_SB):
+    """Fractional delay-line read for one ear at full sublane occupancy:
+    a_j = strips[extra + j + kk_j], lerped with fr_j (ring.rs:51-79).
+
+    Per SB-frame sub-block:
+    1) positions are computed in-kernel from 4 scalars/row (exact split-ds
+       math, see _positions_sb) — nothing per-frame is streamed from HBM;
+    2) the row-constant coarse shift (extra + kmin, 128-sample granularity)
+       realigns the strip into a SELECT_W window with broadcast-masked
+       static slices — exact for row constants;
+    3) the low 7 shift bits AND the per-element doppler walk ride a
+       per-element dynamic gather (_gather3) — one lookup per operand
+       replaces the (SB, SB+2K+2) one-hot band matmul this design evolved
+       from (VPU-bound on E-construction) and the R-term masked-shift
+       residual that followed it (VPU-bound on lane rotations)."""
     tile = strips.shape[0]
     S = strips.shape[-1]
-    Wf = SB + R + 1
-    W4 = Wf + 15
-    W7 = W4 + 112
     H7 = (1023 + 2 * K) // 128 + 1  # realign shift range is extra + kmin
-    assert (n - SB) + 128 * (H7 - 1) + W7 <= S, "block too large for strips"
+    nsb = -(-n // SB)
+    assert (nsb - 1) * SB + 128 * (H7 - 1) + SELECT_W <= S, (
+        "block too large for 2-page strips"
+    )
     parts = []
-    for sb in range(n // SB):
-        kk_sb = kk[:, sb * SB : (sb + 1) * SB]
+    for sb in range(nsb):
+        kk_sb, fr_sb = _positions_sb(scal, sb * SB, SB, K)
         # kk is monotone in j (linear read positions), so the row min is at
         # an end; jnp.min keeps this robust to clipping either way.
         kmin = jnp.min(kk_sb, axis=-1, keepdims=True)
         shift = extra + kmin  # (tile, 1) in [0, 1023 + 2K]
         b7 = shift >> 7
-        b4 = (shift >> 4) & 7
-        b1 = shift & 15
-        w1 = jnp.zeros((tile, W7), jnp.float32)
+        w1 = jnp.zeros((tile, SELECT_W), jnp.float32)
         for h in range(H7):
             off = sb * SB + 128 * h
-            w1 = w1 + strips[:, off : off + W7] * (b7 == h).astype(jnp.float32)
-        w2 = jnp.zeros((tile, W4), jnp.float32)
-        for h in range(8):
-            w2 = w2 + w1[:, 16 * h : 16 * h + W4] * (b4 == h).astype(jnp.float32)
-        w3 = jnp.zeros((tile, Wf), jnp.float32)
-        for h in range(16):
-            w3 = w3 + w2[:, h : h + Wf] * (b1 == h).astype(jnp.float32)
-        r = jnp.clip(kk_sb - kmin, 0, R - 1)  # (tile, SB)
-        a_sb = jnp.zeros((tile, SB), jnp.float32)
-        b_sb = jnp.zeros((tile, SB), jnp.float32)
-        for k in range(R):
-            mk = (r == k).astype(jnp.float32)
-            a_sb = a_sb + w3[:, k : k + SB] * mk
-            b_sb = b_sb + w3[:, k + 1 : k + 1 + SB] * mk
-        fr_sb = fr[:, sb * SB : (sb + 1) * SB]
+            w1 = w1 + strips[:, off : off + SELECT_W] * (b7 == h).astype(
+                jnp.float32
+            )
+        r = kk_sb - kmin  # [0, span]; the gather clamps the rare overflow
+        m = (shift & 127) + jax.lax.broadcasted_iota(
+            jnp.int32, (tile, SB), 1
+        ) + jnp.clip(r, 0, SELECT_R - 1)
+        a_sb = _gather3(w1, m)
+        b_sb = _gather3(w1, m + 1)
         parts.append(a_sb + fr_sb * (b_sb - a_sb))
-    return jnp.concatenate(parts, axis=-1)  # (tile, n)
+    out = jnp.concatenate(parts, axis=-1)  # (tile, nsb*SB)
+    return out[:, :n]
 
 
-def _select_kernel(s0_ref, s1_ref, kk0_ref, kk1_ref, fr0_ref, fr1_ref,
+def _select_kernel(s0_ref, s1_ref, sc0_ref, sc1_ref,
                    g0_ref, g1_ref, mask_ref, e0_ref, e1_ref, out_ref,
                    *, n, K, S):
     i = pl.program_id(0)
-    SB = SELECT_SB if n % SELECT_SB == 0 else n
     jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     m = mask_ref[...]
     rows = []
-    for s_ref, kk_ref, fr_ref, g_ref, e_ref in (
-        (s0_ref, kk0_ref, fr0_ref, g0_ref, e0_ref),
-        (s1_ref, kk1_ref, fr1_ref, g1_ref, e1_ref),
+    for s_ref, sc_ref, g_ref, e_ref in (
+        (s0_ref, sc0_ref, g0_ref, e0_ref),
+        (s1_ref, sc1_ref, g1_ref, e1_ref),
     ):
-        samp = _ear_pipeline(
-            s_ref[...], kk_ref[...], fr_ref[...], e_ref[...], n=n, K=K, SB=SB
-        )
+        samp = _ear_pipeline(s_ref[...], sc_ref[...], e_ref[...], n=n, K=K)
         g = g_ref[...]
         gains = g[:, 0:1] + jn * g[:, 1:2]
         rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
@@ -194,15 +231,24 @@ def _select_kernel(s0_ref, s1_ref, kk0_ref, kk1_ref, fr0_ref, fr1_ref,
     out_ref[...] += contrib
 
 
-def strip_select(strips, kk, fr, gain0, d_gain, maskf, extra, *, K,
+def pack_select_scalars(offset_frac, ds_int, f_hi, f_lo):
+    """Pack the per-(voice, ear) cursor scalars for strip_select: the
+    fractional start offset and the split-ds step decomposition
+    (ops/_dev.py:22-39).  ds_int rides as f32 (exact below 2^23)."""
+    return jnp.stack(
+        [offset_frac, f_hi, f_lo, ds_int.astype(jnp.float32)], axis=-1
+    )
+
+
+def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K,
                  interpret=False, tile=None):
     """strips (V, 2, S) page strips starting at the page containing the read
-    cursor; extra (V, 2) in-page offset of the cursor; kk (V, 2, n) doppler
-    shift indices in [0, 2K]; fr fractions; gain0/d_gain (V, 2); maskf (V,).
+    cursor; extra (V, 2) in-page offset of the cursor; scal (V, 2, 4) packed
+    cursor scalars (pack_select_scalars) — read positions are reconstructed
+    exactly in-kernel; gain0/d_gain (V, 2); maskf (V,).
     Returns the mixed (2, n) block.  Ears are split into separate 2-D inputs
     so every in-kernel op runs at full sublane occupancy."""
     V, _, S = strips.shape
-    n = kk.shape[2]
     if tile is None:
         tile = _tile_for(V)
     gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
@@ -217,8 +263,7 @@ def strip_select(strips, kk, fr, gain0, d_gain, maskf, extra, *, K,
         grid=(V // tile,),
         in_specs=[
             ts(tile, S), ts(tile, S),
-            ts(tile, n), ts(tile, n),
-            ts(tile, n), ts(tile, n),
+            ts(tile, 4), ts(tile, 4),
             ts(tile, 2), ts(tile, 2),
             ts(tile, 1),
             ts(tile, 1), ts(tile, 1),
@@ -233,8 +278,7 @@ def strip_select(strips, kk, fr, gain0, d_gain, maskf, extra, *, K,
         interpret=interpret,
     )(
         strips[:, 0], strips[:, 1],
-        kk[:, 0], kk[:, 1],
-        fr[:, 0], fr[:, 1],
+        scal[:, 0], scal[:, 1],
         gain[:, 0], gain[:, 1],
         maskf[:, None],
         e[:, 0:1], e[:, 1:2],
@@ -421,8 +465,8 @@ def ring_step(pages, samples, wpage, extra_w, rpage, extra_r, kk, fr, gain0,
 # measured ~0.12 us/DMA on the v5e.
 
 
-def _dma_kernel(wpage_ref, rpage_ref, samples_ref, extra_w_ref, kk0_ref,
-                kk1_ref, fr0_ref, fr1_ref, g0_ref, g1_ref, mask_ref, e0_ref,
+def _dma_kernel(wpage_ref, rpage_ref, samples_ref, extra_w_ref, sc0_ref,
+                sc1_ref, g0_ref, g1_ref, mask_ref, e0_ref,
                 e1_ref, ring_in, ring_out, out_ref, *scr, tile, P, n, n_inner, K):
     S = 2 * PAGE
     rowlen = (P + 1) * PAGE
@@ -526,17 +570,14 @@ def _dma_kernel(wpage_ref, rpage_ref, samples_ref, extra_w_ref, kk0_ref,
         [rb1[r][...].reshape(1, S) for r in range(tile)], axis=0
     )
 
-    SB = SELECT_SB if n % SELECT_SB == 0 else n
     jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     m = mask_ref[...]
     rows = []
-    for strips_e, kk_ref, fr_ref, g_ref, e_ref in (
-        (strips0, kk0_ref, fr0_ref, g0_ref, e0_ref),
-        (strips1, kk1_ref, fr1_ref, g1_ref, e1_ref),
+    for strips_e, sc_ref, g_ref, e_ref in (
+        (strips0, sc0_ref, g0_ref, e0_ref),
+        (strips1, sc1_ref, g1_ref, e1_ref),
     ):
-        samp = _ear_pipeline(
-            strips_e, kk_ref[...], fr_ref[...], e_ref[...], n=n, K=K, SB=SB
-        )
+        samp = _ear_pipeline(strips_e, sc_ref[...], e_ref[...], n=n, K=K)
         g = g_ref[...]
         gains = g[:, 0:1] + jn * g[:, 1:2]
         rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
@@ -549,14 +590,14 @@ def _dma_kernel(wpage_ref, rpage_ref, samples_ref, extra_w_ref, kk0_ref,
     out_ref[...] += contrib
 
 
-def ring_step_dma(ring, samples, wpage, extra_w, rpage, extra_r, kk, fr,
-                  gain0, d_gain, maskf, *, P, K, interpret=False):
+def ring_step_dma(ring, samples, wpage, extra_w, rpage, extra_r, scal,
+                  gain0, d_gain, maskf, *, P, K, n, interpret=False):
     """Fused ring step with in-kernel page DMAs.  ``ring`` is (V, (P+1)*PAGE)
-    flat rows with the mirror invariant row[P] == row[0].
+    flat rows with the mirror invariant row[P] == row[0].  ``scal`` is the
+    (V, 2, 4) packed cursor-scalar array (pack_select_scalars).
     Returns (ring', out (2, n))."""
     V = ring.shape[0]
     rowlen = (P + 1) * PAGE
-    n = kk.shape[2]
     n_inner = samples.shape[1]
     tile = _tile_for(V)
     gain = jnp.stack([gain0, d_gain], axis=-1)
@@ -573,8 +614,7 @@ def ring_step_dma(ring, samples, wpage, extra_w, rpage, extra_r, kk, fr,
         in_specs=[
             ts(tile, n_inner),
             ts(tile, 1),
-            ts(tile, n), ts(tile, n),
-            ts(tile, n), ts(tile, n),
+            ts(tile, 4), ts(tile, 4),
             ts(tile, 2), ts(tile, 2),
             ts(tile, 1),
             ts(tile, 1), ts(tile, 1),
@@ -597,13 +637,13 @@ def ring_step_dma(ring, samples, wpage, extra_w, rpage, extra_r, kk, fr,
             jax.ShapeDtypeStruct((2, n), jnp.float32),
         ),
         grid_spec=grid_spec,
-        input_output_aliases={13: 0},
+        input_output_aliases={11: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         wpage.astype(jnp.int32), rpage.astype(jnp.int32).reshape(-1),
         samples, extra_w.astype(jnp.int32)[:, None],
-        kk[:, 0], kk[:, 1], fr[:, 0], fr[:, 1],
+        scal[:, 0], scal[:, 1],
         gain[:, 0], gain[:, 1], maskf[:, None],
         e[:, 0:1], e[:, 1:2],
         ring.reshape(-1),

@@ -48,7 +48,14 @@ from .core.hostmath import (
 )
 from .core.signal import Signal
 from .ops._dev import device_split_ds, exact_positions, split_ds
-from .ops.pallas_ring import PAGE, ring_step, ring_step_dma, strip_place, strip_select
+from .ops.pallas_ring import (
+    PAGE,
+    pack_select_scalars,
+    ring_step,
+    ring_step_dma,
+    strip_place,
+    strip_select,
+)
 
 __all__ = [
     "SpatialScene",
@@ -852,26 +859,29 @@ class _BufferedPoolDR:
         obase = jnp.floor(offset0)
         ds = dt_e * ratef
         ds_int, f_hi, f_lo = device_split_ds(ds)
-        whole, fr = exact_positions(offset0 - obase, ds_int, f_hi, f_lo, n)
         # read window starts at obase - K (mod cap); the kernel reconstructs
-        # a_j = win[j + kk_j] with kk_j = whole_j - j + K in [0, 2K]
+        # a_j = win[j + kk_j] with kk_j = whole_j - j + K in [0, 2K] from the
+        # packed cursor scalars (exact split-ds math in-kernel)
         rstart = jnp.mod(obase.astype(jnp.int32) - K, cap)
-        kk = jnp.clip(
-            whole - jnp.arange(n, dtype=jnp.int32)[None, None, :] + K, 0, 2 * K
-        )
+        scal = pack_select_scalars(offset0 - obase, ds_int, f_hi, f_lo)
         rpage = rstart // PAGE
         extra_r = rstart - rpage * PAGE
         maskf = mask.astype(jnp.float32)
         if self.use_dma_kernel:
             ring2, out = ring_step_dma(
-                S["ring"], samples, wpage, extra_w, rpage, extra_r, kk, fr,
-                p_gain, d_gain, maskf, P=P, K=K, interpret=interp,
+                S["ring"], samples, wpage, extra_w, rpage, extra_r, scal,
+                p_gain, d_gain, maskf, P=P, K=K, n=n, interpret=interp,
             )
             S["ring"] = ring2
             return S, out
         if self.use_fused_kernel:
             # single-pass variant: write + resample with the ring streaming
             # through VMEM exactly once (bandwidth-optimal for small rings)
+            whole, fr = exact_positions(offset0 - obase, ds_int, f_hi, f_lo, n)
+            kk = jnp.clip(
+                whole - jnp.arange(n, dtype=jnp.int32)[None, None, :] + K,
+                0, 2 * K,
+            )
             ring2, out = ring_step(
                 S["ring"], samples, wpage, extra_w, rpage, extra_r, kk, fr,
                 p_gain, d_gain, maskf, P=P, K=K, interpret=interp,
@@ -890,7 +900,8 @@ class _BufferedPoolDR:
         ).reshape(-1)
         rstrips = jnp.take(pages, idx_r, axis=0).reshape(V, 2, 2 * PAGE)
         out = strip_select(
-            rstrips, kk, fr, p_gain, d_gain, maskf, extra_r, K=K, interpret=interp
+            rstrips, scal, p_gain, d_gain, maskf, extra_r, n=n, K=K,
+            interpret=interp,
         )
         return S, out
 
