@@ -57,15 +57,20 @@ class Renderer:
                 def step_fn(dstate, ddata, params, n):
                     return sig.render(dstate, ddata, params, n)
 
+                step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
+                self._steps[key] = step
+                return step
             else:
 
-                def step_fn(dstate, ddata, stacked, n):
+                def step_fn(dstate, ddata, stacked, n, nblocks):
                     def body(d, p):
                         return sig.render(d, ddata, p, n)
 
-                    return jax.lax.scan(body, dstate, stacked)
+                    # length is explicit: an all-idle run of a fully
+                    # device-resident graph carries no per-block params
+                    return jax.lax.scan(body, dstate, stacked, length=nblocks)
 
-            step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
+            step = jax.jit(step_fn, static_argnums=(3, 4), donate_argnums=0)
             self._steps[key] = step
         return step
 
@@ -119,7 +124,8 @@ class Renderer:
                     stacked = _stack_params(run_params)
                     step = self._get_step("scan", prepared[i][0])
                     d2, blocks = step(
-                        sig.device_collect(), sig.device_data(), stacked, block_size
+                        sig.device_collect(), sig.device_data(), stacked,
+                        block_size, j - i,
                     )
                 sig.device_store(d2)
                 out = np.asarray(blocks)  # (B, C, n)

@@ -36,6 +36,8 @@ DEFAULT_CAPACITY = 16
 class Pool:
     """A fixed-capacity pool of voices sharing one signal archetype."""
 
+    is_dr = False
+
     def __init__(self, name, spec, capacity):
         self.name = name
         self.proto = spec  # structure donor for clone/grow (state is per-slot)
@@ -79,6 +81,225 @@ class Pool:
                 self.slot_gen[i] += 1
                 self._free.append(int(i))
 
+    # handle interface shared with PoolDR
+    def push_stop(self, slot, gen):
+        if self.slot_gen[slot] == gen:
+            self.stop[slot] = True
+
+    def handle_stopped(self, slot, gen):
+        if self.slot_gen[slot] != gen:
+            return True
+        return bool(self.stop[slot])
+
+
+class PoolDR:
+    """Device-resident voice pool: mask/stop/finish tracking and the inner
+    chain's whole state live on the TPU; the host ships only sparse play and
+    stop deltas (the TPU-native analogue of mixer.rs's Set messages) and
+    observes handle state at sync points.  Mirrors _BufferedPoolDR
+    (spatial.py); requires a mono, dr-capable inner chain."""
+
+    is_dr = True
+
+    def __init__(self, name, spec, capacity, k_play=16, k_stop=64):
+        self.name = name
+        self.proto = spec
+        self.capacity = capacity
+        self.k_play = k_play
+        self.k_stop = k_stop
+        self.slot_gen = np.zeros(capacity, dtype=np.int64)
+        self._free = list(range(capacity - 1, -1, -1))
+        self.mask_host = np.zeros(capacity, dtype=bool)
+        self.stopped_host = np.zeros(capacity, dtype=bool)
+        self.pending_plays = []  # (slot, spec) — rows materialize at prepare
+        self.pending_stops = set()
+        self.force_deltas = False
+        self._interval = None
+        self.state = None
+
+    def dr_state(self):
+        if self.state is None:
+            V = self.capacity
+            self.state = {
+                "mask": jnp.zeros(V, bool),
+                "stopped": jnp.zeros(V, bool),
+                "inner": jax.tree.map(jnp.asarray, self.proto.dr_state_init(V)),
+            }
+        return self.state
+
+    def grow(self):
+        old = self.capacity
+        new = old * 2
+        self.dr_state()
+        fresh = {
+            "mask": jnp.zeros(old, bool),
+            "stopped": jnp.zeros(old, bool),
+            "inner": jax.tree.map(jnp.asarray, self.proto.dr_state_init(old)),
+        }
+        self.state = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b]), self.state, fresh
+        )
+        self.slot_gen = np.concatenate([self.slot_gen, np.zeros(old, np.int64)])
+        self.mask_host = np.concatenate([self.mask_host, np.zeros(old, bool)])
+        self.stopped_host = np.concatenate(
+            [self.stopped_host, np.zeros(old, bool)]
+        )
+        self._free = list(range(new - 1, old - 1, -1)) + self._free
+        self.capacity = new
+
+    def play(self, spec):
+        if not self._free:
+            self.grow()
+        i = self._free.pop()
+        gen = int(self.slot_gen[i])
+        stack = [spec]
+        while stack:  # Rust move semantics, recursively
+            s = stack.pop()
+            if s._moved:
+                raise RuntimeError(
+                    "signal was already played (moved); construct a new one"
+                )
+            s._moved = True
+            stack.extend(s.children().values())
+        self.pending_plays.append((i, spec))
+        self.mask_host[i] = True
+        self.stopped_host[i] = False
+        return i, gen
+
+    def push_stop(self, slot, gen):
+        if self.slot_gen[slot] == gen:
+            self.pending_stops.add(int(slot))
+
+    def handle_stopped(self, slot, gen):
+        self._maybe_sync()
+        if self.slot_gen[slot] != gen:
+            return True
+        return bool(self.stopped_host[slot])
+
+    def _maybe_sync(self):
+        """Refresh handle-visible state at most once per rendered block, so
+        control-thread queries observe reclamation with the reference's
+        one-scan-late timing (mixer.rs:129-147) without per-query readbacks."""
+        if getattr(self, "_sync_seen", -1) != getattr(self, "_prep_count", 0):
+            self.sync()
+            self._sync_seen = getattr(self, "_prep_count", 0)
+
+    def _rows(self, plays, interval):
+        rows = [
+            {"mask": True, "stopped": False, "inner": s.dr_slot_row(interval)}
+            for _, s in plays
+        ]
+        return rows
+
+    def _apply_plays_eager(self, interval):
+        self.dr_state()
+        idx = jnp.asarray([i for i, _ in self.pending_plays], jnp.int32)
+        rows = jax.tree.map(
+            lambda *xs: np.stack(xs),
+            *self._rows(self.pending_plays, interval),
+        )
+        self.pending_plays = []
+        S = dict(self.state)
+        for k in ("mask", "stopped"):
+            S[k] = S[k].at[idx].set(jnp.asarray(rows[k]))
+        S["inner"] = jax.tree.map(
+            lambda st, rv: st.at[idx].set(jnp.asarray(rv)),
+            S["inner"], rows["inner"],
+        )
+        self.state = S
+
+    def sync_prefetch(self):
+        if self.state is not None:
+            self.state["mask"].copy_to_host_async()
+            self.state["stopped"].copy_to_host_async()
+
+    def sync(self):
+        if self.state is None:
+            return
+        mask = np.asarray(self.state["mask"])
+        stopped = np.asarray(self.state["stopped"])
+        pending = {i for i, _ in self.pending_plays}
+        for i in range(self.capacity):
+            if i in pending:
+                continue
+            if self.mask_host[i] and stopped[i] and not mask[i]:
+                self.mask_host[i] = False
+                self.stopped_host[i] = True
+                self.slot_gen[i] += 1
+                self._free.append(i)
+
+    def host_prepare(self, interval, n):
+        self._interval = float(np.float32(interval))
+        self._prep_count = getattr(self, "_prep_count", 0) + 1
+        params = {}
+        if len(self.pending_plays) > self.k_play:
+            self._apply_plays_eager(self._interval)
+        self._has_play = bool(self.pending_plays) or self.force_deltas
+        if self._has_play:
+            Kp = self.k_play
+            take = self.pending_plays[:Kp]
+            self.pending_plays = self.pending_plays[Kp:]
+            play_idx = np.full(Kp, self.capacity, np.int32)
+            rows = self._rows(take, self._interval)
+            if len(rows) < Kp:
+                default = {
+                    "mask": False,
+                    "stopped": True,
+                    "inner": jax.tree.map(
+                        lambda a: np.asarray(a[0]), self.proto.dr_state_init(1)
+                    ),
+                }
+                rows = rows + [default] * (Kp - len(rows))
+            for j, (i, _) in enumerate(take):
+                play_idx[j] = i
+            params["play_idx"] = play_idx
+            params["play"] = jax.tree.map(lambda *xs: np.stack(xs), *rows)
+        self._has_stop = bool(self.pending_stops) or self.force_deltas
+        if self._has_stop:
+            Ks = self.k_stop
+            items = sorted(self.pending_stops)[:Ks]
+            for s in items:
+                self.pending_stops.discard(s)
+            stop_idx = np.full(Ks, self.capacity, np.int32)
+            stop_idx[: len(items)] = items
+            params["stop_idx"] = stop_idx
+        return params
+
+    def render(self, dstate, ddata, params, n):
+        from .parallel.context import localize_index
+
+        S = dict(dstate)
+        V = S["mask"].shape[0]
+        # 1. plays (set.rs insert semantics: applied before the walk)
+        if "play_idx" in params:
+            pidx = localize_index(params["play_idx"], V)
+            rows = params["play"]
+            for k in ("mask", "stopped"):
+                S[k] = S[k].at[pidx].set(rows[k], mode="drop")
+            S["inner"] = jax.tree.map(
+                lambda st, rv: st.at[pidx].set(rv, mode="drop"),
+                S["inner"], rows["inner"],
+            )
+        # 2. stop deltas (Mixed::stop, mixer.rs:33-36)
+        if "stop_idx" in params:
+            sidx = localize_index(params["stop_idx"], V)
+            S["stopped"] = S["stopped"].at[sidx].set(True, mode="drop")
+        # 3. reap finished/stopped voices, setting the stop flag so handles
+        # observe it (mixer.rs:102-105)
+        fin = self.proto.dr_is_finished(S["inner"])
+        S["stopped"] = S["stopped"] | (S["mask"] & fin)
+        S["mask"] = S["mask"] & ~S["stopped"]
+        # 4. render + masked sum (NaN-safe where)
+        count = jnp.full(V, n, jnp.int32)
+        inner2, samples = self.proto.dr_render(
+            S["inner"], ddata.get("inner", {}), self._interval, n, count
+        )
+        S["inner"] = inner2
+        out = jnp.sum(
+            jnp.where(S["mask"][:, None], samples, 0.0), axis=0, keepdims=True
+        )
+        return S, out
+
 
 class Mixer(Signal):
     """A Signal that mixes a dynamic set of Signals (mixer.rs:60-120)."""
@@ -103,10 +324,12 @@ class Mixer(Signal):
             raise ValueError(
                 f"signal has {spec.channels} channels, mixer expects {self.channels}"
             )
-        arch = spec.archetype()
+        dr = self.channels == 1 and spec.dr_supported()
+        arch = (spec.archetype(), dr)
         pool = self._pools.get(arch)
         if pool is None:
-            pool = Pool(f"p{len(self._pools)}", spec, self.initial_capacity)
+            cls = PoolDR if dr else Pool
+            pool = cls(f"p{len(self._pools)}", spec, self.initial_capacity)
             self._pools[arch] = pool
         slot, gen = pool.play(spec)
         return Mixed(pool, slot, gen)
@@ -120,12 +343,24 @@ class Mixer(Signal):
         return (self.initial_capacity,)
 
     def archetype(self):
-        pools = tuple((p.name, arch) for arch, p in self._pools.items())
+        pools = tuple(
+            (
+                p.name,
+                arch,
+                getattr(p, "_interval", None),
+                getattr(p, "_has_play", False),
+                getattr(p, "_has_stop", False),
+            )
+            for arch, p in self._pools.items()
+        )
         return ("Mixer", self.channels, pools)
 
     def host_prepare(self, interval, n, count=None):
         out = {}
         for arch, pool in self._pools.items():
+            if pool.is_dr:
+                out[pool.name] = pool.host_prepare(interval, n)
+                continue
             pool.reap()
             V = pool.capacity
             iv = np.broadcast_to(f32(interval), (V,)).astype(np.float32)
@@ -137,17 +372,50 @@ class Mixer(Signal):
         return out
 
     def device_collect(self):
-        return {p.name: p.sig.device_collect() for p in self._pools.values()}
+        return {
+            p.name: (p.dr_state() if p.is_dr else p.sig.device_collect())
+            for p in self._pools.values()
+        }
 
     def device_store(self, d):
         for p in self._pools.values():
-            p.sig.device_store(d[p.name])
+            if p.is_dr:
+                p.state = d[p.name]
+            else:
+                p.sig.device_store(d[p.name])
 
     def device_reset_slot(self, i):
         raise NotImplementedError("nested Mixer pools are not supported yet")
 
     def device_data(self):
-        return {p.name: p.sig.device_data() for p in self._pools.values()}
+        return {
+            p.name: (p.proto if p.is_dr else p.sig).device_data()
+            for p in self._pools.values()
+        }
+
+    def _all_pools(self):
+        return list(self._pools.values())
+
+    def params_voice_axes(self, params):
+        """Device-resident pools ship sparse deltas (replicated over the
+        voice mesh axis); host pools ship per-voice arrays (voice-sharded)."""
+        return {
+            p.name: jax.tree.map(
+                lambda _, dr=p.is_dr: not dr, params[p.name]
+            )
+            for p in self._pools.values()
+        }
+
+    def sync(self):
+        """Pull device-resident handle state back (is_stopped, reclamation)."""
+        for p in self._pools.values():
+            if p.is_dr:
+                p.sync()
+
+    def sync_prefetch(self):
+        for p in self._pools.values():
+            if p.is_dr:
+                p.sync_prefetch()
 
     def render(self, dstate, ddata, params, n):
         out = jnp.zeros((self.channels, n), dtype=jnp.float32)
@@ -155,6 +423,13 @@ class Mixer(Signal):
         for pool in self._pools.values():
             ps = params[pool.name]
             dd = ddata.get(pool.name, {})
+            if pool.is_dr:
+                dsub, block = pool.render(
+                    dstate[pool.name], {"inner": dd}, ps, n
+                )
+                d2[pool.name] = dsub
+                out = out + block
+                continue
             dsub, blocks = jax.vmap(
                 lambda d, p: pool.sig.render(d, dd, p, n)
             )(dstate[pool.name], ps["p"])
@@ -169,29 +444,43 @@ class Mixer(Signal):
     # -- checkpoint/resume ----------------------------------------------------
 
     def host_snapshot(self):
+        import copy as _copy
+
         from .utils.checkpoint import _host_state
 
-        return {
-            p.name: {
-                "mask": p.mask.copy(),
-                "stop": p.stop.copy(),
-                "gen": p.slot_gen.copy(),
-                "free": list(p._free),
-                "sig": _host_state(p.sig),
-            }
-            for p in self._pools.values()
-        }
+        out = {}
+        for p in self._pools.values():
+            st = {"gen": p.slot_gen.copy(), "free": list(p._free)}
+            if p.is_dr:
+                st["mask_host"] = p.mask_host.copy()
+                st["stopped_host"] = p.stopped_host.copy()
+                st["pending_plays"] = list(p.pending_plays)
+                st["pending_stops"] = set(p.pending_stops)
+                st["interval"] = p._interval
+            else:
+                st["mask"] = p.mask.copy()
+                st["stop"] = p.stop.copy()
+                st["sig"] = _host_state(p.sig)
+            out[p.name] = st
+        return out
 
     def host_restore(self, snap):
         from .utils.checkpoint import _set_host_state
 
         for p in self._pools.values():
             st = snap[p.name]
-            p.mask = st["mask"].copy()
-            p.stop = st["stop"].copy()
             p.slot_gen = st["gen"].copy()
             p._free = list(st["free"])
-            _set_host_state(p.sig, st["sig"])
+            if p.is_dr:
+                p.mask_host = st["mask_host"].copy()
+                p.stopped_host = st["stopped_host"].copy()
+                p.pending_plays = list(st["pending_plays"])
+                p.pending_stops = set(st["pending_stops"])
+                p._interval = st["interval"]
+            else:
+                p.mask = st["mask"].copy()
+                p.stop = st["stop"].copy()
+                _set_host_state(p.sig, st["sig"])
 
 
 class MixerControl:
@@ -217,11 +506,9 @@ class Mixed:
 
     def stop(self):
         """Halt playback at the next block boundary (mixer.rs:33-36)."""
-        if self._live():
-            self._pool.stop[self._slot] = True
+        self._pool.push_stop(self._slot, self._gen)
 
     def is_stopped(self):
-        """Set by stop() and by signals naturally finishing (mixer.rs:38-44)."""
-        if not self._live():
-            return True
-        return bool(self._pool.stop[self._slot])
+        """Set by stop() and by signals naturally finishing (mixer.rs:38-44).
+        For device-resident pools this is observed as of the last sync."""
+        return self._pool.handle_stopped(self._slot, self._gen)

@@ -39,9 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 8  # preferred voices per program
+TILE = 32  # preferred voices per program (4 sublane groups per vector op)
 PAGE = 1024  # ring page size (samples)
-SELECT_SB = 128  # frames per banded-matmul sub-block in the read kernels
+SELECT_SB = 128  # frames per sub-block in the read kernels
 
 
 def _tile_for(V):
@@ -59,40 +59,47 @@ def _shift_right(x, k, width):
     return jnp.concatenate([pad, x[..., : width - k]], axis=-1)
 
 
-# --- write: place samples into page strips ------------------------------------
+# --- write: place samples into row strips --------------------------------------
 
 
 def _place_kernel(samples_ref, strips_ref, extra_ref, out_ref, *, n_inner, S):
+    """Insert src at lane ``extra`` (row-constant, [0, 256)) of the strip.
+    The shift runs as per-128-lane-column dynamic gathers from the padded
+    source — each output column draws from at most 3 source columns."""
     strips = strips_ref[...]  # (tile, S)
     src = samples_ref[...]  # (tile, n_inner)
-    extra = extra_ref[...]  # (tile, 1) int32 in [0, PAGE)
-    q = extra // 128
-    rem = extra - q * 128
-    a = rem // 16
-    b = rem - a * 16
-    s0 = jnp.concatenate(
-        [src, jnp.zeros(src.shape[:-1] + (S - n_inner,), jnp.float32)], axis=-1
-    )
-    s1 = jnp.zeros_like(s0)
-    for k in range(8):
-        s1 = s1 + _shift_right(s0, 128 * k, S) * (q == k)
-    s2 = jnp.zeros_like(s1)
-    for k in range(8):
-        s2 = s2 + _shift_right(s1, 16 * k, S) * (a == k)
-    s3 = jnp.zeros_like(s2)
-    for k in range(16):
-        s3 = s3 + _shift_right(s2, k, S) * (b == k)
-    lane = jax.lax.broadcasted_iota(jnp.int32, strips.shape, 1)
-    keep = (lane >= extra) & (lane < extra + n_inner)
-    out_ref[...] = jnp.where(keep, s3, strips)
+    e = extra_ref[...]  # (tile, 1) int32 in [0, 256)
+    tile = strips.shape[0]
+    tcols = -(-n_inner // 128)
+    SP = tcols * 128
+    if SP > n_inner:
+        src = jnp.concatenate(
+            [src, jnp.zeros((tile, SP - n_inner), jnp.float32)], axis=-1
+        )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+    cols = []
+    for c in range(S // 128):
+        sidx = lane + (128 * c) - e  # source index for this output column
+        acc = jnp.zeros((tile, 128), jnp.float32)
+        for t in range(max(0, c - 2), min(tcols, c + 1)):
+            g = jnp.take_along_axis(
+                src[:, 128 * t : 128 * (t + 1)],
+                jnp.clip(sidx - 128 * t, 0, 127),
+                axis=-1,
+            )
+            acc = jnp.where((sidx >> 7) == t, g, acc)
+        keep = (sidx >= 0) & (sidx < n_inner)
+        cols.append(jnp.where(keep, acc, strips[:, 128 * c : 128 * (c + 1)]))
+    out_ref[...] = jnp.concatenate(cols, axis=-1)
 
 
-def strip_place(strips, samples, extra, *, interpret=False):
-    """Insert ``samples[v]`` at lane ``extra[v]`` of each strip (overwriting
-    exactly n_inner lanes); returns the updated strips."""
+def strip_place(strips, samples, extra, *, interpret=False, tile=None):
+    """Insert ``samples[v]`` at lane ``extra[v]`` in [0, 256) of each strip
+    (overwriting exactly n_inner lanes); returns the updated strips."""
     V, S = strips.shape
     n_inner = samples.shape[1]
-    tile = _tile_for(V)
+    if tile is None:
+        tile = _tile_for(V)
     grid_spec = pl.GridSpec(
         grid=(V // tile,),
         in_specs=[
@@ -160,7 +167,7 @@ def _gather3(w1, m):
     return jnp.where(m < 128, g0, jnp.where(m < 256, g1, g2))
 
 
-def _ear_pipeline(strips, scal, extra, *, n, K, SB=SELECT_SB):
+def _ear_pipeline(strips, scal, extra, *, n, K, SB=SELECT_SB, emax=PAGE):
     """Fractional delay-line read for one ear at full sublane occupancy:
     a_j = strips[extra + j + kk_j], lerped with fr_j (ring.rs:51-79).
 
@@ -177,10 +184,10 @@ def _ear_pipeline(strips, scal, extra, *, n, K, SB=SELECT_SB):
        residual that followed it (VPU-bound on lane rotations)."""
     tile = strips.shape[0]
     S = strips.shape[-1]
-    H7 = (1023 + 2 * K) // 128 + 1  # realign shift range is extra + kmin
+    H7 = (emax - 1 + 2 * K) // 128 + 1  # realign shift range is extra + kmin
     nsb = -(-n // SB)
     assert (nsb - 1) * SB + 128 * (H7 - 1) + SELECT_W <= S, (
-        "block too large for 2-page strips"
+        "block too large for the read window"
     )
     parts = []
     for sb in range(nsb):
@@ -188,7 +195,7 @@ def _ear_pipeline(strips, scal, extra, *, n, K, SB=SELECT_SB):
         # kk is monotone in j (linear read positions), so the row min is at
         # an end; jnp.min keeps this robust to clipping either way.
         kmin = jnp.min(kk_sb, axis=-1, keepdims=True)
-        shift = extra + kmin  # (tile, 1) in [0, 1023 + 2K]
+        shift = extra + kmin  # (tile, 1) in [0, emax-1 + 2K]
         b7 = shift >> 7
         w1 = jnp.zeros((tile, SELECT_W), jnp.float32)
         for h in range(H7):
@@ -207,18 +214,21 @@ def _ear_pipeline(strips, scal, extra, *, n, K, SB=SELECT_SB):
     return out[:, :n]
 
 
-def _select_kernel(s0_ref, s1_ref, sc0_ref, sc1_ref,
+def _select_kernel(s_ref, sc0_ref, sc1_ref,
                    g0_ref, g1_ref, mask_ref, e0_ref, e1_ref, out_ref,
-                   *, n, K, S):
+                   *, n, K, emax):
     i = pl.program_id(0)
     jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     m = mask_ref[...]
+    strips = s_ref[...]  # ONE window per voice, shared by both ears
     rows = []
-    for s_ref, sc_ref, g_ref, e_ref in (
-        (s0_ref, sc0_ref, g0_ref, e0_ref),
-        (s1_ref, sc1_ref, g1_ref, e1_ref),
+    for sc_ref, g_ref, e_ref in (
+        (sc0_ref, g0_ref, e0_ref),
+        (sc1_ref, g1_ref, e1_ref),
     ):
-        samp = _ear_pipeline(s_ref[...], sc_ref[...], e_ref[...], n=n, K=K)
+        samp = _ear_pipeline(
+            strips, sc_ref[...], e_ref[...], n=n, K=K, emax=emax
+        )
         g = g_ref[...]
         gains = g[:, 0:1] + jn * g[:, 1:2]
         rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
@@ -240,15 +250,15 @@ def pack_select_scalars(offset_frac, ds_int, f_hi, f_lo):
     )
 
 
-def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K,
+def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K, emax,
                  interpret=False, tile=None):
-    """strips (V, 2, S) page strips starting at the page containing the read
-    cursor; extra (V, 2) in-page offset of the cursor; scal (V, 2, 4) packed
-    cursor scalars (pack_select_scalars) — read positions are reconstructed
-    exactly in-kernel; gain0/d_gain (V, 2); maskf (V,).
-    Returns the mixed (2, n) block.  Ears are split into separate 2-D inputs
-    so every in-kernel op runs at full sublane occupancy."""
-    V, _, S = strips.shape
+    """strips (V, S): ONE gathered read window per voice, shared by both
+    ears (their read starts differ by at most the inter-ear distance);
+    extra (V, 2): each ear's start offset within the window, in [0, emax);
+    scal (V, 2, 4): packed cursor scalars (pack_select_scalars) — read
+    positions are reconstructed exactly in-kernel; gain0/d_gain (V, 2);
+    maskf (V,).  Returns the mixed (2, n) block."""
+    V, S = strips.shape
     if tile is None:
         tile = _tile_for(V)
     gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
@@ -262,7 +272,7 @@ def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K,
     grid_spec = pl.GridSpec(
         grid=(V // tile,),
         in_specs=[
-            ts(tile, S), ts(tile, S),
+            ts(tile, S),
             ts(tile, 4), ts(tile, 4),
             ts(tile, 2), ts(tile, 2),
             ts(tile, 1),
@@ -272,12 +282,12 @@ def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K,
     )
     e = extra.astype(jnp.int32)
     return pl.pallas_call(
-        functools.partial(_select_kernel, n=n, K=K, S=S),
+        functools.partial(_select_kernel, n=n, K=K, emax=emax),
         out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        strips[:, 0], strips[:, 1],
+        strips,
         scal[:, 0], scal[:, 1],
         gain[:, 0], gain[:, 1],
         maskf[:, None],

@@ -495,6 +495,10 @@ class _BufferedPoolDR:
         self.interval_inner = float(np.float32(1.0) / np.float32(rate))
         self.k_motion = k_motion
         self.k_play = k_play
+        #: per-ear start offsets within the shared read window sit in
+        #: [0, emax): 256 (row granularity) + the inter-ear distance in pool
+        #: samples (|d_L - d_R| <= 0.215 m, spatial.rs:571-598) + slack
+        self.emax = 256 + int(np.ceil(0.215 / float(SPEED_OF_SOUND) * rate)) + 2
         self._n_inner = 1
         self._elapsed = 0.0
         self.slot_gen = np.zeros(capacity, dtype=np.int64)
@@ -517,11 +521,20 @@ class _BufferedPoolDR:
 
     # -- state ---------------------------------------------------------------
 
+    #: row granularity of the default DR ring layout (gathers/scatters are
+    #: row-count bound on this stack, so rows trade per-row overhead against
+    #: over-fetch; see ROADMAP.md)
+    ROW = 256
+
     def _ring_shape(self, V):
         P = self.ring_len // PAGE
         if self.use_dma_kernel:
             return (V, (P + 1) * PAGE)  # +1: mirror page (row P == row 0)
-        return (V * P, PAGE)
+        if self.use_fused_kernel:
+            return (V * P, PAGE)
+        # row-major native layout: scatters update donated state in place
+        # (reshaping per block defeats XLA's in-place scatter)
+        return (V * (self.ring_len // self.ROW), self.ROW)
 
     def dr_state(self):
         if self.state is None:
@@ -629,9 +642,18 @@ class _BufferedPoolDR:
             self.pending_motion[slot] = (f32(pos), f32(vel), bool(disc))
 
     def handle_finished(self, slot, gen):
+        self._maybe_sync()
         if self.slot_gen[slot] != gen:
             return True
         return bool(self.stopped_host[slot])
+
+    def _maybe_sync(self):
+        """Refresh handle-visible state at most once per rendered block so
+        queries observe reclamation with the reference's timing
+        (spatial.rs:241-261) without per-query device readbacks."""
+        if getattr(self, "_sync_seen", -1) != getattr(self, "_prep_count", 0):
+            self.sync()
+            self._sync_seen = getattr(self, "_prep_count", 0)
 
     def _apply_plays_eager(self):
         """Apply all pending plays directly to device state (one-off scatters
@@ -654,9 +676,9 @@ class _BufferedPoolDR:
         if self.use_dma_kernel:
             S["ring"] = S["ring"].at[idx].set(0.0)
         else:
-            P = self.ring_len // PAGE
-            pidx_pages = (idx[:, None] * P + jnp.arange(P)).reshape(-1)
-            S["ring"] = S["ring"].at[pidx_pages].set(0.0)
+            rpv = S["ring"].shape[0] // self.capacity  # rows per voice
+            pidx_rows = (idx[:, None] * rpv + jnp.arange(rpv)).reshape(-1)
+            S["ring"] = S["ring"].at[pidx_rows].set(0.0)
         self.state = S
 
     def sync_prefetch(self):
@@ -685,14 +707,17 @@ class _BufferedPoolDR:
     # -- per block ---------------------------------------------------------------
 
     def host_prepare(self, prev_rot, rot, interval, n):
+        self._prep_count = getattr(self, "_prep_count", 0) + 1
         elapsed = float(np.float32(f32(interval) * np.float32(n)))
         self._elapsed = elapsed
         self._n_inner = (
             int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
         )
-        # two-page strips bound the block size (see pallas_ring.py)
+        # read-window widths bound the block size (see pallas_ring.py:
+        # (ceil(n/128)-1)*128 + 128*(H7-1) + SELECT_W must fit the gathered
+        # strip; the DMA path's 2-page strip is the tightest at n <= 640)
         assert self._n_inner <= PAGE + 1
-        assert n + 2 * self.K_DOPPLER + 17 <= PAGE + 1, "block too large for 2-page reads"
+        assert n <= 640, "block too large for the delay-ring read window"
         params = {"rot_prev": f32(prev_rot), "rot": f32(rot)}
 
         # bulk plays (engine setup) apply eagerly outside the jitted step so
@@ -776,11 +801,11 @@ class _BufferedPoolDR:
             if self.use_dma_kernel:
                 S["ring"] = S["ring"].at[pidx].set(0.0, mode="drop")
             else:
-                Pp = self.ring_len // PAGE
                 VP = S["ring"].shape[0]
-                page_idx = jnp.where(pidx < V, pidx, VP)
-                page_idx = (page_idx[:, None] * Pp + jnp.arange(Pp)).reshape(-1)
-                S["ring"] = S["ring"].at[page_idx].set(0.0, mode="drop")
+                rpv = VP // V  # rows per voice (any row layout)
+                row_idx = jnp.where(pidx < V, pidx, VP)
+                row_idx = (row_idx[:, None] * rpv + jnp.arange(rpv)).reshape(-1)
+                S["ring"] = S["ring"].at[row_idx].set(0.0, mode="drop")
 
         # 2. motion refresh (swap-channel drain + smoothing, spatial.rs:216-227)
         if "mot_idx" in params:
@@ -843,8 +868,6 @@ class _BufferedPoolDR:
         S["inner"] = inner2
         interp = jax.default_backend() != "tpu"
         P = cap // PAGE
-        wpage = start_i // PAGE
-        extra_w = start_i - wpage * PAGE
 
         # 7. per-ear fractional reads with gain ramps (spatial.rs:409-431)
         K = self.K_DOPPLER
@@ -859,49 +882,82 @@ class _BufferedPoolDR:
         obase = jnp.floor(offset0)
         ds = dt_e * ratef
         ds_int, f_hi, f_lo = device_split_ds(ds)
-        # read window starts at obase - K (mod cap); the kernel reconstructs
-        # a_j = win[j + kk_j] with kk_j = whole_j - j + K in [0, 2K] from the
-        # packed cursor scalars (exact split-ds math in-kernel)
-        rstart = jnp.mod(obase.astype(jnp.int32) - K, cap)
+        # the kernel reconstructs a_j = win[j + kk_j] with kk_j =
+        # whole_j - j + K in [0, 2K] from the packed cursor scalars (exact
+        # split-ds math in-kernel)
         scal = pack_select_scalars(offset0 - obase, ds_int, f_hi, f_lo)
-        rpage = rstart // PAGE
-        extra_r = rstart - rpage * PAGE
         maskf = mask.astype(jnp.float32)
-        if self.use_dma_kernel:
-            ring2, out = ring_step_dma(
-                S["ring"], samples, wpage, extra_w, rpage, extra_r, scal,
-                p_gain, d_gain, maskf, P=P, K=K, n=n, interpret=interp,
-            )
+        if self.use_dma_kernel or self.use_fused_kernel:
+            wpage = start_i // PAGE
+            extra_w = start_i - wpage * PAGE
+            rstart = jnp.mod(obase.astype(jnp.int32) - K, cap)
+            rpage = rstart // PAGE
+            extra_r = rstart - rpage * PAGE
+            if self.use_dma_kernel:
+                ring2, out = ring_step_dma(
+                    S["ring"], samples, wpage, extra_w, rpage, extra_r, scal,
+                    p_gain, d_gain, maskf, P=P, K=K, n=n, interpret=interp,
+                )
+            else:
+                # single-pass variant: write + resample with the ring
+                # streaming through VMEM exactly once
+                whole, fr = exact_positions(
+                    offset0 - obase, ds_int, f_hi, f_lo, n
+                )
+                kk = jnp.clip(
+                    whole - jnp.arange(n, dtype=jnp.int32)[None, None, :] + K,
+                    0, 2 * K,
+                )
+                ring2, out = ring_step(
+                    S["ring"], samples, wpage, extra_w, rpage, extra_r, kk,
+                    fr, p_gain, d_gain, maskf, P=P, K=K, interpret=interp,
+                )
             S["ring"] = ring2
             return S, out
-        if self.use_fused_kernel:
-            # single-pass variant: write + resample with the ring streaming
-            # through VMEM exactly once (bandwidth-optimal for small rings)
-            whole, fr = exact_positions(offset0 - obase, ds_int, f_hi, f_lo, n)
-            kk = jnp.clip(
-                whole - jnp.arange(n, dtype=jnp.int32)[None, None, :] + K,
-                0, 2 * K,
-            )
-            ring2, out = ring_step(
-                S["ring"], samples, wpage, extra_w, rpage, extra_r, kk, fr,
-                p_gain, d_gain, maskf, P=P, K=K, interpret=interp,
-            )
-            S["ring"] = ring2
-            return S, out
-        pages = S["ring"]
-        vbase = jnp.arange(V, dtype=jnp.int32) * P
-        idx_w = (vbase[:, None] + jnp.mod(wpage[:, None] + jnp.arange(2), P)).reshape(-1)
-        strips = jnp.take(pages, idx_w, axis=0).reshape(V, 2 * PAGE)
-        strips = strip_place(strips, samples, extra_w, interpret=interp)
-        pages = pages.at[idx_w].set(strips.reshape(V * 2, PAGE))
-        S["ring"] = pages
-        idx_r = (
-            vbase[:, None, None] + jnp.mod(rpage[:, :, None] + jnp.arange(2), P)
+
+        # default path: 256-sample row granularity.  Write: gather the rows
+        # covering [start, start + n_inner), place, scatter back.  Read: ONE
+        # shared window per voice (the two ears' start positions differ by
+        # at most the inter-ear distance, |d_L - d_R| <= 0.215 m).
+        ROW = self.ROW
+        P4 = cap // ROW
+        view = S["ring"]  # native (V*P4, ROW) layout
+        vbase4 = jnp.arange(V, dtype=jnp.int32) * P4
+        wrow = start_i // ROW
+        extra_w = start_i - wrow * ROW
+        n_rows_w = (ROW - 1 + n_inner - 1) // ROW + 1
+        idx_w = (
+            vbase4[:, None] + jnp.mod(wrow[:, None] + jnp.arange(n_rows_w), P4)
         ).reshape(-1)
-        rstrips = jnp.take(pages, idx_r, axis=0).reshape(V, 2, 2 * PAGE)
+        wstrips = jnp.take(view, idx_w, axis=0).reshape(V, n_rows_w * ROW)
+        wstrips = strip_place(wstrips, samples, extra_w, interpret=interp)
+        view = view.at[idx_w].set(wstrips.reshape(-1, ROW))
+        S["ring"] = view
+
+        ob = obase.astype(jnp.int32)  # (V, 2)
+        dlr = jnp.mod(ob[:, 0] - ob[:, 1], cap)
+        DMAX = self.emax - ROW
+        l_ahead = dlr <= DMAX
+        cm = jnp.where(l_ahead, ob[:, 1], ob[:, 0])
+        dstart = jnp.stack(
+            [jnp.where(l_ahead, dlr, 0), jnp.where(l_ahead, 0, cap - dlr)],
+            axis=-1,
+        )
+        dstart = jnp.clip(dstart, 0, DMAX)
+        rstart = jnp.mod(cm - K, cap)
+        row0 = rstart // ROW
+        extra_r = (rstart - row0 * ROW)[:, None] + dstart  # (V, 2) < emax
+        H7 = (self.emax - 1 + 2 * K) // 128 + 1
+        nsb = -(-n // 128)
+        need = (nsb - 1) * 128 + 128 * (H7 - 1) + 384
+        n_rows_r = -(-need // ROW)
+        idx_r = (
+            vbase4[:, None] + jnp.mod(row0[:, None] + jnp.arange(n_rows_r), P4)
+        ).reshape(-1)
+        rstrips = jnp.take(view, idx_r, axis=0).reshape(V, n_rows_r * ROW)
         out = strip_select(
             rstrips, scal, p_gain, d_gain, maskf, extra_r, n=n, K=K,
-            interpret=interp,
+            emax=self.emax, interpret=interp,
         )
         return S, out
 

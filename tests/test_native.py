@@ -42,6 +42,44 @@ def test_swap_freshness():
     np.testing.assert_array_equal(v, [7.0, 8.0, 9.0])
 
 
+def test_control_plane_under_tsan():
+    """The reference's race story was Miri in CI (rust.yml:75-98); here the
+    hand-rolled C++ atomics run under ThreadSanitizer: two threads hammer
+    ring write/read and swap publish/refresh while invariants (exact sample
+    sequence, no torn payloads, last-wins monotonicity) are checked."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as td:
+        exe = os.path.join(td, "tsan_stress")
+        build = subprocess.run(
+            [
+                "g++", "-fsanitize=thread", "-O1", "-std=c++17", "-o", exe,
+                os.path.join(root, "native", "tsan_stress.cpp"),
+                os.path.join(root, "native", "control_plane.cpp"),
+                "-lpthread",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        if build.returncode != 0:
+            pytest.skip(f"TSan runtime unavailable: {build.stderr[-200:]}")
+        run = subprocess.run(
+            [exe],
+            env={**os.environ, "TSAN_OPTIONS": "halt_on_error=1"},
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert run.returncode == 0, run.stderr[-2000:]
+        assert "tsan_stress ok" in run.stdout
+
+
 def test_ring_cross_thread_stress():
     """Producer/consumer on separate threads move 200k samples intact."""
     r = SpscRing(1024)

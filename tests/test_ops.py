@@ -313,3 +313,64 @@ def test_mixer_masked_equals_naive():
         for f in freqs
     )
     np.testing.assert_allclose(out, naive, atol=1e-5)
+
+
+def test_mixer_dr_pool_matches_host_pool():
+    """The device-resident mixer pool (mask/finish tracking on device,
+    sparse play/stop deltas) produces bit-identical audio to the host pool
+    machinery for the same voices (mixer.rs:92-118 semantics)."""
+    rng = np.random.default_rng(3)
+    freqs = rng.uniform(50, 800, 6)
+
+    def build(dr):
+        control, mixer = ot.Mixer.new(channels=1)
+        hs = []
+        for f in freqs:
+            sig = ot.FixedGain(ot.Sine(0.1, f), -3.0)
+            if not dr:
+                sig.dr_supported = lambda: False  # force the host pool
+            hs.append(control.play(sig))
+        return control, mixer, hs
+
+    c1, m1, h1 = build(True)
+    c2, m2, h2 = build(False)
+    pool1 = next(iter(m1._pools.values()))
+    pool2 = next(iter(m2._pools.values()))
+    assert pool1.is_dr and not pool2.is_dr
+    r1, r2 = ot.Renderer(m1, 48000), ot.Renderer(m2, 48000)
+    # the DR sine carries its phase as wrapped f32 cycles vs the host path's
+    # f64 phase (sine.py dr docstring): ~eps/block representation wobble,
+    # both inside the 1e-5 golden contract vs the reference
+    np.testing.assert_allclose(
+        r1.render_frames(1024, 256), r2.render_frames(1024, 256), atol=1e-5
+    )
+    # stop one voice: applies at the next block in both
+    h1[2].stop()
+    h2[2].stop()
+    np.testing.assert_allclose(
+        r1.render_frames(512, 256), r2.render_frames(512, 256), atol=1e-5
+    )
+    assert h1[2].is_stopped() and h2[2].is_stopped()
+    assert not h1[0].is_stopped()
+
+
+def test_mixer_dr_growth_and_finish():
+    """DR pool growth (play beyond capacity) and natural finish reclamation
+    through a render_block-only loop."""
+    control, mixer = ot.Mixer.new(channels=1)
+    frames = ot.Frames.from_slice(8000, np.ones(400, np.float32))
+    handles = [
+        control.play(ot.FramesSignal(ot.Frames.from_slice(8000, np.ones(400, np.float32)), 0.0))
+        for _ in range(40)
+    ]
+    pool = next(iter(mixer._pools.values()))
+    assert pool.is_dr and pool.capacity >= 40
+    r = ot.Renderer(mixer, 8000)
+    out = r.render_block(256)
+    np.testing.assert_array_equal(out[:, 0], np.full(256, 40.0))
+    out = r.render_block(256)  # sources end at frame 400
+    np.testing.assert_array_equal(out[144:, 0], np.zeros(112))
+    r.render_block(256)
+    r.render_block(256)
+    assert all(h.is_stopped() for h in handles)
+    assert len(pool._free) == pool.capacity

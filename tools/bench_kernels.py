@@ -58,8 +58,11 @@ def main(stages):
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
-    S = 2 * PAGE
-    strips = jnp.asarray(rng.standard_normal((V, 2, S)), jnp.float32)
+    EMAX = 256 + 33
+    H7 = (EMAX - 1 + 2 * K) // 128 + 1
+    nsb = -(-N // 128)
+    RW = -(-((nsb - 1) * 128 + 128 * (H7 - 1) + 384) // 256) * 256
+    strips = jnp.asarray(rng.standard_normal((V, RW)), jnp.float32)
     ds = jnp.asarray(rng.uniform(0.99, 1.01, (V, 2)), jnp.float32)
     o0 = jnp.asarray(rng.uniform(0, 1, (V, 2)), jnp.float32)
     ds_int, f_hi, f_lo = device_split_ds(ds)
@@ -67,7 +70,7 @@ def main(stages):
     gain0 = jnp.asarray(rng.uniform(0, 1, (V, 2)), jnp.float32)
     d_gain = jnp.asarray(rng.uniform(-1e-3, 1e-3, (V, 2)), jnp.float32)
     maskf = jnp.ones(V, jnp.float32)
-    extra = jnp.asarray(rng.integers(0, PAGE, (V, 2)), jnp.int32)
+    extra = jnp.asarray(rng.integers(0, EMAX, (V, 2)), jnp.int32)
 
     blk = 1.0 / (N / 48000.0)  # blocks per second of audio
 
@@ -76,10 +79,11 @@ def main(stages):
             def body(c, _):
                 g, acc = c
                 out = strip_select(
-                    strips, scal, g, d_gain, maskf, extra, n=N, K=K, tile=tile
+                    strips, scal, g, d_gain, maskf, extra, n=N, K=K,
+                    emax=EMAX, tile=tile
                 )
                 # iteration dependency rides the small gain array so the
-                # 67 MB strips input is NOT copied per iteration
+                # strips input is NOT copied per iteration
                 g = g.at[0, 0].add(out[0, 0] * 1e-20)
                 return (g, acc + out[0, 0]), None
             (g, acc), _ = jax.lax.scan(
@@ -156,9 +160,11 @@ def main(stages):
             log(f"floor kernel tile={tile}: {t/ITERS*1e3:.3f} ms/block")
 
     if "place" in stages:
-        samples = jnp.asarray(rng.standard_normal((V, N + 1)), jnp.float32)
-        extra_w = jnp.asarray(rng.integers(0, PAGE, V), jnp.int32)
-        strips2 = strips[:, 0]
+        n_inner = N + 1
+        SW = ((255 + n_inner - 1) // 256 + 1) * 256
+        samples = jnp.asarray(rng.standard_normal((V, n_inner)), jnp.float32)
+        extra_w = jnp.asarray(rng.integers(0, 256, V), jnp.int32)
+        strips2 = strips[:, :SW]
 
         def many_place(strips2, samples, extra_w):
             def body(c, _):
@@ -171,58 +177,64 @@ def main(stages):
             return acc + s[0, 0]
 
         t = timed(many_place, strips2, samples, extra_w)
-        log(f"strip_place: {t/ITERS*1e3:.3f} ms/block "
+        log(f"strip_place ({SW}-wide): {t/ITERS*1e3:.3f} ms/block "
             f"({1/(t/ITERS)/blk:.1f}x RT alone)")
 
     if "gather" in stages:
-        pages = jnp.asarray(
-            rng.standard_normal((V * P, PAGE)), jnp.float32
-        )
-        rpage = jnp.asarray(rng.integers(0, P, (V, 2)), jnp.int32)
-        vbase = jnp.arange(V, dtype=jnp.int32) * P
+        ROW = 256
+        P4 = P * (PAGE // ROW)
+        n_rows = RW // ROW
+        view = jnp.asarray(rng.standard_normal((V * P4, ROW)), jnp.float32)
+        row0 = jnp.asarray(rng.integers(0, P4, V), jnp.int32)
+        vbase4 = jnp.arange(V, dtype=jnp.int32) * P4
 
-        def many_gather(pages, rpage):
+        def many_gather(view, row0):
             def body(c, _):
-                pg, acc = c
+                r0, acc = c
                 idx_r = (
-                    vbase[:, None, None]
-                    + jnp.mod(rpage[:, :, None] + jnp.arange(2), P)
+                    vbase4[:, None] + jnp.mod(r0[:, None] + jnp.arange(n_rows), P4)
                 ).reshape(-1)
-                st = jnp.take(pg, idx_r, axis=0).reshape(V, 2, 2 * PAGE)
-                acc = acc + st[0, 0, 0]
-                pg = pg.at[0, 0].add(acc)
-                return (pg, acc), None
-            (pg, acc), _ = jax.lax.scan(
-                body, (pages, jnp.float32(0)), None, length=ITERS
+                st = jnp.take(view, idx_r, axis=0).reshape(V, n_rows * ROW)
+                acc = acc + st[0, 0]
+                r0 = r0.at[0].add((acc * 0).astype(jnp.int32))
+                return (r0, acc), None
+            (r0, acc), _ = jax.lax.scan(
+                body, (row0, jnp.float32(0)), None, length=ITERS
             )
-            return acc + pg[0, 0]
+            return acc
 
-        t = timed(many_gather, pages, rpage)
-        log(f"read page gather (2 pages/ear): {t/ITERS*1e3:.3f} ms/block")
+        t = timed(many_gather, view, row0)
+        log(f"read row gather ({n_rows}x256 shared): {t/ITERS*1e3:.3f} ms/block")
 
     if "write_scatter" in stages:
-        pages = jnp.asarray(rng.standard_normal((V * P, PAGE)), jnp.float32)
-        wpage = jnp.asarray(rng.integers(0, P, V), jnp.int32)
-        vbase = jnp.arange(V, dtype=jnp.int32) * P
-        wstrips = jnp.asarray(rng.standard_normal((V * 2, PAGE)), jnp.float32)
+        ROW = 256
+        P4 = P * (PAGE // ROW)
+        SW = ((255 + N) // 256 + 1) * 256
+        n_rows = SW // ROW
+        view = jnp.asarray(rng.standard_normal((V * P4, ROW)), jnp.float32)
+        wrow = jnp.asarray(rng.integers(0, P4, V), jnp.int32)
+        vbase4 = jnp.arange(V, dtype=jnp.int32) * P4
+        wstrips = jnp.asarray(
+            rng.standard_normal((V * n_rows, ROW)), jnp.float32
+        )
 
-        def many_wscatter(pages, wpage, wstrips):
+        def many_wscatter(view, wrow, wstrips):
             def body(c, _):
-                pg, acc = c
+                vw, acc = c
                 idx_w = (
-                    vbase[:, None] + jnp.mod(wpage[:, None] + jnp.arange(2), P)
+                    vbase4[:, None] + jnp.mod(wrow[:, None] + jnp.arange(n_rows), P4)
                 ).reshape(-1)
-                st = jnp.take(pg, idx_w, axis=0)
-                pg = pg.at[idx_w].set(wstrips + acc)
-                acc = acc + st[0, 0] + pg[0, 0]
-                return (pg, acc), None
-            (pg, acc), _ = jax.lax.scan(
-                body, (pages, jnp.float32(0)), None, length=ITERS
+                st = jnp.take(vw, idx_w, axis=0)
+                vw = vw.at[idx_w].set(wstrips + acc)
+                acc = acc + st[0, 0] + vw[0, 0]
+                return (vw, acc), None
+            (vw, acc), _ = jax.lax.scan(
+                body, (view, jnp.float32(0)), None, length=ITERS
             )
-            return acc + pg[0, 0]
+            return acc + vw[0, 0]
 
-        t = timed(many_wscatter, pages, wpage, wstrips)
-        log(f"write gather+scatter (2 pages): {t/ITERS*1e3:.3f} ms/block")
+        t = timed(many_wscatter, view, wrow, wstrips)
+        log(f"write row gather+scatter ({n_rows}x256): {t/ITERS*1e3:.3f} ms/block")
 
 
 if __name__ == "__main__":
