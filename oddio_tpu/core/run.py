@@ -142,6 +142,54 @@ class Renderer:
             self._since_sync = 0
         return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
 
+    def render_frames_device(self, total, block_size=512, sync=True):
+        """Offline render of ``total`` frames (a multiple of ``block_size``)
+        that keeps the audio on device: returns a list of (B, C, n) device
+        arrays, one per scan run, without any host transfer or blocking.
+
+        For device-side consumers — digests, further on-device processing,
+        throughput measurement — where pulling the full PCM to the host per
+        call would serialize the pipeline.  Pass ``sync=False`` to also skip
+        the handle-state sync (call ``signal.sync()`` yourself later)."""
+        sig = self.signal
+        nblocks, rem = divmod(total, block_size)
+        if rem:
+            raise ValueError("total must be a multiple of block_size")
+        prepared = []
+        for _ in range(nblocks):
+            p = sig.host_prepare(self.interval, block_size)
+            prepared.append((sig.archetype(), p))
+        out = []
+        i = 0
+        while i < nblocks:
+            j = i
+            while j < nblocks and prepared[j][0] == prepared[i][0]:
+                j += 1
+            run_params = [p for _, p in prepared[i:j]]
+            if j - i == 1:
+                step = self._get_step("single", prepared[i][0])
+                d2, block = step(
+                    sig.device_collect(), sig.device_data(), run_params[0],
+                    block_size,
+                )
+                blocks = block[None]
+            else:
+                stacked = _stack_params(run_params)
+                step = self._get_step("scan", prepared[i][0])
+                d2, blocks = step(
+                    sig.device_collect(), sig.device_data(), stacked,
+                    block_size, j - i,
+                )
+            sig.device_store(d2)
+            out.append(blocks)
+            i = j
+        if sync:
+            do_sync = getattr(sig, "sync", None)
+            if do_sync is not None:
+                do_sync()
+                self._since_sync = 0
+        return out
+
 
 def run(signal, sample_rate, n):
     """Populate and return an (n, C) float32 block from ``signal`` —

@@ -297,6 +297,29 @@ class Signal:
         V = leaf.shape[0] if leaf is not None else 0
         return jnp.zeros((V,), dtype=bool)
 
+    # -- device-resident Seek mode ----------------------------------------------
+    # The spatial seek path (spatial.rs:438-470) samples a deterministic
+    # source at per-ear time-shifted, rate-warped positions and then advances
+    # it by the block's real elapsed time.  Sources whose samples are a pure
+    # function of position implement these; the DR seek pool then needs no
+    # delay ring at all — per block it is pure elementwise math.
+
+    def dr_seek_supported(self):
+        return False
+
+    def dr_warp_render(self, state, ddata, t0, dt, n):
+        """Pure positional render for the DR seek path: sample ``n`` frames at
+        source times ``cursor + t0 + j*dt`` seconds, for each of E reads
+        (``t0``, ``dt`` shaped (V, E)).  Returns samples (V, E, n).  Does NOT
+        advance ``state`` — the seek path's paired seeks (spatial.rs:459-466)
+        restore the cursor; only ``dr_advance`` moves it."""
+        raise NotImplementedError
+
+    def dr_advance(self, state, seconds):
+        """Advance playback cursors by scalar ``seconds`` — the DR analogue of
+        the end-of-block ``seek(elapsed)`` (spatial.rs:468)."""
+        return state
+
     # -- device render ---------------------------------------------------------
 
     def render(self, dstate, ddata, params, n):

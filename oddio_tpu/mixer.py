@@ -228,13 +228,19 @@ class PoolDR:
                 self.slot_gen[i] += 1
                 self._free.append(i)
 
-    def host_prepare(self, interval, n):
+    def host_prepare(self, interval, n, force=False):
         self._interval = float(np.float32(interval))
         self._prep_count = getattr(self, "_prep_count", 0) + 1
         params = {}
         if len(self.pending_plays) > self.k_play:
             self._apply_plays_eager(self._interval)
-        self._has_play = bool(self.pending_plays) or self.force_deltas
+        # single "control events present" variant: plays AND stops ship
+        # together so live pools alternate between two jitted programs only
+        has = (
+            bool(self.pending_plays) or bool(self.pending_stops)
+            or self.force_deltas or force
+        )
+        self._has_play = self._has_stop = has
         if self._has_play:
             Kp = self.k_play
             take = self.pending_plays[:Kp]
@@ -254,7 +260,6 @@ class PoolDR:
                 play_idx[j] = i
             params["play_idx"] = play_idx
             params["play"] = jax.tree.map(lambda *xs: np.stack(xs), *rows)
-        self._has_stop = bool(self.pending_stops) or self.force_deltas
         if self._has_stop:
             Ks = self.k_stop
             items = sorted(self.pending_stops)[:Ks]
@@ -356,10 +361,17 @@ class Mixer(Signal):
         return ("Mixer", self.channels, pools)
 
     def host_prepare(self, interval, n, count=None):
+        # scene-global control-event flag (retrace containment; see
+        # SpatialScene.host_prepare)
+        force = any(
+            bool(p.pending_plays) or bool(p.pending_stops)
+            for p in self._pools.values()
+            if p.is_dr
+        )
         out = {}
         for arch, pool in self._pools.items():
             if pool.is_dr:
-                out[pool.name] = pool.host_prepare(interval, n)
+                out[pool.name] = pool.host_prepare(interval, n, force)
                 continue
             pool.reap()
             V = pool.capacity

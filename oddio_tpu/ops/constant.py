@@ -53,9 +53,15 @@ class Constant(Signal):
         return dstate, block
 
     # -- device-resident mode ------------------------------------------------
+    # Subclasses with custom host finish semantics (e.g. test doubles that
+    # override host_is_finished) fall back to host pools: the DR path only
+    # reproduces the default never-finishes behavior.
+
+    def _dr_finish_default(self):
+        return type(self).host_is_finished is Signal.host_is_finished
 
     def dr_supported(self):
-        return self.channels == 1
+        return self.channels == 1 and self._dr_finish_default()
 
     def dr_state_init(self, V):
         return {"value": np.zeros(V, np.float32)}
@@ -69,3 +75,12 @@ class Constant(Signal):
 
     def dr_is_finished(self, state):
         return jnp.zeros(state["value"].shape[0], dtype=bool)
+
+    # -- device-resident Seek mode (seek is a no-op, constant.rs:21-23) --------
+
+    def dr_seek_supported(self):
+        return self.channels == 1 and self._dr_finish_default()
+
+    def dr_warp_render(self, state, ddata, t0, dt, n):
+        V, E = t0.shape
+        return jnp.broadcast_to(state["value"][:, None, None], (V, E, n))

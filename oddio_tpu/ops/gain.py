@@ -106,6 +106,23 @@ class FixedGain(Signal):
     def dr_is_finished(self, state):
         return self.inner.dr_is_finished(state["inner"])
 
+    # -- device-resident Seek mode (gain.rs:44-51 forwards seek) ----------------
+
+    def dr_seek_supported(self):
+        return self.channels == 1 and self.inner.dr_seek_supported()
+
+    def dr_warp_render(self, state, ddata, t0, dt, n):
+        samples = self.inner.dr_warp_render(
+            state["inner"], ddata.get("inner", {}), t0, dt, n
+        )
+        return samples * state["gain"][:, None, None]
+
+    def dr_advance(self, state, seconds):
+        return {
+            "gain": state["gain"],
+            "inner": self.inner.dr_advance(state["inner"], seconds),
+        }
+
 
 class Gain(Signal):
     """Dynamically controlled gain with 0.1 s smoothing (gain.rs:58-127)."""

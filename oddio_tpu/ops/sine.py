@@ -104,7 +104,8 @@ class Sine(Signal):
     # -- device-resident mode ------------------------------------------------
 
     def dr_supported(self):
-        return True
+        # DR reproduces the default never-finishes semantics only
+        return type(self).host_is_finished is Signal.host_is_finished
 
     def dr_state_init(self, V):
         return {
@@ -140,3 +141,32 @@ class Sine(Signal):
 
     def dr_is_finished(self, state):
         return jnp.zeros(state["freq"].shape, dtype=bool)
+
+    # -- device-resident Seek mode --------------------------------------------
+
+    def dr_seek_supported(self):
+        return self.dr_supported()
+
+    def dr_warp_render(self, state, ddata, t0, dt, n):
+        from ._dev import device_split_ds
+
+        inv_tau = np.float32(1.0 / np.float64(TAU32))
+        fcyc = state["freq"] * inv_tau  # cycles per second
+        # time-shifted start phase in cycles: cyc + t0*fcyc, wrapped.  The
+        # f32 product t0*fcyc rounds by ~eps*|t0*fcyc| (<= ~2e-5 cycles at
+        # 0.15 s offsets / 2 kHz) — the same order as the reference's own
+        # f32 ``phase + t*freq`` seek (sine.rs:25-28).
+        oc = t0 * fcyc[:, None]  # (V, E)
+        oc = oc - jnp.floor(oc)
+        c0 = state["cyc"][:, None] + oc
+        c0 = c0 - jnp.floor(c0)
+        dc = dt * fcyc[:, None]  # warped cycles per frame (V, E)
+        dc_int, f_hi, f_lo = device_split_ds(dc)
+        _, frac = exact_positions(c0, dc_int, f_hi, f_lo, n)
+        return jnp.sin(TAU32 * frac)
+
+    def dr_advance(self, state, seconds):
+        inv_tau = np.float32(1.0 / np.float64(TAU32))
+        adv = state["freq"] * (np.float32(seconds) * inv_tau)
+        cyc2 = state["cyc"] + (adv - jnp.floor(adv))
+        return {"freq": state["freq"], "cyc": cyc2 - jnp.floor(cyc2)}

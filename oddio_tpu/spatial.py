@@ -457,49 +457,35 @@ class _SeekPool(_VoicePool):
         return {"inner": d3}, jnp.sum(contrib, axis=0)
 
 
-class _BufferedPoolDR:
-    """Device-resident buffered pool: the flagship scale path.
+class _DRPoolBase:
+    """Shared device-resident control plane for spatial voice pools.
 
-    All per-voice control-plane state — motion, smoothing, lingering, masks,
-    ring cursors, and the inner sources' playback cursors — lives on the TPU;
-    every block the geometry (spatial.rs:204-261, 530-550), the delay-ring
-    write (ring.rs:18-41), the inner source render, and the fractional ear
-    reads (ring.rs:51-79, spatial.rs:409-431) run inside one jitted graph.
+    All per-voice control state — motion, smoothing, lingering, masks, and
+    the inner sources' playback state — lives on the TPU; every block the
+    geometry (spatial.rs:204-261, 530-550) runs inside the jitted graph.
     The host ships only *sparse control deltas* (plays, set_motion) — the
     TPU-native equivalent of oddio's bounded spsc/swap channels, with the
     same bounded-capacity backpressure (overflow carries to the next block).
-
-    Requires the inner chain to be device-resident capable (static after
-    play: Sine/Constant/FramesSignal/Cycle/FixedGain). Handle state
-    (is_finished) is observed at sync points (every render_frames, or
-    SpatialScene.sync()).
+    Handle state (is_finished) is observed at sync points (every
+    render_frames, periodic render_block sync, or SpatialScene.sync()).
     """
 
     is_dr = True
 
-    #: bounds the per-block doppler walk handled by the shift-select read
-    #: kernel: |ds-1|*n <= 2K (K=64 covers > ±40 m/s radial at 512@48k)
-    K_DOPPLER = 64
-    def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=16):
+    #: per-voice geometry/lifecycle columns common to every DR pool kind
+    GEOM_KEYS = (
+        "mask", "stopped", "finished_for", "radius", "motion_pos",
+        "motion_vel", "prev_position", "smdt",
+    )
+    #: state keys carried in play rows (subclasses extend)
+    ROW_KEYS = GEOM_KEYS
+
+    def _init_base(self, name, spec, capacity, k_motion, k_play):
         self.name = name
         self.proto = spec
         self.capacity = capacity
-        self.rate = int(rate)
-        #: uniform ring modulus for the pool (>= every voice's required
-        #: capacity; a longer history is audio-identical, the per-voice
-        #: max_delay column still clamps reads like spatial.rs:414-415).
-        #: A multiple of PAGE >= 2*PAGE so wraparound is page-index modulo.
-        self.cap_pool = int(cap_pool)
-        assert self.cap_pool % PAGE == 0 and self.cap_pool >= 2 * PAGE
-        self.ring_len = self.cap_pool
-        self.interval_inner = float(np.float32(1.0) / np.float32(rate))
         self.k_motion = k_motion
         self.k_play = k_play
-        #: per-ear start offsets within the shared read window sit in
-        #: [0, emax): 256 (row granularity) + the inter-ear distance in pool
-        #: samples (|d_L - d_R| <= 0.215 m, spatial.rs:571-598) + slack
-        self.emax = 256 + int(np.ceil(0.215 / float(SPEED_OF_SOUND) * rate)) + 2
-        self._n_inner = 1
         self._elapsed = 0.0
         self.slot_gen = np.zeros(capacity, dtype=np.int64)
         self._free = list(range(capacity - 1, -1, -1))
@@ -509,84 +495,49 @@ class _BufferedPoolDR:
         self.pending_motion = {}  # slot -> (pos, vel, disc); last-wins
         #: always ship delta arrays (ScenePack needs uniform structures)
         self.force_deltas = False
-        #: single-pass ring kernel (streams the whole ring through VMEM);
-        #: the default 3-op path (page gather -> place -> select) measured
-        #: slightly faster at 4096 voices x 16 pages
-        self.use_fused_kernel = False
-        #: experimental self-DMA kernel (ROADMAP item 1): the kernel fetches
-        #: touched pages itself; ring rows gain a mirror page.  Set before
-        #: the first render.
-        self.use_dma_kernel = False
         self.state = None
 
     # -- state ---------------------------------------------------------------
 
-    #: row granularity of the default DR ring layout (gathers/scatters are
-    #: row-count bound on this stack, so rows trade per-row overhead against
-    #: over-fetch; see ROADMAP.md)
-    ROW = 256
+    def _geom_zero(self, V):
+        return {
+            "mask": jnp.zeros(V, bool),
+            "stopped": jnp.zeros(V, bool),
+            "finished_for": jnp.full(V, jnp.nan, dtype=jnp.float32),
+            "radius": jnp.full(V, 0.1, dtype=jnp.float32),
+            "motion_pos": jnp.zeros((V, 3), jnp.float32),
+            "motion_vel": jnp.zeros((V, 3), jnp.float32),
+            "prev_position": jnp.zeros((V, 3), jnp.float32),
+            "smdt": jnp.zeros(V, jnp.float32),
+        }
 
-    def _ring_shape(self, V):
-        P = self.ring_len // PAGE
-        if self.use_dma_kernel:
-            return (V, (P + 1) * PAGE)  # +1: mirror page (row P == row 0)
-        if self.use_fused_kernel:
-            return (V * P, PAGE)
-        # row-major native layout: scatters update donated state in place
-        # (reshaping per block defeats XLA's in-place scatter)
-        return (V * (self.ring_len // self.ROW), self.ROW)
+    def _extra_zero(self, V):
+        """Subclass state leaves beyond geometry + inner (e.g. ring columns)."""
+        return {}
+
+    def _fresh_state(self, V):
+        st = self._geom_zero(V)
+        st.update(self._extra_zero(V))
+        st["inner"] = jax.tree.map(jnp.asarray, self.proto.dr_state_init(V))
+        return st
 
     def dr_state(self):
         if self.state is None:
-            V = self.capacity
-            self.state = {
-                "ring": jnp.zeros(self._ring_shape(V), jnp.float32),
-                "write": jnp.zeros(V, jnp.float32),
-                "mask": jnp.zeros(V, bool),
-                "stopped": jnp.zeros(V, bool),
-                "finished_for": jnp.full(V, jnp.nan, dtype=jnp.float32),
-                "radius": jnp.full(V, 0.1, dtype=jnp.float32),
-                "motion_pos": jnp.zeros((V, 3), jnp.float32),
-                "motion_vel": jnp.zeros((V, 3), jnp.float32),
-                "prev_position": jnp.zeros((V, 3), jnp.float32),
-                "smdt": jnp.zeros(V, jnp.float32),
-                "max_delay": jnp.zeros(V, jnp.float32),
-                "inner": jax.tree.map(
-                    jnp.asarray, self.proto.dr_state_init(V)
-                ),
-            }
+            self.state = self._fresh_state(self.capacity)
         return self.state
 
+    def _concat_state(self, st, fresh, old, new):
+        """Concatenate fresh slots onto every leaf (subclasses override for
+        layout-sensitive leaves like paged rings)."""
+        return jax.tree.map(lambda a, b: jnp.concatenate([a, b]), st, fresh)
+
     def grow(self):
+        """set-realloc analogue (set.rs:57-63): double capacity in place."""
         old = self.capacity
         new = old * 2
         self.dr_state()
-        fresh_inner = jax.tree.map(jnp.asarray, self.proto.dr_state_init(old))
-        fresh = {
-            "ring": jnp.zeros(self._ring_shape(old), jnp.float32),
-            "write": jnp.zeros(old, jnp.float32),
-            "mask": jnp.zeros(old, bool),
-            "stopped": jnp.zeros(old, bool),
-            "finished_for": jnp.full(old, jnp.nan, dtype=jnp.float32),
-            "radius": jnp.full(old, 0.1, dtype=jnp.float32),
-            "motion_pos": jnp.zeros((old, 3), jnp.float32),
-            "motion_vel": jnp.zeros((old, 3), jnp.float32),
-            "prev_position": jnp.zeros((old, 3), jnp.float32),
-            "smdt": jnp.zeros(old, jnp.float32),
-            "max_delay": jnp.zeros(old, jnp.float32),
-            "inner": fresh_inner,
-        }
-        P = self.ring_len // PAGE
-        rl = self._ring_shape(old)
-        old_ring = self.state["ring"].reshape((old, -1))
-        fresh_ring = fresh.pop("ring").reshape((old, -1))
-        st = dict(self.state)
-        ring2 = jnp.concatenate([old_ring, fresh_ring]).reshape(
-            self._ring_shape(new)
-        )
-        st.pop("ring")
-        self.state = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), st, fresh)
-        self.state["ring"] = ring2
+        fresh = self._fresh_state(old)
+        self.state = self._concat_state(self.state, fresh, old, new)
         self.slot_gen = np.concatenate([self.slot_gen, np.zeros(old, np.int64)])
         self.mask_host = np.concatenate([self.mask_host, np.zeros(old, bool)])
         self.stopped_host = np.concatenate([self.stopped_host, np.zeros(old, bool)])
@@ -595,7 +546,7 @@ class _BufferedPoolDR:
 
     # -- control side ----------------------------------------------------------
 
-    def play(self, spec, options, max_delay):
+    def _claim_slot(self, spec):
         if not self._free:
             self.grow()
         i = self._free.pop()
@@ -609,18 +560,10 @@ class _BufferedPoolDR:
                 )
             s._moved = True
             stack.extend(s.children().values())
-        cap = int(np.ceil(np.float32(max_delay) * np.float32(self.rate))) + 1
-        assert cap <= self.cap_pool
-        # SpatialSignalBuffered::new pre-delay (spatial.rs:39-43); the pool
-        # modulus is uniform (longer history, audio-identical)
-        d = np.minimum(
-            v3_norm(f32(options.position)[None, :])[0] / SPEED_OF_SOUND,
-            np.float32(max_delay),
-        )
-        row = {
-            "write": rust_rem(
-                np.float32(self.rate) * np.float32(d), np.float32(self.cap_pool)
-            ),
+        return i, gen
+
+    def _geom_row(self, options):
+        return {
             "mask": True,
             "stopped": False,
             "finished_for": np.float32(np.nan),
@@ -629,13 +572,29 @@ class _BufferedPoolDR:
             "motion_vel": f32(options.velocity),
             "prev_position": f32(options.position),
             "smdt": np.float32(0.0),
-            "max_delay": np.float32(max_delay),
-            "inner": spec.dr_slot_row(self.interval_inner),
         }
+
+    def _default_row(self):
+        """Benign padding row for unfilled play-delta lanes."""
+        row = {
+            "mask": False,
+            "stopped": True,
+            "finished_for": np.float32(np.nan),
+            "radius": np.float32(0.1),
+            "motion_pos": np.zeros(3, np.float32),
+            "motion_vel": np.zeros(3, np.float32),
+            "prev_position": np.zeros(3, np.float32),
+            "smdt": np.float32(0),
+            "inner": jax.tree.map(
+                lambda a: np.asarray(a[0]), self.proto.dr_state_init(1)
+            ),
+        }
+        return row
+
+    def _queue_play(self, i, row):
         self.pending_plays.append((i, row))
         self.mask_host[i] = True
         self.stopped_host[i] = False
-        return i, gen
 
     def push_motion(self, slot, gen, pos, vel, disc):
         if self.slot_gen[slot] == gen:
@@ -655,6 +614,11 @@ class _BufferedPoolDR:
             self.sync()
             self._sync_seen = getattr(self, "_prep_count", 0)
 
+    def _clear_rows(self, S, idx):
+        """Reset layout-sensitive per-slot state (e.g. delay rings) for the
+        slots in ``idx`` (entries == capacity are padding and must drop)."""
+        pass
+
     def _apply_plays_eager(self):
         """Apply all pending plays directly to device state (one-off scatters
         outside the jitted step; the bulk-setup path)."""
@@ -665,20 +629,12 @@ class _BufferedPoolDR:
         )
         self.pending_plays = []
         S = dict(self.state)
-        for k in (
-            "write", "mask", "stopped", "finished_for", "radius", "motion_pos",
-            "motion_vel", "prev_position", "smdt", "max_delay",
-        ):
+        for k in self.ROW_KEYS:
             S[k] = S[k].at[idx].set(jnp.asarray(rows[k]))
         S["inner"] = jax.tree.map(
             lambda st, rv: st.at[idx].set(jnp.asarray(rv)), S["inner"], rows["inner"]
         )
-        if self.use_dma_kernel:
-            S["ring"] = S["ring"].at[idx].set(0.0)
-        else:
-            rpv = S["ring"].shape[0] // self.capacity  # rows per voice
-            pidx_rows = (idx[:, None] * rpv + jnp.arange(rpv)).reshape(-1)
-            S["ring"] = S["ring"].at[pidx_rows].set(0.0)
+        self._clear_rows(S, idx)
         self.state = S
 
     def sync_prefetch(self):
@@ -706,27 +662,27 @@ class _BufferedPoolDR:
 
     # -- per block ---------------------------------------------------------------
 
-    def host_prepare(self, prev_rot, rot, interval, n):
-        self._prep_count = getattr(self, "_prep_count", 0) + 1
-        elapsed = float(np.float32(f32(interval) * np.float32(n)))
-        self._elapsed = elapsed
-        self._n_inner = (
-            int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
-        )
-        # read-window widths bound the block size (see pallas_ring.py:
-        # (ceil(n/128)-1)*128 + 128*(H7-1) + SELECT_W must fit the gathered
-        # strip; the DMA path's 2-page strip is the tightest at n <= 640)
-        assert self._n_inner <= PAGE + 1
-        assert n <= 640, "block too large for the delay-ring read window"
-        params = {"rot_prev": f32(prev_rot), "rot": f32(rot)}
+    def _delta_params(self, params, force=False):
+        """Pack queued control events into bounded per-block delta arrays.
 
-        # bulk plays (engine setup) apply eagerly outside the jitted step so
-        # per-block delta shapes stay constant; the per-block channel handles
-        # the steady trickle.  Blocks without control events ship no delta
-        # arrays at all (the zero-delta fast path).
+        Bulk plays (engine setup) apply eagerly outside the jitted step so
+        per-block delta shapes stay constant; the per-block channel handles
+        the steady trickle.  Blocks without control events ship no delta
+        arrays at all (the zero-delta fast path) unless ``force_deltas``.
+        """
+        self._prep_count = getattr(self, "_prep_count", 0) + 1
         if len(self.pending_plays) > self.k_play:
             self._apply_plays_eager()
-        self._has_play = bool(self.pending_plays) or self.force_deltas
+        # a single "control events present" step variant (plays AND motion
+        # arrays ship together, padded): live scenes then alternate between
+        # exactly two jitted programs — the idle one and the delta one — so
+        # a play or set_motion after warmup never triggers a fresh compile
+        # (the reference's "no glitches" contract, README.md:11)
+        has = (
+            bool(self.pending_plays) or bool(self.pending_motion)
+            or self.force_deltas or force
+        )
+        self._has_play = self._has_mot = has
         if self._has_play:
             Kp = self.k_play
             take = self.pending_plays[:Kp]
@@ -734,19 +690,7 @@ class _BufferedPoolDR:
             play_idx = np.full(Kp, self.capacity, np.int32)
             rows = [r for _, r in take]
             if len(rows) < Kp:
-                default = {
-                    "write": np.float32(0), "mask": False, "stopped": True,
-                    "finished_for": np.float32(np.nan), "radius": np.float32(0.1),
-                    "motion_pos": np.zeros(3, np.float32),
-                    "motion_vel": np.zeros(3, np.float32),
-                    "prev_position": np.zeros(3, np.float32),
-                    "smdt": np.float32(0),
-                    "max_delay": np.float32(0),
-                    "inner": jax.tree.map(
-                        lambda a: np.asarray(a[0]), self.proto.dr_state_init(1)
-                    ),
-                }
-                rows = rows + [default] * (Kp - len(rows))
+                rows = rows + [self._default_row()] * (Kp - len(rows))
             for j, (i, _) in enumerate(take):
                 play_idx[j] = i
             params["play_idx"] = play_idx
@@ -754,7 +698,6 @@ class _BufferedPoolDR:
 
         # motion deltas (last-wins per slot; overflow carries to the next
         # block — bounded-channel semantics like a full swap/spsc pair)
-        self._has_mot = bool(self.pending_motion) or self.force_deltas
         if self._has_mot:
             Km = self.k_motion
             items = list(self.pending_motion.items())[:Km]
@@ -775,37 +718,26 @@ class _BufferedPoolDR:
             params["mot_disc"] = mot_disc
         return params
 
-    def render(self, dstate, ddata, params, n):
-        from .ops.geometry import ear_states, quat_rotate, smoothed_position, v3_norm as jnorm
+    def _walk_device(self, S, params, elapsed):
+        """In-graph control walk: apply play/motion deltas, smooth + rotate
+        positions, handle lingering reclamation (spatial.rs:204-261).
+        Returns (S, mask, prev_pos, next_pos)."""
+        from .ops.geometry import quat_rotate, smoothed_position, v3_norm as jnorm
         from .parallel.context import localize_index
 
-        S = dict(dstate)
-        V = S["write"].shape[0]
-        elapsed = np.float32(self._elapsed)
-        ratef = np.float32(self.rate)
-        n_inner = self._n_inner
+        V = S["mask"].shape[0]
 
         # 1. plays (set.rs insert semantics: applied before the walk)
         if "play_idx" in params:
             pidx = localize_index(params["play_idx"], V)
             rows = params["play"]
-            for k in (
-                "write", "mask", "stopped", "finished_for", "radius", "motion_pos",
-                "motion_vel", "prev_position", "smdt", "max_delay",
-            ):
+            for k in self.ROW_KEYS:
                 S[k] = S[k].at[pidx].set(rows[k], mode="drop")
             S["inner"] = jax.tree.map(
                 lambda st, rv: st.at[pidx].set(rv, mode="drop"),
                 S["inner"], rows["inner"],
             )
-            if self.use_dma_kernel:
-                S["ring"] = S["ring"].at[pidx].set(0.0, mode="drop")
-            else:
-                VP = S["ring"].shape[0]
-                rpv = VP // V  # rows per voice (any row layout)
-                row_idx = jnp.where(pidx < V, pidx, VP)
-                row_idx = (row_idx[:, None] * rpv + jnp.arange(rpv)).reshape(-1)
-                S["ring"] = S["ring"].at[row_idx].set(0.0, mode="drop")
+            self._clear_rows(S, pidx)
 
         # 2. motion refresh (swap-channel drain + smoothing, spatial.rs:216-227)
         if "mot_idx" in params:
@@ -845,7 +777,219 @@ class _BufferedPoolDR:
         newly = S["mask"] & ~lingering & inner_fin
         S["finished_for"] = jnp.where(newly, elapsed, ff)
         S["mask"] = S["mask"] & ~S["stopped"]
-        mask = S["mask"]
+        return S, S["mask"], prev_pos, next_pos
+
+
+class _SeekPoolDR(_DRPoolBase):
+    """Device-resident seek-path pool: the flagship scale path for
+    deterministic sources.
+
+    The reference's ``play()`` voices re-sample their Seek-able source per
+    ear at time-shifted, rate-warped positions (doppler by time-warp,
+    spatial.rs:438-470) — no delay ring exists on this path at all.  With a
+    positionally-evaluable source chain (``dr_warp_render``), a whole block
+    is pure elementwise math over (voice, ear, frame): geometry, two warped
+    source evaluations, gain ramps, and one masked reduction — no gathers,
+    no scatters, no Pallas; XLA fuses it into a few HBM-light kernels.
+    """
+
+    ROW_KEYS = _DRPoolBase.GEOM_KEYS
+
+    def __init__(self, name, spec, capacity, k_motion=64, k_play=16):
+        self._init_base(name, spec, capacity, k_motion, k_play)
+
+    def play(self, spec, options):
+        i, gen = self._claim_slot(spec)
+        row = self._geom_row(options)
+        # seek-path sources are sampled at per-block warped intervals; the
+        # slot row therefore encodes only position state (interval-free)
+        row["inner"] = spec.dr_slot_row(0.0)
+        self._queue_play(i, row)
+        return i, gen
+
+    def host_prepare(self, prev_rot, rot, interval, n, force=False):
+        self._elapsed = float(np.float32(f32(interval) * np.float32(n)))
+        params = {"rot_prev": f32(prev_rot), "rot": f32(rot)}
+        return self._delta_params(params, force)
+
+    def render(self, dstate, ddata, params, n):
+        from .ops.geometry import ear_states
+
+        S = dict(dstate)
+        elapsed = np.float32(self._elapsed)
+        S, mask, prev_pos, next_pos = self._walk_device(S, params, elapsed)
+
+        # per-ear offsets/gains and warp rates (spatial.rs:445-453)
+        p_off, p_gain = ear_states(prev_pos, S["radius"])
+        n_off, n_gain = ear_states(next_pos, S["radius"])
+        nf = np.float32(n) if n > 0 else np.float32(1.0)
+        dt_e = ((elapsed + n_off) - p_off) / nf
+        d_gain = (n_gain - p_gain) / nf
+
+        # sample both ears at cursor + p_off + j*dt (spatial.rs:455-463),
+        # then advance the real cursor by the block (spatial.rs:465-468)
+        samples = self.proto.dr_warp_render(
+            S["inner"], ddata.get("inner", {}), p_off, dt_e, n
+        )
+        S["inner"] = self.proto.dr_advance(S["inner"], self._elapsed)
+
+        jn = jnp.arange(n, dtype=jnp.float32)
+        gains = p_gain[:, :, None] + jn[None, None, :] * d_gain[:, :, None]
+        contrib = jnp.where(mask[:, None, None], samples * gains, 0.0)
+        return S, jnp.sum(contrib, axis=0)
+
+
+class _BufferedPoolDR(_DRPoolBase):
+    """Device-resident buffered pool: the flagship scale path.
+
+    All per-voice control-plane state — motion, smoothing, lingering, masks,
+    ring cursors, and the inner sources' playback cursors — lives on the TPU;
+    every block the geometry (spatial.rs:204-261, 530-550), the delay-ring
+    write (ring.rs:18-41), the inner source render, and the fractional ear
+    reads (ring.rs:51-79, spatial.rs:409-431) run inside one jitted graph.
+    The host ships only *sparse control deltas* (plays, set_motion) — the
+    TPU-native equivalent of oddio's bounded spsc/swap channels, with the
+    same bounded-capacity backpressure (overflow carries to the next block).
+
+    Requires the inner chain to be device-resident capable (static after
+    play: Sine/Constant/FramesSignal/Cycle/FixedGain). Handle state
+    (is_finished) is observed at sync points (every render_frames, or
+    SpatialScene.sync()).
+    """
+
+    ROW_KEYS = _DRPoolBase.GEOM_KEYS + ("write", "max_delay")
+
+    #: bounds the per-block doppler walk handled by the shift-select read
+    #: kernel: |ds-1|*n <= 2K (K=64 covers > ±40 m/s radial at 512@48k)
+    K_DOPPLER = 64
+    def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=16):
+        self._init_base(name, spec, capacity, k_motion, k_play)
+        self.rate = int(rate)
+        #: uniform ring modulus for the pool (>= every voice's required
+        #: capacity; a longer history is audio-identical, the per-voice
+        #: max_delay column still clamps reads like spatial.rs:414-415).
+        #: A multiple of PAGE >= 2*PAGE so wraparound is page-index modulo.
+        self.cap_pool = int(cap_pool)
+        assert self.cap_pool % PAGE == 0 and self.cap_pool >= 2 * PAGE
+        self.ring_len = self.cap_pool
+        self.interval_inner = float(np.float32(1.0) / np.float32(rate))
+        self.k_motion = k_motion
+        self.k_play = k_play
+        #: per-ear start offsets within the shared read window sit in
+        #: [0, emax): 256 (row granularity) + the inter-ear distance in pool
+        #: samples (|d_L - d_R| <= 0.215 m, spatial.rs:571-598) + slack
+        self.emax = 256 + int(np.ceil(0.215 / float(SPEED_OF_SOUND) * rate)) + 2
+        self._n_inner = 1
+        #: single-pass ring kernel (streams the whole ring through VMEM);
+        #: the default 3-op path (page gather -> place -> select) measured
+        #: slightly faster at 4096 voices x 16 pages
+        self.use_fused_kernel = False
+        #: experimental self-DMA kernel (ROADMAP item 1): the kernel fetches
+        #: touched pages itself; ring rows gain a mirror page.  Set before
+        #: the first render.
+        self.use_dma_kernel = False
+
+    # -- state ---------------------------------------------------------------
+
+    #: row granularity of the default DR ring layout (gathers/scatters are
+    #: row-count bound on this stack, so rows trade per-row overhead against
+    #: over-fetch; see ROADMAP.md)
+    ROW = 256
+
+    def _ring_shape(self, V):
+        P = self.ring_len // PAGE
+        if self.use_dma_kernel:
+            return (V, (P + 1) * PAGE)  # +1: mirror page (row P == row 0)
+        if self.use_fused_kernel:
+            return (V * P, PAGE)
+        # row-major native layout: scatters update donated state in place
+        # (reshaping per block defeats XLA's in-place scatter)
+        return (V * (self.ring_len // self.ROW), self.ROW)
+
+    def _extra_zero(self, V):
+        return {
+            "ring": jnp.zeros(self._ring_shape(V), jnp.float32),
+            "write": jnp.zeros(V, jnp.float32),
+            "max_delay": jnp.zeros(V, jnp.float32),
+        }
+
+    def _concat_state(self, st, fresh, old, new):
+        # the ring's row-major layouts interleave voice and page/row axes;
+        # concatenate it voice-major and re-fold
+        old_ring = st.pop("ring").reshape((old, -1))
+        fresh_ring = fresh.pop("ring").reshape((old, -1))
+        out = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), st, fresh)
+        out["ring"] = jnp.concatenate([old_ring, fresh_ring]).reshape(
+            self._ring_shape(new)
+        )
+        return out
+
+    # -- control side ----------------------------------------------------------
+
+    def play(self, spec, options, max_delay):
+        i, gen = self._claim_slot(spec)
+        cap = int(np.ceil(np.float32(max_delay) * np.float32(self.rate))) + 1
+        assert cap <= self.cap_pool
+        # SpatialSignalBuffered::new pre-delay (spatial.rs:39-43); the pool
+        # modulus is uniform (longer history, audio-identical)
+        d = np.minimum(
+            v3_norm(f32(options.position)[None, :])[0] / SPEED_OF_SOUND,
+            np.float32(max_delay),
+        )
+        row = self._geom_row(options)
+        row["write"] = rust_rem(
+            np.float32(self.rate) * np.float32(d), np.float32(self.cap_pool)
+        )
+        row["max_delay"] = np.float32(max_delay)
+        row["inner"] = spec.dr_slot_row(self.interval_inner)
+        self._queue_play(i, row)
+        return i, gen
+
+    def _default_row(self):
+        row = super()._default_row()
+        row["write"] = np.float32(0)
+        row["max_delay"] = np.float32(0)
+        return row
+
+    def _clear_rows(self, S, idx):
+        """Zero the delay rings of newly played slots (padding lanes drop)."""
+        if self.use_dma_kernel:
+            S["ring"] = S["ring"].at[idx].set(0.0, mode="drop")
+        else:
+            VP = S["ring"].shape[0]
+            V = S["mask"].shape[0]
+            rpv = VP // V  # rows per voice (any row layout)
+            row_idx = jnp.where(idx < V, idx, VP)
+            row_idx = (row_idx[:, None] * rpv + jnp.arange(rpv)).reshape(-1)
+            S["ring"] = S["ring"].at[row_idx].set(0.0, mode="drop")
+
+    # -- per block ---------------------------------------------------------------
+
+    def host_prepare(self, prev_rot, rot, interval, n, force=False):
+        elapsed = float(np.float32(f32(interval) * np.float32(n)))
+        self._elapsed = elapsed
+        self._n_inner = (
+            int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
+        )
+        # read-window widths bound the block size (see pallas_ring.py:
+        # (ceil(n/128)-1)*128 + 128*(H7-1) + SELECT_W must fit the gathered
+        # strip; the DMA path's 2-page strip is the tightest at n <= 640)
+        assert self._n_inner <= PAGE + 1
+        assert n <= 640, "block too large for the delay-ring read window"
+        params = {"rot_prev": f32(prev_rot), "rot": f32(rot)}
+        return self._delta_params(params, force)
+
+    def render(self, dstate, ddata, params, n):
+        from .ops.geometry import ear_states
+
+        S = dict(dstate)
+        V = S["write"].shape[0]
+        elapsed = np.float32(self._elapsed)
+        ratef = np.float32(self.rate)
+        n_inner = self._n_inner
+
+        # 1-4. control walk (plays, motion, geometry, lingering)
+        S, mask, prev_pos, next_pos = self._walk_device(S, params, elapsed)
 
         # 5. ring write bookkeeping (ring.rs:18-41); uniform pool modulus
         cap = self.cap_pool
@@ -998,12 +1142,17 @@ class SpatialScene(Signal):
                 "play() requires a seekable (deterministic) signal; "
                 "use play_buffered() for arbitrary signals"
             )
-        arch = spec.archetype()
-        pool = self._seek_pools.get(arch)
+        dr = spec.dr_seek_supported()
+        key = (spec.archetype(), dr)
+        pool = self._seek_pools.get(key)
         if pool is None:
-            pool = _SeekPool(f"s{len(self._seek_pools)}", spec, self.initial_capacity)
-            self._seek_pools[arch] = pool
-        i, gen = pool.claim(spec, options)
+            cls = _SeekPoolDR if dr else _SeekPool
+            pool = cls(f"s{len(self._seek_pools)}", spec, self.initial_capacity)
+            self._seek_pools[key] = pool
+        if dr:
+            i, gen = pool.play(spec, options)
+        else:
+            i, gen = pool.claim(spec, options)
         return Spatial(pool, i, gen)
 
     def _play_buffered(self, spec, options, max_distance, rate, buffer_duration):
@@ -1123,10 +1272,22 @@ class SpatialScene(Signal):
             self._rot = self._rot_pending
             self._rot_pending = None
         rot = self._rot
-        return {
-            p.name: p.host_prepare(prev_rot, rot, f32(interval), n)
+        # scene-global control-event flag: when ANY device-resident pool has
+        # queued events, every DR pool ships (padded) delta arrays, so a live
+        # scene alternates between exactly two step variants regardless of
+        # which pool the events hit (retrace containment)
+        force = any(
+            bool(p.pending_plays) or bool(p.pending_motion)
             for p in self._all_pools()
-        }
+            if getattr(p, "is_dr", False)
+        )
+        out = {}
+        for p in self._all_pools():
+            if getattr(p, "is_dr", False):
+                out[p.name] = p.host_prepare(prev_rot, rot, f32(interval), n, force)
+            else:
+                out[p.name] = p.host_prepare(prev_rot, rot, f32(interval), n)
+        return out
 
     def device_collect(self):
         out = {}

@@ -55,3 +55,37 @@ def test_control_mid_scan_boundary():
     # only the 313 Hz voice remains
     spec = np.abs(np.fft.rfft(out[:, 0] * np.hanning(len(out))))
     assert np.argmax(spec) * 8000 / len(out) < 400
+
+
+def test_no_retrace_after_warmup():
+    """Retrace containment (README.md:11 "no glitches"): after one idle and
+    one control-event block, live play/set_motion/stop traffic reuses the
+    two existing jitted step variants — no new compiles, ever."""
+    rng = np.random.default_rng(11)
+    control, scene = ot.SpatialScene.new(initial_capacity=64)
+    handles = []
+    for _ in range(8):
+        handles.append(control.play(
+            ot.Sine(rng.uniform(0, 6), rng.uniform(100, 1000)),
+            ot.SpatialOptions(position=rng.uniform(-10, 10, 3)),
+        ))
+        handles.append(control.play_buffered(
+            ot.Sine(rng.uniform(0, 6), rng.uniform(100, 1000)),
+            ot.SpatialOptions(position=rng.uniform(-10, 10, 3)),
+            max_distance=20.0, rate=8000, buffer_duration=0.05,
+        ))
+    r = ot.Renderer(scene, 8000)
+    r.render_block(256)  # delta variant (queued plays)
+    r.render_block(256)  # idle variant
+    warm = set(r._steps.keys())
+    assert len(warm) == 2
+    for i in range(12):
+        if i % 3 == 0:
+            handles.append(control.play(
+                ot.Sine(0.0, 440.0), ot.SpatialOptions(position=[1.0, 0.0, 0.0])
+            ))
+        if i % 3 == 1:
+            for h in handles[:4]:
+                h.set_motion(rng.uniform(-10, 10, 3), rng.uniform(-2, 2, 3), False)
+        r.render_block(256)
+    assert set(r._steps.keys()) == warm, "control events caused a retrace"

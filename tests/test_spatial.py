@@ -263,3 +263,88 @@ def test_dma_kernel_matches_default():
     a = ot.Renderer(build(False), 8000).render_frames(512 * 5)
     b = ot.Renderer(build(True), 8000).render_frames(512 * 5)
     np.testing.assert_array_equal(a, b)
+
+
+class _HostSeekSine(ot.Sine):
+    """Forces the host seek pool (the golden-matched path) for comparison."""
+
+    def dr_seek_supported(self):
+        return False
+
+
+def _build_seek_scene(cls, V=24, rng_seed=7):
+    rng = np.random.default_rng(rng_seed)
+    control, scene = ot.SpatialScene.new()
+    handles = []
+    for _ in range(V):
+        h = control.play(
+            cls(rng.uniform(0, 6), rng.uniform(50, 2000)),
+            ot.SpatialOptions(
+                position=rng.uniform(-20, 20, 3), velocity=rng.uniform(-5, 5, 3)
+            ),
+        )
+        handles.append(h)
+    return control, scene, handles
+
+
+def test_seek_pool_dr_matches_host():
+    """The device-resident seek pool reproduces the host seek pool
+    (spatial.rs:438-470 semantics) within f32 seek-phase rounding: the host
+    path shifts sine phase in f64, the reference and the DR path in f32
+    (sine.rs:25-28), bounded by ~eps*|t*freq| per block."""
+    rate = 8000
+    outs = []
+    for cls in (ot.Sine, _HostSeekSine):
+        rng = np.random.default_rng(3)
+        control, scene, handles = _build_seek_scene(cls)
+        pool = list(scene._seek_pools.values())[0]
+        assert getattr(pool, "is_dr", False) == (cls is ot.Sine)
+        r = ot.Renderer(scene, rate)
+        pieces = [r.render_frames(512 * 2)]
+        # motion updates + listener rotation mid-stream
+        for h in handles[::3]:
+            h.set_motion(rng.uniform(-20, 20, 3), rng.uniform(-5, 5, 3), False)
+        handles[1].set_motion([1.0, 0.0, -2.0], [0.0, 0.0, 0.0], True)
+        control.set_listener_rotation([0.96592583, 0.0, 0.25881905, 0.0])
+        pieces.append(r.render_frames(512 * 2))
+        outs.append(np.concatenate(pieces))
+    err = np.abs(outs[0] - outs[1]).max()
+    assert err < 5e-4, err
+
+
+def test_seek_pool_dr_lifecycle():
+    """Growth, slot reuse and handle liveness on the DR seek pool."""
+    control, scene = ot.SpatialScene.new(initial_capacity=2)
+    hs = []
+    for i in range(5):  # force two growths
+        hs.append(
+            control.play(ot.Sine(0.0, 100.0 + i), ot.SpatialOptions(position=[1.0, 0.0, 0.0]))
+        )
+    pool = list(scene._seek_pools.values())[0]
+    assert pool.is_dr and pool.capacity == 8
+    r = ot.Renderer(scene, 8000)
+    out = r.render_frames(512)
+    assert np.isfinite(out).all() and np.abs(out).max() > 0
+    assert not hs[0].is_finished()
+    # motion through a stale handle is a no-op after reclamation
+    hs[0].set_motion([2.0, 0.0, 0.0], [0.0, 0.0, 0.0], False)
+    out2 = r.render_frames(512)
+    assert np.isfinite(out2).all()
+
+
+def test_seek_pool_dr_fixedgain_chain():
+    """FixedGain(Sine) chains ride the DR seek pool (gain.rs:44-51 forwards
+    Seek) and scale output exactly."""
+    def build(db):
+        control, scene = ot.SpatialScene.new()
+        control.play(
+            ot.FixedGain(ot.Sine(0.25, 330.0), db),
+            ot.SpatialOptions(position=[0.0, 0.0, -2.0]),
+        )
+        return scene
+
+    base = ot.Renderer(build(0.0), 8000).render_frames(1024)
+    loud = ot.Renderer(build(6.0), 8000).render_frames(1024)
+    pool_arch_is_dr = True
+    ratio = np.float32(10.0) ** np.float32(6.0 / 20.0)
+    np.testing.assert_allclose(loud, base * ratio, rtol=1e-5, atol=1e-7)
