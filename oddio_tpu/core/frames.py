@@ -255,6 +255,7 @@ class _FramesDR:
             "frac": np.zeros(V, np.float32),
             "off": np.zeros(V, np.int32),
             "length": np.ones(V, np.int32),
+            "rate": np.ones(V, np.float32),
             "ds_int": np.ones(V, np.int32),
             "f_hi": np.zeros(V, np.float32),
             "f_lo": np.zeros(V, np.float32),
@@ -274,17 +275,27 @@ class _FramesDR:
             "frac": np.float32(s0 - base),
             "off": np.int32(self.off[()]),
             "length": np.int32(self.length[()]),
+            "rate": np.float32(self.rate[()]),
             "ds_int": np.int32(ds_int),
             "f_hi": np.float32(f_hi),
             "f_lo": np.float32(f_lo),
         }
 
     def dr_render(self, state, ddata, interval, n, count):
+        import numpy as np
+
         from ..ops._dev import device_advance, to_trunc_form
 
+        if isinstance(interval, (int, float, np.floating)):
+            # the slot row's exact host split of the static pool interval
+            ds_int, f_hi, f_lo = state["ds_int"], state["f_hi"], state["f_lo"]
+        else:
+            # dynamic per-voice interval (Speed chains, speed.rs:32-36)
+            from ..ops._dev import device_split_ds
+
+            ds_int, f_hi, f_lo = device_split_ds(state["rate"] * interval)
         tr, fr = exact_positions(
-            state["frac"], state["ds_int"], state["f_hi"], state["f_lo"], n,
-            signed=True,
+            state["frac"], ds_int, f_hi, f_lo, n, signed=True,
         )
         s = state["base"][:, None] + tr
         arena = ddata["arena"]
@@ -292,8 +303,7 @@ class _FramesDR:
         b = _arena_get(arena, state["off"][:, None], state["length"][:, None], s + 1)
         samples = lerp(a, b, fr)
         base2, frac2 = device_advance(
-            state["base"], state["frac"], count,
-            state["ds_int"], state["f_hi"], state["f_lo"],
+            state["base"], state["frac"], count, ds_int, f_hi, f_lo,
         )
         base2, frac2 = to_trunc_form(base2, frac2)
         out = dict(state)

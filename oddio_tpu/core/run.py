@@ -93,46 +93,64 @@ class Renderer:
                 self._since_sync = 0
         return np.asarray(block).T
 
-    def render_frames(self, total, block_size=512):
-        """Offline render of ``total`` frames in fixed blocks via one on-device
-        scan; returns float32 (total, C)."""
+    def _run_blocks(self, nblocks, block_size, consume):
+        """Prepare + dispatch ``nblocks`` blocks, batching runs of equal
+        archetype into on-device scans.  A segment is flushed (dispatched)
+        BEFORE any prepare that will mutate the signal graph's python
+        structure (``host_structure_event``), so every step is traced
+        against the structure that produced its parameters — Faders swap
+        children and DR pools bulk-apply plays during host_prepare, and a
+        deferred trace would otherwise see the mutated graph."""
         sig = self.signal
+        pend = []  # params of the current equal-archetype run
+        pend_arch = None
+
+        def flush():
+            nonlocal pend, pend_arch
+            if not pend:
+                return
+            if len(pend) == 1:
+                step = self._get_step("single", pend_arch)
+                d2, block = step(
+                    sig.device_collect(), sig.device_data(), pend[0], block_size
+                )
+                blocks = block[None]
+            else:
+                step = self._get_step("scan", pend_arch)
+                d2, blocks = step(
+                    sig.device_collect(), sig.device_data(),
+                    _stack_params(pend), block_size, len(pend),
+                )
+            sig.device_store(d2)
+            consume(blocks)
+            pend, pend_arch = [], None
+
+        event = getattr(sig, "host_structure_event", None)
+        for _ in range(nblocks):
+            if pend and event is not None and event():
+                flush()
+            p = sig.host_prepare(self.interval, block_size)
+            a = sig.archetype()
+            if pend and a != pend_arch:
+                flush()
+            pend.append(p)
+            pend_arch = a
+        flush()
+
+    def render_frames(self, total, block_size=512):
+        """Offline render of ``total`` frames in fixed blocks via on-device
+        scans; returns float32 (total, C)."""
         nblocks, rem = divmod(total, block_size)
         pieces = []
+
+        def consume(blocks):
+            out = np.asarray(blocks)  # (B, C, n)
+            pieces.append(
+                np.moveaxis(out, 1, 2).reshape(out.shape[0] * block_size, out.shape[1])
+            )
+
         if nblocks:
-            # prepare per block, then scan runs of structurally identical
-            # params (control-event blocks carry delta arrays, idle blocks
-            # don't — the zero-delta fast path)
-            prepared = []
-            for _ in range(nblocks):
-                p = sig.host_prepare(self.interval, block_size)
-                prepared.append((sig.archetype(), p))
-            i = 0
-            while i < nblocks:
-                j = i
-                while j < nblocks and prepared[j][0] == prepared[i][0]:
-                    j += 1
-                run_params = [p for _, p in prepared[i:j]]
-                if j - i == 1:
-                    step = self._get_step("single", prepared[i][0])
-                    d2, block = step(
-                        sig.device_collect(), sig.device_data(), run_params[0],
-                        block_size,
-                    )
-                    blocks = block[None]
-                else:
-                    stacked = _stack_params(run_params)
-                    step = self._get_step("scan", prepared[i][0])
-                    d2, blocks = step(
-                        sig.device_collect(), sig.device_data(), stacked,
-                        block_size, j - i,
-                    )
-                sig.device_store(d2)
-                out = np.asarray(blocks)  # (B, C, n)
-                pieces.append(
-                    np.moveaxis(out, 1, 2).reshape((j - i) * block_size, out.shape[1])
-                )
-                i = j
+            self._run_blocks(nblocks, block_size, consume)
         if rem:
             pieces.append(self.render_block(rem))
         # device-resident engines sync handle-visible state once per batch
@@ -151,40 +169,13 @@ class Renderer:
         throughput measurement — where pulling the full PCM to the host per
         call would serialize the pipeline.  Pass ``sync=False`` to also skip
         the handle-state sync (call ``signal.sync()`` yourself later)."""
-        sig = self.signal
         nblocks, rem = divmod(total, block_size)
         if rem:
             raise ValueError("total must be a multiple of block_size")
-        prepared = []
-        for _ in range(nblocks):
-            p = sig.host_prepare(self.interval, block_size)
-            prepared.append((sig.archetype(), p))
         out = []
-        i = 0
-        while i < nblocks:
-            j = i
-            while j < nblocks and prepared[j][0] == prepared[i][0]:
-                j += 1
-            run_params = [p for _, p in prepared[i:j]]
-            if j - i == 1:
-                step = self._get_step("single", prepared[i][0])
-                d2, block = step(
-                    sig.device_collect(), sig.device_data(), run_params[0],
-                    block_size,
-                )
-                blocks = block[None]
-            else:
-                stacked = _stack_params(run_params)
-                step = self._get_step("scan", prepared[i][0])
-                d2, blocks = step(
-                    sig.device_collect(), sig.device_data(), stacked,
-                    block_size, j - i,
-                )
-            sig.device_store(d2)
-            out.append(blocks)
-            i = j
+        self._run_blocks(nblocks, block_size, out.append)
         if sync:
-            do_sync = getattr(sig, "sync", None)
+            do_sync = getattr(self.signal, "sync", None)
             if do_sync is not None:
                 do_sync()
                 self._since_sync = 0

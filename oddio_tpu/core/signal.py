@@ -52,6 +52,7 @@ class ControlBlock:
         self.idx = ()  # () indexes the 0-d arrays of a standalone signal
         self.pool = None
         self.gen = 0
+        self._dr = None  # (pool, slot, gen, path) when in a DR pool
 
     def rebind(self, sig, idx, pool, gen):
         self.sig = sig
@@ -59,14 +60,33 @@ class ControlBlock:
         self.pool = pool
         self.gen = gen
 
+    def rebind_dr(self, pool, slot, gen, path):
+        """Route writes into a device-resident pool as sparse control deltas
+        (the TPU analogue of the reference's shared atomics): the spec's own
+        host field doubles as the handle-readable mirror."""
+        self._dr = (pool, slot, gen, path)
+
     def live(self):
+        if self._dr is not None:
+            pool, slot, gen, _ = self._dr
+            return pool.slot_gen[slot] == gen
         return self.pool is None or self.pool.slot_gen[self.idx] == self.gen
 
     def set(self, field, value):
+        if self._dr is not None:
+            pool, slot, gen, path = self._dr
+            if pool.slot_gen[slot] == gen:
+                getattr(self.sig, field)[self.idx] = value  # handle mirror
+                pool.push_ctrl(path, field, slot, value)
+            return
         if self.live():
             getattr(self.sig, field)[self.idx] = value
 
     def get(self, field, default=None):
+        if self._dr is not None:
+            # last-written value survives voice death, like the reference's
+            # Arc'd atomics (gain.rs:130-139)
+            return getattr(self.sig, field)[self.idx]
         if self.live():
             return getattr(self.sig, field)[self.idx]
         return default
@@ -182,6 +202,13 @@ class Signal:
         """Per-voice finished flags (signal.rs:21-27), computed from host state."""
         return np.zeros(self.batch, dtype=bool)
 
+    def host_structure_event(self):
+        """True when the NEXT host_prepare will mutate python graph
+        structure or apply state eagerly outside the jitted step (Fader
+        swaps, bulk play application).  Block-batching renderers must
+        dispatch already-prepared blocks first (core/run.py)."""
+        return any(c.host_structure_event() for c in self.children().values())
+
     def params_voice_axes(self, params):
         """Pytree of bools: True where a param leaf has a leading voice axis
         (shardable over the voice mesh axis); sparse delta leaves are False."""
@@ -272,6 +299,11 @@ class Signal:
     # then run the whole control plane in-graph, with the host shipping only
     # sparse control deltas.  Round-1 scope: chains that are static after
     # play() (sources + fixed filters).  ``state`` pytrees are batched (V,...).
+
+    #: host-field names a control handle may write while the signal lives in
+    #: a device-resident pool; each maps to a same-named leaf of this node's
+    #: dr state, updated via sparse per-block deltas (core/drctrl.py)
+    _dr_ctrl_fields = ()
 
     def dr_supported(self):
         return False

@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .core.drctrl import DRCtrlMixin
 from .core.hostmath import f32
 from .core.signal import Signal
 
@@ -92,12 +93,13 @@ class Pool:
         return bool(self.stop[slot])
 
 
-class PoolDR:
+class PoolDR(DRCtrlMixin):
     """Device-resident voice pool: mask/stop/finish tracking and the inner
-    chain's whole state live on the TPU; the host ships only sparse play and
-    stop deltas (the TPU-native analogue of mixer.rs's Set messages) and
-    observes handle state at sync points.  Mirrors _BufferedPoolDR
-    (spatial.py); requires a mono, dr-capable inner chain."""
+    chain's whole state live on the TPU; the host ships only sparse play,
+    stop and control-field deltas (the TPU-native analogue of mixer.rs's Set
+    messages + the filters' shared atomics) and observes handle state at
+    sync points.  Mirrors _BufferedPoolDR (spatial.py); requires a mono,
+    dr-capable inner chain."""
 
     is_dr = True
 
@@ -116,6 +118,7 @@ class PoolDR:
         self.force_deltas = False
         self._interval = None
         self.state = None
+        self._init_ctrl(spec)
 
     def dr_state(self):
         if self.state is None:
@@ -161,6 +164,7 @@ class PoolDR:
                 )
             s._moved = True
             stack.extend(s.children().values())
+        self._rebind_ctrl(spec, i, gen)
         self.pending_plays.append((i, spec))
         self.mask_host[i] = True
         self.stopped_host[i] = False
@@ -238,9 +242,11 @@ class PoolDR:
         # together so live pools alternate between two jitted programs only
         has = (
             bool(self.pending_plays) or bool(self.pending_stops)
-            or self.force_deltas or force
+            or self._ctrl_pending_any() or self.force_deltas or force
         )
         self._has_play = self._has_stop = has
+        if has:
+            self._ctrl_delta_params(params)
         if self._has_play:
             Kp = self.k_play
             take = self.pending_plays[:Kp]
@@ -285,6 +291,8 @@ class PoolDR:
                 lambda st, rv: st.at[pidx].set(rv, mode="drop"),
                 S["inner"], rows["inner"],
             )
+        # 1b. control-field deltas (set_gain/set_speed, gain.rs:103-108)
+        S["inner"] = self._ctrl_apply(S["inner"], params)
         # 2. stop deltas (Mixed::stop, mixer.rs:33-36)
         if "stop_idx" in params:
             sidx = localize_index(params["stop_idx"], V)
@@ -360,11 +368,22 @@ class Mixer(Signal):
         )
         return ("Mixer", self.channels, pools)
 
+    def host_structure_event(self):
+        for p in self._pools.values():
+            if p.is_dr:
+                # bulk plays apply eagerly outside the jitted step
+                if len(p.pending_plays) > p.k_play:
+                    return True
+            elif p.sig.host_structure_event():
+                return True
+        return False
+
     def host_prepare(self, interval, n, count=None):
         # scene-global control-event flag (retrace containment; see
         # SpatialScene.host_prepare)
         force = any(
             bool(p.pending_plays) or bool(p.pending_stops)
+            or p._ctrl_pending_any()
             for p in self._pools.values()
             if p.is_dr
         )
@@ -468,6 +487,7 @@ class Mixer(Signal):
                 st["stopped_host"] = p.stopped_host.copy()
                 st["pending_plays"] = list(p.pending_plays)
                 st["pending_stops"] = set(p.pending_stops)
+                st["pending_ctrl"] = _copy.deepcopy(p.pending_ctrl)
                 st["interval"] = p._interval
             else:
                 st["mask"] = p.mask.copy()
@@ -488,6 +508,11 @@ class Mixer(Signal):
                 p.stopped_host = st["stopped_host"].copy()
                 p.pending_plays = list(st["pending_plays"])
                 p.pending_stops = set(st["pending_stops"])
+                import copy as _copy
+
+                p.pending_ctrl = _copy.deepcopy(
+                    st.get("pending_ctrl", p.pending_ctrl)
+                )
                 p._interval = st["interval"]
             else:
                 p.mask = st["mask"].copy()

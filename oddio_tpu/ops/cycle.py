@@ -107,6 +107,7 @@ class Cycle(Signal):
             "frac": np.zeros(V, np.float32),
             "off": np.zeros(V, np.int32),
             "length": np.ones(V, np.int32),
+            "rate": np.ones(V, np.float32),
             "ds_int": np.ones(V, np.int32),
             "f_hi": np.zeros(V, np.float32),
             "f_lo": np.zeros(V, np.float32),
@@ -121,17 +122,27 @@ class Cycle(Signal):
             "frac": np.float32(self.cursor - base),
             "off": np.int32(self.off[()]),
             "length": np.int32(self.length[()]),
+            "rate": np.float32(self.rate[()]),
             "ds_int": np.int32(ds_int),
             "f_hi": np.float32(f_hi),
             "f_lo": np.float32(f_lo),
         }
 
+    def _dr_step(self, state, interval):
+        """Per-frame step split: the slot row's exact host split for the
+        pool's static interval, or an in-graph re-derivation when the
+        interval is dynamic per voice (Speed chains, speed.rs:32-36)."""
+        if isinstance(interval, (int, float, np.floating)):
+            return state["ds_int"], state["f_hi"], state["f_lo"]
+        from ._dev import device_split_ds
+
+        return device_split_ds(state["rate"] * interval)
+
     def dr_render(self, state, ddata, interval, n, count):
         from ._dev import device_advance
 
-        tr, fr = exact_positions(
-            state["frac"], state["ds_int"], state["f_hi"], state["f_lo"], n
-        )
+        ds_int, f_hi, f_lo = self._dr_step(state, interval)
+        tr, fr = exact_positions(state["frac"], ds_int, f_hi, f_lo, n)
         length = state["length"][:, None]
         x = jnp.mod(state["base"][:, None] + tr, length)
         arena = ddata["arena"]
@@ -144,13 +155,11 @@ class Cycle(Signal):
         # reduced mod len, plus one step (cycle.rs:40-47 rebase semantics)
         cm1 = jnp.maximum(count - 1, 0)
         b1, f1 = device_advance(
-            state["base"], state["frac"], cm1,
-            state["ds_int"], state["f_hi"], state["f_lo"],
+            state["base"], state["frac"], cm1, ds_int, f_hi, f_lo,
         )
         b1 = jnp.mod(b1, state["length"])
         b2, f2 = device_advance(
-            b1, f1, jnp.ones_like(count),
-            state["ds_int"], state["f_hi"], state["f_lo"],
+            b1, f1, jnp.ones_like(count), ds_int, f_hi, f_lo,
         )
         keep = count <= 0
         out = dict(state)

@@ -7,61 +7,203 @@ swap channel (fader.rs:86-93).  A fade must complete before the next begins
 ``out = sqrt(1-p)*old + sqrt(p)*new`` per frame (fader.rs:52-65), and on
 completion the new signal replaces the old (fader.rs:66-70).
 
-TPU form: fades are a *graph-structure event*: idle renders one child,
-fading renders both with the closed-form progress ramp fused in.  The
-Renderer keys its jitted step on the archetype, so starting/finishing a fade
-retraces (two compiled variants per child-archetype pair) — the analogue of
-the reference's idle fast path (fader.rs:42-45).  The old→new swap is
-deferred to the next block boundary so a block's params always match the
-graph that produced them.
+TPU forms:
+
+* **standalone** — fades are a *graph-structure event*: idle renders one
+  child, fading renders both with the closed-form progress ramp fused in.
+  The Renderer keys its jitted step on the archetype, so starting/finishing
+  a fade retraces (the analogue of the reference's idle fast path,
+  fader.rs:42-45); targets may have any structure.
+* **pooled** (a Fader voice inside a Mixer/spatial pool, mixer.rs:18-26) —
+  the batched template keeps TWO same-archetype child banks and renders
+  both every block; fade starts and completion swaps ride per-block params
+  (device rows reset / exchanged in-graph), so fades in pools never change
+  the traced structure and never recompile.  The dense-batch contract:
+  pooled fade targets must share the current child's archetype.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from ..core.hostmath import f32
-from ..core.signal import Signal
+from ..core.hostmath import f32, full
+from ..core.signal import ControlBlock, Signal
 from ._dev import iota_f32
 
 __all__ = ["Fader", "FaderControl"]
 
 
+def _host_defaults_into(node, i, fresh):
+    """Reset ``node``'s host-state slot ``i`` to the class defaults taken
+    from a fresh single-slot template."""
+    for f in node._host_fields:
+        getattr(node, f)[i] = getattr(fresh, f)[0]
+    for c, fc in zip(node.children().values(), fresh.children().values()):
+        _host_defaults_into(c, i, fc)
+
+
 class Fader(Signal):
+    _host_fields = ("progress", "duration", "fading")
+
     def __init__(self, inner):
         super().__init__()
         self.a = inner
         self.channels = inner.channels
-        self.b = None  # active fade target
-        self.progress = np.float32(1.0)
-        self.duration = np.float32(1.0)
-        self._pending = None  # (signal, duration), last-wins (fader.rs:86-92)
+        self.b = None  # standalone: active fade target
+        self._alloc_host(())
+        self.progress[()] = 1.0
+        self.duration[()] = 1.0
+        self._pending = None  # standalone: (signal, duration), last-wins
         self._swap_next = False
-        self.control = FaderControl(self)
+        self._pool_mode = False
+        self._cb = ControlBlock(self)
+        self.control = FaderControl(self._cb)
 
     @classmethod
     def new(cls, inner):
         sig = cls(inner)
         return sig.control, sig
 
+    def _alloc_host(self, batch):
+        self.progress = full(batch, 1.0)
+        self.duration = full(batch, 1.0)
+        self.fading = np.zeros(batch, dtype=bool)
+
     def children(self):
+        if self._pool_mode:
+            return {"a": self.a, "b": self.b}
         kids = {"a": self.a}
         if self.b is not None:
             kids["b"] = self.b
         return kids
 
     def _arch_extra(self):
+        if self._pool_mode:
+            return ("pooled",)
         return ("fading" if self.b is not None else "idle",)
 
+    # -- pooled mode -----------------------------------------------------------
+
     def clone_batched(self, V):
-        raise NotImplementedError(
-            "Fader cannot live inside a voice pool; use it standalone or "
-            "wrap the pool-owning engine"
-        )
+        new = object.__new__(Fader)
+        Signal.__init__(new)
+        new.batch = (V,)
+        new.channels = self.channels
+        new._pool_mode = True
+        new._alloc_host((V,))
+        new.a = self.a.clone_batched(V)
+        new.b = self.a.clone_batched(V)  # same-archetype shadow bank
+        new._fresh = self.a.clone_batched(1)  # default-state rows
+        new._b_dev_default = None  # lazy (device leaves)
+        new._pending_fades = {}  # slot -> (spec, duration); last-wins
+        new._pending_breset = set()  # slots whose b bank resets next block
+        new._pool = None
+        new._slot_gen = np.zeros(V, np.int64)
+        new._pending = None
+        new._swap_next = False
+        new.control = None
+        return new
+
+    def write_slot(self, i, spec, pool, gen):
+        if spec._moved:
+            raise RuntimeError("signal was already played (moved); construct a new one")
+        spec._moved = True
+        self.progress[i] = spec.progress[()]
+        self.duration[i] = spec.duration[()]
+        self.fading[i] = spec.b is not None
+        self._rebind_controls(spec, i, pool, gen)
+        self._pool = pool
+        self._slot_gen[i] = gen
+        self.a.write_slot(i, spec.a, pool, gen)
+        if spec.b is not None:
+            if spec.b.archetype() != spec.a.archetype():
+                raise ValueError(
+                    "pooled fade targets must share the inner archetype"
+                )
+            self.b.write_slot(i, spec.b, pool, gen)
+        else:
+            _host_defaults_into(self.b, i, self._fresh)
+
+    def queue_fade(self, idx, signal, duration):
+        """Route a control-side fade_to to wherever this fader lives."""
+        if self._pool_mode:
+            self._pending_fades[idx] = (signal, float(duration))
+        else:
+            self._pending = (signal, float(duration))
+
+    def _b_defaults(self):
+        """Default per-slot device rows for the b bank (numpy pytree)."""
+        if self._b_dev_default is None:
+            self._b_dev_default = jax.tree.map(
+                lambda x: np.asarray(x[0]), self._fresh.device_collect()
+            )
+        return self._b_dev_default
+
+    # -- host per-block protocol -------------------------------------------------
+
+    def _host_prepare_pooled(self, interval, n, count):
+        # completion swaps from the previous block (fader.rs:66-70): host
+        # rows exchange here; device rows exchange in-graph via params
+        done = self.fading & (self.progress >= 1.0)
+        if done.any():
+            self._swap_host_rows(self.a, self.b, done)
+            self.fading = self.fading & ~done
+
+        # start pending fades on idle voices (fader.rs:38-47)
+        breset = self._pending_breset
+        self._pending_breset = set()
+        for slot, (spec, dur) in list(self._pending_fades.items()):
+            if self.fading[slot]:
+                continue  # waits; a newer command replaced any older waiter
+            del self._pending_fades[slot]
+            if spec.archetype() != self._fresh.archetype():
+                raise ValueError(
+                    "pooled fade targets must share the inner archetype"
+                )
+            self.b.write_slot(slot, spec, self._pool, int(self._slot_gen[slot]))
+            self.duration[slot] = np.float32(dur)
+            self.progress[slot] = np.float32(0.0)
+            self.fading[slot] = True
+            breset.add(slot)
+
+        inc = (interval / self.duration).astype(np.float32)
+        V = self.batch[0]
+        breset_mask = np.zeros(V, dtype=bool)
+        for s in breset:
+            breset_mask[s] = True
+        params = {
+            "swap": done,
+            "breset": breset_mask,
+            "fading": self.fading.copy(),
+            "progress0": self.progress.copy(),
+            "inc": inc,
+            "a": self.a.host_prepare(interval, n, count),
+            "b": self.b.host_prepare(interval, n, count),
+        }
+        cnt = np.broadcast_to(f32(n if count is None else count), self.batch)
+        self.progress = np.where(
+            self.fading,
+            np.minimum((self.progress + cnt * inc).astype(np.float32), np.float32(1.0)),
+            self.progress,
+        ).astype(np.float32)
+        return params
+
+    @staticmethod
+    def _swap_host_rows(a, b, mask):
+        for f in a._host_fields:
+            fa, fb = getattr(a, f), getattr(b, f)
+            tmp = fa[mask].copy()
+            fa[mask] = fb[mask]
+            fb[mask] = tmp
+        for ca, cb in zip(a.children().values(), b.children().values()):
+            Fader._swap_host_rows(ca, cb, mask)
 
     def host_prepare(self, interval, n, count=None):
         interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
+        if self._pool_mode:
+            return self._host_prepare_pooled(interval, n, count)
         if self._swap_next:
             # fader.rs:66-70, deferred to the block boundary: move the new
             # signal (and its device state, owned by the node) into place.
@@ -75,8 +217,8 @@ class Fader(Signal):
                 raise RuntimeError("fade target was already played (moved)")
             sig._moved = True
             self.b = sig
-            self.duration = np.float32(dur)
-            self.progress = np.float32(0.0)
+            self.duration[()] = np.float32(dur)
+            self.progress[()] = np.float32(0.0)
 
         if self.b is None:
             return {"a": self.a.host_prepare(interval, n, count)}
@@ -89,8 +231,9 @@ class Fader(Signal):
             "b": self.b.host_prepare(interval, n, count),
         }
         cnt = np.broadcast_to(f32(n if count is None else count), self.batch)
-        self.progress = np.float32(
-            np.minimum(self.progress + cnt * inc, np.float32(1.0))
+        self.progress = np.asarray(
+            np.minimum((self.progress + cnt * inc).astype(np.float32), np.float32(1.0)),
+            dtype=np.float32,
         )
         if self.progress >= 1.0:
             self._swap_next = True
@@ -99,7 +242,19 @@ class Fader(Signal):
     def host_is_finished(self):
         return np.zeros(self.batch, dtype=bool)  # fader.rs:74-77
 
+    def host_structure_event(self):
+        if not self._pool_mode:
+            # the next prepare will swap children or start a structural fade
+            if self._swap_next or (
+                self._pending is not None and float(self.progress) >= 1.0
+            ):
+                return True
+        # pooled fades are parameter events, not structure events
+        return any(c.host_structure_event() for c in self.children().values())
+
     def render(self, dstate, ddata, params, n):
+        if self._pool_mode:
+            return self._render_pooled(dstate, ddata, params, n)
         d2a, old = self.a.render(
             dstate.get("a", {}), ddata.get("a", {}), params["a"], n
         )
@@ -117,15 +272,49 @@ class Fader(Signal):
         fade_in = jnp.sqrt(p)
         return out, old * fade_out[None, :] + new * fade_in[None, :]
 
+    def _render_pooled(self, dstate, ddata, params, n):
+        # runs unbatched under the pool's vmap: every leaf is one voice's row
+        da, db = dstate["a"], dstate["b"]
+        swap = params["swap"]
+        da, db = (
+            jax.tree.map(lambda x, y: jnp.where(swap, y, x), da, db),
+            jax.tree.map(lambda x, y: jnp.where(swap, y, x), db, da),
+        )
+        # fade starts: the b bank's device rows reset to defaults in-graph
+        # (defaults are small trace-time constants, not shipped per block)
+        db = jax.tree.map(
+            lambda x, d: jnp.where(params["breset"], jnp.asarray(d, x.dtype), x),
+            db, self._b_defaults(),
+        )
+        dda = ddata.get("a", {})
+        d2a, old = self.a.render(da, dda, params["a"], n)
+        d2b, new = self.b.render(db, dda, params["b"], n)
+        p = jnp.minimum(params["progress0"] + iota_f32(n) * params["inc"], 1.0)
+        wa = jnp.where(params["fading"], jnp.sqrt(1.0 - p), 1.0)
+        wb = jnp.where(params["fading"], jnp.sqrt(p), 0.0)
+        out = dict(dstate)
+        out["a"], out["b"] = d2a, d2b
+        return out, old * wa[None, :] + new * wb[None, :]
+
+    def device_data(self):
+        # both banks share the a-side read-only arrays (same archetype)
+        d = dict(self._own_device_data())
+        sub = self.a.device_data()
+        if sub:
+            d["a"] = sub
+        return d
+
 
 class FaderControl:
     """fader.rs:81-93: crossfade to ``signal`` over ``duration`` seconds; if a
     fade is in progress the new command waits (and replaces any waiter)."""
 
-    def __init__(self, fader):
-        self._fader = fader
+    def __init__(self, cb):
+        self._cb = cb
 
     def fade_to(self, signal, duration):
-        if signal.channels != self._fader.channels:
+        fader = self._cb.sig
+        if signal.channels != fader.channels:
             raise ValueError("fade target must match channel count")
-        self._fader._pending = (signal, float(duration))
+        if self._cb.live():
+            fader.queue_fade(self._cb.idx, signal, duration)

@@ -202,6 +202,60 @@ class Gain(Signal):
         out["inner"] = d2
         return out, block * gains[None, :]
 
+    # -- device-resident mode ------------------------------------------------
+    # The whole Smoothed ramp (smooth.rs:26-78) lives on device; a handle's
+    # set_gain ships as a sparse delta into the ``shared`` leaf and the ramp
+    # restart (gain.rs:105-108) happens in-graph at the next block.
+
+    _dr_ctrl_fields = ("shared",)
+
+    def dr_supported(self):
+        return self.channels == 1 and self.inner.dr_supported()
+
+    def dr_state_init(self, V):
+        return {
+            "shared": np.ones(V, np.float32),
+            "prev": np.ones(V, np.float32),
+            "next": np.ones(V, np.float32),
+            "progress": np.ones(V, np.float32),
+            "inner": self.inner.dr_state_init(V),
+        }
+
+    def dr_slot_row(self, interval):
+        return {
+            "shared": np.float32(self.shared[()]),
+            "prev": np.float32(self.prev[()]),
+            "next": np.float32(self.next[()]),
+            "progress": np.float32(self.progress[()]),
+            "inner": self.inner.dr_slot_row(interval),
+        }
+
+    def dr_render(self, state, ddata, interval, n, count):
+        # gain.rs:105-108: notice target change -> Smoothed::set
+        shared, prev, nxt, prog = (
+            state["shared"], state["prev"], state["next"], state["progress"]
+        )
+        changed = nxt != shared
+        cur = prev + prog * (nxt - prev)
+        prev = jnp.where(changed, cur, prev)
+        nxt = jnp.where(changed, shared, nxt)
+        prog = jnp.where(changed, 0.0, prog)
+        inc = jnp.asarray(interval, jnp.float32) / SMOOTHING_PERIOD
+        d2, samples = self.inner.dr_render(
+            state["inner"], ddata.get("inner", {}), interval, n, count
+        )
+        # closed form of gain.rs:118-121 / smooth.rs:47-49
+        pr = jnp.minimum(prog[:, None] + iota_f32(n) * inc[..., None], 1.0)
+        gains = prev[:, None] + pr * (nxt - prev)[:, None]
+        prog2 = jnp.minimum(prog + count.astype(jnp.float32) * inc, 1.0)
+        return {
+            "shared": shared, "prev": prev, "next": nxt, "progress": prog2,
+            "inner": d2,
+        }, samples * gains
+
+    def dr_is_finished(self, state):
+        return self.inner.dr_is_finished(state["inner"])
+
 
 class GainControl:
     """Thread-safe control for a Gain filter (gain.rs:130-160)."""

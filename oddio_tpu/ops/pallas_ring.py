@@ -62,13 +62,17 @@ def _shift_right(x, k, width):
 # --- write: place samples into row strips --------------------------------------
 
 
-def _place_kernel(samples_ref, strips_ref, extra_ref, out_ref, *, n_inner, S):
-    """Insert src at lane ``extra`` (row-constant, [0, 256)) of the strip.
+def _place_kernel(samples_ref, strips_ref, extra_ref, count_ref, out_ref, *,
+                  n_inner, S):
+    """Insert src at lane ``extra`` (row-constant, [0, 256)) of the strip,
+    writing exactly ``count`` (<= n_inner) lanes per row — lanes beyond the
+    count keep the strip's old history (ring.rs:18-41 write extents).
     The shift runs as per-128-lane-column dynamic gathers from the padded
     source — each output column draws from at most 3 source columns."""
     strips = strips_ref[...]  # (tile, S)
     src = samples_ref[...]  # (tile, n_inner)
     e = extra_ref[...]  # (tile, 1) int32 in [0, 256)
+    cnt = count_ref[...]  # (tile, 1) int32 in [0, n_inner]
     tile = strips.shape[0]
     tcols = -(-n_inner // 128)
     SP = tcols * 128
@@ -88,16 +92,21 @@ def _place_kernel(samples_ref, strips_ref, extra_ref, out_ref, *, n_inner, S):
                 axis=-1,
             )
             acc = jnp.where((sidx >> 7) == t, g, acc)
-        keep = (sidx >= 0) & (sidx < n_inner)
+        keep = (sidx >= 0) & (sidx < cnt)
         cols.append(jnp.where(keep, acc, strips[:, 128 * c : 128 * (c + 1)]))
     out_ref[...] = jnp.concatenate(cols, axis=-1)
 
 
-def strip_place(strips, samples, extra, *, interpret=False, tile=None):
-    """Insert ``samples[v]`` at lane ``extra[v]`` in [0, 256) of each strip
-    (overwriting exactly n_inner lanes); returns the updated strips."""
+def strip_place(strips, samples, extra, count=None, *, interpret=False,
+                tile=None):
+    """Insert ``samples[v]`` at lane ``extra[v]`` in [0, 256) of each strip;
+    ``count`` (V,) bounds the lanes written per voice (default: all n_inner —
+    deterministic sources recompute the overlap next block); returns the
+    updated strips."""
     V, S = strips.shape
     n_inner = samples.shape[1]
+    if count is None:
+        count = jnp.full((V,), n_inner, jnp.int32)
     if tile is None:
         tile = _tile_for(V)
     grid_spec = pl.GridSpec(
@@ -105,6 +114,7 @@ def strip_place(strips, samples, extra, *, interpret=False, tile=None):
         in_specs=[
             pl.BlockSpec((tile, n_inner), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -114,7 +124,8 @@ def strip_place(strips, samples, extra, *, interpret=False, tile=None):
         out_shape=jax.ShapeDtypeStruct((V, S), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(samples, strips, extra[:, None].astype(jnp.int32))
+    )(samples, strips, extra[:, None].astype(jnp.int32),
+      count[:, None].astype(jnp.int32))
 
 
 # --- read: realign + doppler shift-select + lerp + gains + reduce --------------

@@ -107,37 +107,112 @@ class Sine(Signal):
         # DR reproduces the default never-finishes semantics only
         return type(self).host_is_finished is Signal.host_is_finished
 
+    # The device-resident cycle cursor is a 48-bit fixed-point accumulator
+    # held as two 24-bit int32 limbs (acc_a in 2^-24 cycles, acc_b in 2^-48),
+    # advanced with exact integer limb arithmetic: unlike an f32 phase walk
+    # it NEVER drifts, matching the host path's f64 cursor (sine.rs:25-28
+    # semantics) for arbitrarily long renders.  The per-frame step ships as
+    # four 12-bit limbs of frac(dc)*2^48 plus the split-ds pieces for
+    # in-block positions (ops/_dev.py).
+
     def dr_state_init(self, V):
         return {
             "freq": np.zeros(V, np.float32),
             "cyc": np.zeros(V, np.float32),  # wrapped phase in cycles [0,1)
+            "dc_int": np.zeros(V, np.int32),
+            "f_hi": np.zeros(V, np.float32),
+            "f_lo": np.zeros(V, np.float32),
+            "step_l": np.zeros((V, 4), np.int32),  # 12-bit limbs of frac(dc)
+            "acc_a": np.zeros(V, np.int32),
+            "acc_b": np.zeros(V, np.int32),
         }
 
     def dr_slot_row(self, interval):
         tau = np.float64(TAU32)
+        c0 = np.float64(np.mod(self.phase[()] / tau, 1.0))
+        # mirror _cycle_params: dc in f64, then the exact split
+        dc = np.float64(interval) * (np.float64(self.freq[()]) / tau)
+        dc_int, f_hi, f_lo = split_ds(dc)
+        f48 = np.floor((dc - np.floor(dc)) * np.float64(2**48))
+        a48 = np.floor(c0 * np.float64(2**48))
+        limbs = np.array(
+            [np.mod(np.floor(f48 / 2.0 ** (36 - 12 * i)), 4096) for i in range(4)],
+            np.int32,
+        )
         return {
             "freq": np.float32(self.freq[()]),
-            "cyc": np.float32(np.mod(self.phase[()] / tau, 1.0)),
+            "cyc": np.float32(c0),
+            "dc_int": np.int32(dc_int),
+            "f_hi": np.float32(f_hi),
+            "f_lo": np.float32(f_lo),
+            "step_l": limbs,
+            "acc_a": np.int32(np.floor(a48 / 2.0**24)),
+            "acc_b": np.int32(np.mod(a48, 2.0**24)),
         }
+
+    @staticmethod
+    def _acc_c0(state):
+        return (
+            state["acc_a"].astype(jnp.float32) * np.float32(2.0**-24)
+            + state["acc_b"].astype(jnp.float32) * np.float32(2.0**-48)
+        )
+
+    @staticmethod
+    def _acc_advance(state, count):
+        """Advance the 48-bit cycle accumulator by ``count`` frames (< 4096)
+        of frac(dc), exactly: every product is <= 24 bits, integer cycles
+        drop, carries propagate between the limbs."""
+        c = count.astype(jnp.int32)
+        Ah, Al, Bh, Bl = (state["step_l"][:, i] for i in range(4))
+        M24 = np.int32(1 << 24)
+        cAh, cAl, cBh, cBl = c * Ah, c * Al, c * Bh, c * Bl
+        lowB = (cBh % 4096) * 4096 + cBl
+        carB = cBh // 4096 + lowB // M24
+        lowB = lowB % M24
+        lowA = ((cAh % 4096) * 4096 + cAl) % M24  # overflow = whole cycles
+        b2 = state["acc_b"] + lowB
+        a2 = (state["acc_a"] + lowA + carB + b2 // M24) % M24
+        return a2, b2 % M24
 
     def dr_render(self, state, ddata, interval, n, count):
         import jax.numpy as jnp
         from ._dev import device_split_ds
 
-        # per-frame phase step in cycles; f32 quantization of dc costs
-        # <= n*eps*dc (~1e-5 rad per block), non-accumulating
-        dc = state["freq"] * np.float32(np.float64(interval) / np.float64(TAU32))
+        out = dict(state)
+        if isinstance(interval, (int, float, np.floating)):
+            # static pool interval: the slot row's exact f64-derived step
+            c0 = self._acc_c0(state)
+            _, frac = exact_positions(
+                c0, state["dc_int"], state["f_hi"], state["f_lo"], n
+            )
+            out["acc_a"], out["acc_b"] = self._acc_advance(state, count)
+            out["cyc"] = (
+                out["acc_a"].astype(jnp.float32) * np.float32(2.0**-24)
+                + out["acc_b"].astype(jnp.float32) * np.float32(2.0**-48)
+            )
+            return out, jnp.sin(TAU32 * frac)
+
+        # dynamic per-voice interval (under Speed, speed.rs:32-36): re-derive
+        # the step in-graph; f32 quantization of dc costs <= n*eps*dc
+        # (~1e-5 rad per block); the advance re-quantizes onto the 48-bit
+        # accumulator (no extra drift beyond the f32 step itself)
+        dc = state["freq"] * interval * np.float32(1.0 / np.float64(TAU32))
         dc_int, f_hi, f_lo = device_split_ds(dc)
-        _, frac = exact_positions(state["cyc"], dc_int, f_hi, f_lo, n)
+        c0 = self._acc_c0(state)
+        _, frac = exact_positions(c0, dc_int, f_hi, f_lo, n)
         samples = jnp.sin(TAU32 * frac)
-        # advance the wrapped phase by count frames with exact pieces so the
-        # per-block bias is ~eps (no audible frequency shift)
         cf = count.astype(jnp.float32)
         H = cf * f_hi  # exact
         adv = (H - jnp.floor(H)) + cf * f_lo
-        cyc2 = state["cyc"] + adv
-        cyc2 = cyc2 - jnp.floor(cyc2)
-        return {"freq": state["freq"], "cyc": cyc2}, samples
+        adv = adv - jnp.floor(adv)
+        a48 = jnp.floor(adv * np.float32(2.0**24))
+        lo48 = jnp.floor((adv * np.float32(2.0**24) - a48) * np.float32(2.0**24))
+        M24 = np.int32(1 << 24)
+        b2 = state["acc_b"] + lo48.astype(jnp.int32)
+        a2 = (state["acc_a"] + a48.astype(jnp.int32) + b2 // M24) % M24
+        out["acc_a"], out["acc_b"] = a2, b2 % M24
+        out["cyc"] = self._acc_c0(out)
+        return out, samples
 
     def dr_is_finished(self, state):
         return jnp.zeros(state["freq"].shape, dtype=bool)
@@ -169,4 +244,6 @@ class Sine(Signal):
         inv_tau = np.float32(1.0 / np.float64(TAU32))
         adv = state["freq"] * (np.float32(seconds) * inv_tau)
         cyc2 = state["cyc"] + (adv - jnp.floor(adv))
-        return {"freq": state["freq"], "cyc": cyc2 - jnp.floor(cyc2)}
+        out = dict(state)
+        out["cyc"] = cyc2 - jnp.floor(cyc2)
+        return out

@@ -55,6 +55,42 @@ class Speed(Signal):
         out["inner"] = d2
         return out, block
 
+    # -- device-resident mode ------------------------------------------------
+    # The factor lives on device; set_speed ships as a sparse delta.  The
+    # inner chain re-derives its per-frame step from the (now per-voice)
+    # warped interval in-graph every block (speed.rs:32-36).
+
+    _dr_ctrl_fields = ("speed",)
+
+    def dr_supported(self):
+        return self.channels == 1 and self.inner.dr_supported()
+
+    def dr_state_init(self, V):
+        return {
+            "speed": np.ones(V, np.float32),
+            "inner": self.inner.dr_state_init(V),
+        }
+
+    def dr_slot_row(self, interval):
+        return {
+            "speed": np.float32(self.speed[()]),
+            # row encodes position state at the *unwarped* interval; the
+            # warped step is re-derived in-graph (dynamic-interval path)
+            "inner": self.inner.dr_slot_row(interval),
+        }
+
+    def dr_render(self, state, ddata, interval, n, count):
+        import jax.numpy as jnp
+
+        warped = jnp.asarray(interval, jnp.float32) * state["speed"]
+        d2, samples = self.inner.dr_render(
+            state["inner"], ddata.get("inner", {}), warped, n, count
+        )
+        return {"speed": state["speed"], "inner": d2}, samples
+
+    def dr_is_finished(self, state):
+        return self.inner.dr_is_finished(state["inner"])
+
 
 class SpeedControl:
     """speed.rs:44-55."""

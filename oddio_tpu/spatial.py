@@ -76,6 +76,22 @@ from .ops.geometry import (  # noqa: F401  (re-exported API surface)
 
 DEFAULT_CAPACITY = 16
 
+#: bounds the per-block doppler walk handled by the shift-select read
+#: kernel: |ds-1|*n <= 2K (K=64 covers > ±40 m/s radial at 512@48k; beyond
+#: it the reference itself pops, spatial.rs:241-242)
+K_DOPPLER = 64
+
+#: row granularity of the strip ring layout (gathers/scatters are row-count
+#: bound on this stack, so rows trade per-row overhead against over-fetch)
+RING_ROW = 256
+
+
+def _emax(rate):
+    """Per-ear start offsets within a shared read window sit in [0, emax):
+    row granularity + the inter-ear distance in samples (|d_L - d_R| <=
+    0.215 m, spatial.rs:571-598) + slack."""
+    return RING_ROW + int(np.ceil(0.215 / float(SPEED_OF_SOUND) * rate)) + 2
+
 
 class SpatialOptions:
     """Passed to play/play_buffered (spatial.rs:352-371)."""
@@ -258,53 +274,63 @@ class _VoicePool:
 
 
 class _BufferedPool(_VoicePool):
-    """Voices played via play_buffered: per-voice delay rings on device."""
+    """Voices played via play_buffered whose chains keep host-fed state
+    (Streams, custom signals): per-voice delay rings on device, geometry on
+    the host.  The ring uses the pool-uniform modulus and the same row-strip
+    Pallas write/read kernels as the device-resident pool (elementwise
+    gathers are ~serial on TPU; see ops/pallas_ring.py) — only the cursor
+    math lives host-side here."""
 
     def __init__(self, name, spec, capacity, rate, ring_len):
         self.rate = int(rate)
         self.ring_len = int(ring_len)
+        assert ring_len % RING_ROW == 0
         self._n_inner = 1
         super().__init__(name, spec, capacity)
-        self.ring = None  # jnp (V, L), created lazily
+        self.ring = None  # jnp (V * ring_len/ROW, ROW), created lazily
 
     def _alloc_cols(self, V):
         super()._alloc_cols(V)
         self.write = full((V,), 0.0)
-        self.cap = np.full(V, 1, dtype=np.int32)
         self.max_delay = full((V,), 0.0)
 
-    _COL_NAMES = _VoicePool._COL_NAMES + ["write", "cap", "max_delay"]
+    _COL_NAMES = _VoicePool._COL_NAMES + ["write", "max_delay"]
 
     def grow(self):
         old = self.capacity
         super().grow()
         if self.ring is not None:
-            self.ring = jnp.concatenate(
-                [self.ring, jnp.zeros((self.capacity - old, self.ring_len), jnp.float32)]
-            )
+            add = jnp.zeros(((self.capacity - old) * self._rpv, RING_ROW), jnp.float32)
+            self.ring = jnp.concatenate([self.ring, add])
+
+    @property
+    def _rpv(self):
+        return self.ring_len // RING_ROW  # ring rows per voice
 
     def ring_state(self):
         if self.ring is None:
-            self.ring = jnp.zeros((self.capacity, self.ring_len), jnp.float32)
+            self.ring = jnp.zeros(
+                (self.capacity * self._rpv, RING_ROW), jnp.float32
+            )
         return self.ring
 
     def play(self, spec, options, max_delay):
         i, gen = self.claim(spec, options)
         cap = int(np.ceil(np.float32(max_delay) * np.float32(self.rate))) + 1
         assert cap <= self.ring_len
-        self.cap[i] = cap
         self.max_delay[i] = np.float32(max_delay)
         # SpatialSignalBuffered::new (spatial.rs:39-43): pre-delay the ring by
-        # min(|position|/c, max_delay)
+        # min(|position|/c, max_delay).  The pool modulus is uniform (longer
+        # history than the per-voice cap, audio-identical; PARITY.md).
         d = np.minimum(
             v3_norm(f32(options.position)[None, :])[0] / SPEED_OF_SOUND,
             np.float32(max_delay),
         )
         self.write[i] = rust_rem(
-            np.float32(self.rate) * np.float32(d), np.float32(cap)
+            np.float32(self.rate) * np.float32(d), np.float32(self.ring_len)
         )
         self.ring_state()
-        self.ring = self.ring.at[i].set(0.0)
+        self.ring = self.ring.at[i * self._rpv : (i + 1) * self._rpv].set(0.0)
         return i, gen
 
     def host_prepare(self, prev_rot, rot, interval, n):
@@ -312,21 +338,22 @@ class _BufferedPool(_VoicePool):
         prev_position, next_position = self.common_walk(prev_rot, rot, elapsed)
         V = self.capacity
         ratef = np.float32(self.rate)
-        capf = self.cap.astype(np.float32)
+        L = self.ring_len
+        capf = np.float32(L)
 
-        # Ring::write bookkeeping (ring.rs:18-41)
+        # Ring::write bookkeeping (ring.rs:18-41), uniform modulus
         w = self.write
         end = rust_rem((w + elapsed * ratef).astype(np.float32), capf)
         start_idx = np.ceil(w).astype(np.int64)
         end_idx = np.ceil(end).astype(np.int64)
         n_write = np.where(
-            end_idx > start_idx, end_idx - start_idx, (self.cap - start_idx) + end_idx
+            end_idx > start_idx, end_idx - start_idx, (L - start_idx) + end_idx
         ).astype(np.int32)
         # end_idx == start_idx can only mean a zero-length write in valid use
-        # (elapsed*rate < cap always, since cap = ceil(max_delay*rate)+1 and
-        # elapsed <= max_delay per spatial.rs:403); the reference's split-write
-        # branch (ring.rs:33-38) would write the whole buffer for elapsed == 0,
-        # a degenerate case we treat as zero frames instead.
+        # (elapsed*rate < cap <= L always, since cap = ceil(max_delay*rate)+1
+        # and elapsed <= max_delay per spatial.rs:403); the reference's
+        # split-write branch (ring.rs:33-38) would write the whole buffer for
+        # elapsed == 0, a degenerate case we treat as zero frames instead.
         n_write = np.where(end_idx == start_idx, 0, n_write)
         self.write = end.astype(np.float32)
         # static per (block size, interval): upper bound on any voice's write
@@ -344,70 +371,133 @@ class _BufferedPool(_VoicePool):
         d_gain = ((next_gain - prev_gain) / nf).astype(np.float32)
         # Ring::sample base offset (ring.rs:57): (write' + t*rate) rem_euclid cap
         offset0 = rem_euclid(
-            (self.write[:, None] + prev_off * ratef).astype(np.float32), capf[:, None]
+            (self.write[:, None] + prev_off * ratef).astype(np.float32), capf
         )
         # split into an exact integer base and a fractional start so device
         # positions are near-exact (see ops/_dev.py)
         obase = np.floor(offset0)
         ds = (dt_e * ratef).astype(np.float32)
         ds_int, f_hi, f_lo = split_ds(ds)
-        return {
+        params = {
             "mask": self.mask.copy(),
-            "start": start_idx.astype(np.int32),
             "n_write": n_write,
-            "cap": self.cap.copy(),
-            "obase": obase.astype(np.int32),
-            "ofrac": (offset0 - obase).astype(np.float32),
-            "ds_int": ds_int,
-            "f_hi": f_hi,
-            "f_lo": f_lo,
             "gain0": prev_gain,
             "d_gain": d_gain,
             "inner": inner_params,
         }
+        self._use_strips = bool(self._n_inner <= PAGE + 1 and 0 < n <= 640)
+        start_i = start_idx.astype(np.int32)
+        ob = obase.astype(np.int32)
+        if self._use_strips:
+            # strip window cursors (same scheme as the DR pool, computed on
+            # the host where this pool's cursor state lives): one write
+            # strip per voice, ONE shared read window for both ears
+            K = K_DOPPLER
+            params["wrow"] = start_i // RING_ROW
+            params["extra_w"] = start_i - params["wrow"] * RING_ROW
+            dlr = np.mod(ob[:, 0] - ob[:, 1], L)
+            DMAX = _emax(self.rate) - RING_ROW
+            l_ahead = dlr <= DMAX
+            cm = np.where(l_ahead, ob[:, 1], ob[:, 0])
+            dstart = np.stack(
+                [np.where(l_ahead, dlr, 0), np.where(l_ahead, 0, L - dlr)],
+                axis=-1,
+            )
+            dstart = np.clip(dstart, 0, DMAX)
+            rstart = np.mod(cm - K, L)
+            params["rrow"] = (rstart // RING_ROW).astype(np.int32)
+            params["extra_r"] = (
+                (rstart - params["rrow"] * RING_ROW)[:, None] + dstart
+            ).astype(np.int32)
+            params["scal"] = np.stack(
+                [
+                    (offset0 - obase).astype(np.float32),
+                    f_hi, f_lo, ds_int.astype(np.float32),
+                ],
+                axis=-1,
+            )
+        else:
+            # fallback for exotic block configs (elementwise gather; slow on
+            # TPU, exercised only by tiny CPU test blocks)
+            params["start"] = start_i
+            params["obase"] = ob
+            params["ofrac"] = (offset0 - obase).astype(np.float32)
+            params["ds_int"] = ds_int
+            params["f_hi"] = f_hi
+            params["f_lo"] = f_lo
+        return params
 
     def render(self, dstate, ddata, params, n):
-        # static: set by host_prepare; archetype() includes it so the driver
-        # re-traces when it changes (different block size / interval)
+        # statics set by host_prepare; archetype() includes _n_inner so the
+        # driver re-traces when the block config changes
         n_inner = self._n_inner
-        # derive the voice count from the data: under shard_map this is the
-        # per-shard slice of the pool, not the full capacity
-        V = dstate["ring"].shape[0]
+        # derive the voice count from a per-voice leaf: under shard_map this
+        # is the per-shard slice of the pool, not the full capacity
+        V = params["mask"].shape[0]
         dsub, blocks = jax.vmap(
             lambda d, p: self.sig.render(d, ddata.get("inner", {}), p, n_inner)
         )(dstate["inner"], params["inner"])
         samples = blocks[:, 0, :]  # (V, n_inner) mono
+        L = self.ring_len
+        rpv = self._rpv
 
-        # masked scatter into rings (Ring::write, ring.rs:18-41)
-        ring = dstate["ring"]
-        L = ring.shape[1]
-        j = jnp.arange(n_inner)
-        idx = jnp.mod(params["start"][:, None] + j[None, :], params["cap"][:, None])
-        idx = jnp.where(j[None, :] < params["n_write"][:, None], idx, L)  # drop
-        ring = ring.at[jnp.arange(V)[:, None], idx].set(samples, mode="drop")
+        if not self._use_strips:
+            ring = dstate["ring"].reshape(V, L)
+            j = jnp.arange(n_inner)
+            idx = jnp.mod(params["start"][:, None] + j[None, :], L)
+            idx = jnp.where(j[None, :] < params["n_write"][:, None], idx, L)
+            ring = ring.at[jnp.arange(V)[:, None], idx].set(samples, mode="drop")
+            jn = jnp.arange(n, dtype=jnp.float32)
+            whole, fr = exact_positions(
+                params["ofrac"], params["ds_int"], params["f_hi"], params["f_lo"], n
+            )
+            x = jnp.mod(params["obase"][:, :, None] + whole, L)
+            x1 = jnp.mod(x + 1, L)
+            flat = lambda ix: jnp.take_along_axis(
+                ring, ix.reshape(V, 2 * n), axis=1
+            ).reshape(V, 2, n)
+            a = flat(x)
+            b = flat(x1)
+            s = a + fr * (b - a)
+            gains = (
+                params["gain0"][:, :, None]
+                + jn[None, None, :] * params["d_gain"][:, :, None]
+            )
+            contrib = jnp.where(params["mask"][:, None, None], s * gains, 0.0)
+            return {"ring": ring.reshape(V * rpv, RING_ROW), "inner": dsub}, jnp.sum(contrib, axis=0)
 
-        # fractional delayed read + gain ramp + accumulate (ring.rs:51-79,
-        # spatial.rs:420-430); near-exact positions via the split trick
-        jn = jnp.arange(n, dtype=jnp.float32)
-        whole, fr = exact_positions(
-            params["ofrac"], params["ds_int"], params["f_hi"], params["f_lo"], n
+        # row-strip path (ring.rs:18-41 write, ring.rs:51-79 +
+        # spatial.rs:409-431 read), shared kernels with the DR pool
+        interp = jax.default_backend() != "tpu"
+        view = dstate["ring"]  # (V*rpv, ROW)
+        vbase = jnp.arange(V, dtype=jnp.int32) * rpv
+        n_rows_w = (RING_ROW - 1 + n_inner - 1) // RING_ROW + 1
+        idx_w = (
+            vbase[:, None] + jnp.mod(params["wrow"][:, None] + jnp.arange(n_rows_w), rpv)
+        ).reshape(-1)
+        wstrips = jnp.take(view, idx_w, axis=0).reshape(V, n_rows_w * RING_ROW)
+        wstrips = strip_place(
+            wstrips, samples, params["extra_w"], params["n_write"],
+            interpret=interp,
         )
-        cap3 = params["cap"][:, None, None]
-        x = jnp.mod(params["obase"][:, :, None] + whole, cap3)
-        x1 = jnp.mod(x + 1, cap3)
-        flat = lambda ix: jnp.take_along_axis(
-            ring, ix.reshape(V, 2 * n), axis=1
-        ).reshape(V, 2, n)
-        a = flat(x)
-        b = flat(x1)
-        s = a + fr * (b - a)
-        gains = (
-            params["gain0"][:, :, None]
-            + jn[None, None, :] * params["d_gain"][:, :, None]
+        view = view.at[idx_w].set(wstrips.reshape(-1, RING_ROW))
+
+        emax = _emax(self.rate)
+        K = K_DOPPLER
+        H7 = (emax - 1 + 2 * K) // 128 + 1
+        nsb = -(-n // 128)
+        need = (nsb - 1) * 128 + 128 * (H7 - 1) + 384
+        n_rows_r = -(-need // RING_ROW)
+        idx_r = (
+            vbase[:, None] + jnp.mod(params["rrow"][:, None] + jnp.arange(n_rows_r), rpv)
+        ).reshape(-1)
+        rstrips = jnp.take(view, idx_r, axis=0).reshape(V, n_rows_r * RING_ROW)
+        out = strip_select(
+            rstrips, jnp.asarray(params["scal"]), params["gain0"],
+            params["d_gain"], params["mask"].astype(jnp.float32),
+            params["extra_r"], n=n, K=K, emax=emax, interpret=interp,
         )
-        contrib = jnp.where(params["mask"][:, None, None], s * gains, 0.0)
-        out = jnp.sum(contrib, axis=0)  # (2, n)
-        return {"ring": ring, "inner": dsub}, out
+        return {"ring": view, "inner": dsub}, out
 
 
 class _SeekPool(_VoicePool):
@@ -457,7 +547,10 @@ class _SeekPool(_VoicePool):
         return {"inner": d3}, jnp.sum(contrib, axis=0)
 
 
-class _DRPoolBase:
+from .core.drctrl import DRCtrlMixin
+
+
+class _DRPoolBase(DRCtrlMixin):
     """Shared device-resident control plane for spatial voice pools.
 
     All per-voice control state — motion, smoothing, lingering, masks, and
@@ -496,6 +589,7 @@ class _DRPoolBase:
         #: always ship delta arrays (ScenePack needs uniform structures)
         self.force_deltas = False
         self.state = None
+        self._init_ctrl(spec)
 
     # -- state ---------------------------------------------------------------
 
@@ -560,6 +654,7 @@ class _DRPoolBase:
                 )
             s._moved = True
             stack.extend(s.children().values())
+        self._rebind_ctrl(spec, i, gen)
         return i, gen
 
     def _geom_row(self, options):
@@ -680,9 +775,11 @@ class _DRPoolBase:
         # (the reference's "no glitches" contract, README.md:11)
         has = (
             bool(self.pending_plays) or bool(self.pending_motion)
-            or self.force_deltas or force
+            or self._ctrl_pending_any() or self.force_deltas or force
         )
         self._has_play = self._has_mot = has
+        if has:
+            self._ctrl_delta_params(params)
         if self._has_play:
             Kp = self.k_play
             take = self.pending_plays[:Kp]
@@ -738,6 +835,9 @@ class _DRPoolBase:
                 S["inner"], rows["inner"],
             )
             self._clear_rows(S, pidx)
+
+        # 1b. control-field deltas (set_gain/set_speed/..., gain.rs:103-108)
+        S["inner"] = self._ctrl_apply(S["inner"], params)
 
         # 2. motion refresh (swap-channel drain + smoothing, spatial.rs:216-227)
         if "mot_idx" in params:
@@ -1210,6 +1310,7 @@ class SpatialScene(Signal):
 
                 st["pending_plays"] = _copy.deepcopy(p.pending_plays)
                 st["pending_motion"] = _copy.deepcopy(p.pending_motion)
+                st["pending_ctrl"] = _copy.deepcopy(p.pending_ctrl)
             else:
                 st["cols"] = {c: np.copy(getattr(p, c)) for c in p._COL_NAMES}
                 st["sig"] = _host_state(p.sig)
@@ -1234,6 +1335,9 @@ class SpatialScene(Signal):
 
                 p.pending_plays = _copy.deepcopy(st.get("pending_plays", []))
                 p.pending_motion = _copy.deepcopy(st.get("pending_motion", {}))
+                p.pending_ctrl = _copy.deepcopy(
+                    st.get("pending_ctrl", p.pending_ctrl)
+                )
             else:
                 for c, v in st["cols"].items():
                     setattr(p, c, np.copy(v))
@@ -1265,6 +1369,16 @@ class SpatialScene(Signal):
         )
         return ("SpatialScene", pools)
 
+    def host_structure_event(self):
+        for p in self._all_pools():
+            if getattr(p, "is_dr", False):
+                # bulk plays apply eagerly outside the jitted step
+                if len(p.pending_plays) > p.k_play:
+                    return True
+            elif p.sig.host_structure_event():
+                return True
+        return False
+
     def host_prepare(self, interval, n, count=None):
         # listener rotation swap refresh (spatial.rs:382-386)
         prev_rot = self._rot
@@ -1278,6 +1392,7 @@ class SpatialScene(Signal):
         # which pool the events hit (retrace containment)
         force = any(
             bool(p.pending_plays) or bool(p.pending_motion)
+            or p._ctrl_pending_any()
             for p in self._all_pools()
             if getattr(p, "is_dr", False)
         )

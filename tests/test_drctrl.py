@@ -1,0 +1,132 @@
+"""Device-resident control deltas: Gain/Speed handles writing into DR pools
+(gain.rs:103-108, speed.rs:32-36 semantics on the TPU control plane)."""
+
+import numpy as np
+
+import oddio_tpu as ot
+
+
+class _HostGain(ot.Gain):
+    """Forces the host pool path (the golden-matched baseline)."""
+
+    def dr_supported(self):
+        return False
+
+
+class _HostSpeed(ot.Speed):
+    def dr_supported(self):
+        return False
+
+
+def test_mixer_gain_dr_matches_host():
+    """Gain-wrapped chains ride the DR mixer pool; a mid-stream set_gain
+    ramps identically to the host path (the only divergence is the Sine DR
+    phase quantization, ~2e-5/voice/block)."""
+    outs = []
+    for G in (ot.Gain, _HostGain):
+        control, mixer = ot.Mixer.new(channels=1)
+        gcs = []
+        for i in range(6):
+            gc, g = G.new(ot.Sine(0.1 * i, 200.0 + 50 * i))
+            gcs.append(gc)
+            control.play(g)
+        pool = list(mixer._pools.values())[0]
+        assert pool.is_dr == (G is ot.Gain)
+        r = ot.Renderer(mixer, 8000)
+        a = r.render_frames(1024)
+        for gc in gcs[::2]:
+            gc.set_gain(-12.0)
+        gcs[1].set_amplitude_ratio(2.0)
+        b = r.render_frames(2048)
+        # handle getters read the mirror regardless of pool kind
+        assert abs(gcs[0].gain() - (-12.0)) < 1e-4
+        assert abs(gcs[1].amplitude_ratio() - 2.0) < 1e-6
+        outs.append(np.concatenate([a, b]))
+    err = np.abs(outs[0] - outs[1]).max()
+    assert err < 5e-4, err
+
+
+def test_mixer_speed_dr_matches_host():
+    """Speed-wrapped FramesSignal chains: the DR pool re-derives the warped
+    per-voice step in-graph; output matches the host pool's f32 parameter
+    flow except cursor-split rounding (<= ~1e-5)."""
+    frames_data = np.sin(np.linspace(0, 300, 4000)).astype(np.float32)
+    outs = []
+    for S in (ot.Speed, _HostSpeed):
+        frames = ot.Frames.from_slice(8000, frames_data)
+        control, mixer = ot.Mixer.new(channels=1)
+        scs = []
+        for j in range(4):
+            sc, s = S.new(ot.FramesSignal(frames, 0.0))
+            scs.append(sc)
+            control.play(s)
+        pool = list(mixer._pools.values())[0]
+        assert pool.is_dr == (S is ot.Speed)
+        r = ot.Renderer(mixer, 8000)
+        a = r.render_frames(1024)
+        for j, sc in enumerate(scs):
+            sc.set_speed(0.5 + 0.5 * j)
+        b = r.render_frames(1024)
+        assert abs(scs[2].speed() - 1.5) < 1e-6
+        outs.append(np.concatenate([a, b]))
+    err = np.abs(outs[0] - outs[1]).max()
+    assert err < 1e-4, err
+
+
+def test_spatial_buffered_gain_dr():
+    """Gain chains inside the buffered spatial DR pool: set_gain mid-flight
+    scales the spatialized output with the 0.1 s ramp."""
+    control, scene = ot.SpatialScene.new()
+    gc, g = ot.Gain.new(ot.Sine(0.0, 250.0))
+    h = control.play_buffered(
+        g, ot.SpatialOptions(position=[0.0, 0.0, -2.0]),
+        max_distance=10.0, rate=8000, buffer_duration=0.05,
+    )
+    pool = list(scene._buffered_pools.values())[0]
+    assert pool.is_dr
+    r = ot.Renderer(scene, 8000)
+    loud = r.render_frames(2048)
+    gc.set_amplitude_ratio(0.0)
+    r.render_frames(1024)  # 0.1 s ramp (800 frames) completes
+    quiet = r.render_frames(1024)
+    assert np.sqrt((quiet**2).mean()) < 1e-3 * np.sqrt((loud**2).mean())
+
+
+def test_ctrl_retrace_containment():
+    """set_gain traffic reuses the existing delta step variant."""
+    control, mixer = ot.Mixer.new(channels=1)
+    gcs = []
+    for i in range(4):
+        gc, g = ot.Gain.new(ot.Sine(0.0, 300.0 + i))
+        gcs.append(gc)
+        control.play(g)
+    r = ot.Renderer(mixer, 8000)
+    r.render_block(256)  # delta variant
+    r.render_block(256)  # idle variant
+    warm = set(r._steps.keys())
+    assert len(warm) == 2
+    for i in range(6):
+        if i % 2:
+            gcs[i % 4].set_gain(-6.0 * i)
+        r.render_block(256)
+    assert set(r._steps.keys()) == warm
+
+
+def test_ctrl_stale_handle_noop():
+    """Writes through a handle of a reclaimed voice are dropped (slot
+    generations), like the reference's orphaned atomics."""
+    frames = ot.Frames.from_slice(8000, np.ones(64, np.float32))
+    control, mixer = ot.Mixer.new(channels=1)
+    gc, g = ot.Gain.new(ot.FramesSignal(frames, 0.0))
+    h = control.play(g)
+    pool = list(mixer._pools.values())[0]
+    assert pool.is_dr
+    r = ot.Renderer(mixer, 8000, sync_every=1)
+    for _ in range(4):  # source finishes, voice reclaimed
+        r.render_block(256)
+    assert h.is_stopped()
+    gc2, g2 = ot.Gain.new(ot.FramesSignal(ot.Frames.from_slice(8000, np.full(2048, 0.5, np.float32)), 0.0))
+    h2 = control.play(g2)  # reuses the slot
+    gc.set_amplitude_ratio(0.0)  # stale: must not touch the new voice
+    out = r.render_frames(512)
+    assert np.abs(out).max() > 0.4

@@ -215,3 +215,71 @@ def test_fader_mid_fade_command_waits():
     np.testing.assert_allclose(out[-1], np.sqrt(0.75) * 7.0, atol=1e-5)
     out = mono(sample(s, 0.25, 2))
     np.testing.assert_allclose(out, [7.0, 7.0], atol=1e-6)
+
+
+def test_fader_inside_mixer_pool():
+    """A Fader voice boxed into a Mixer (mixer.rs:18-26): pooled fades match
+    the standalone fader bit-for-bit, swap on completion, and fade again."""
+    def run(pooled):
+        control_f, fader = ot.Fader.new(ot.Sine(0.25, 220.0))
+        if pooled:
+            mc, mixer = ot.Mixer.new(channels=1)
+            mc.play(fader)
+            r = ot.Renderer(mixer, 8000)
+        else:
+            r = ot.Renderer(fader, 8000)
+        pieces = [r.render_frames(512)]
+        control_f.fade_to(ot.Sine(0.75, 440.0), 0.1)
+        pieces.append(r.render_frames(1536))  # fade (800) + post-swap idle
+        control_f.fade_to(ot.Sine(0.1, 330.0), 0.05)
+        pieces.append(r.render_frames(1024))
+        return np.concatenate(pieces)
+
+    a = run(pooled=False)
+    b = run(pooled=True)
+    err = np.abs(a - b).max()
+    assert err < 1e-6, err
+
+
+def test_fader_pool_no_retrace_and_waiting():
+    """Pooled fades never change the traced structure (zero recompiles);
+    a fade_to during a fade waits and last-wins (fader.rs:38-47)."""
+    mc, mixer = ot.Mixer.new(channels=1)
+    controls = []
+    for i in range(3):
+        fc, f = ot.Fader.new(ot.Constant(1.0))
+        controls.append(fc)
+        mc.play(f)
+    r = ot.Renderer(mixer, 8000)
+    r.render_block(256)
+    warm = set(r._steps.keys())
+    controls[0].fade_to(ot.Constant(0.0), 0.05)
+    r.render_block(256)
+    controls[0].fade_to(ot.Constant(9.0), 0.05)  # waits (fade in progress)
+    controls[0].fade_to(ot.Constant(5.0), 0.05)  # replaces the waiter
+    for _ in range(6):
+        r.render_block(256)
+    out = r.render_block(256)
+    # voice 0 ended at 5.0; others still 1.0 -> mix = 7.0
+    np.testing.assert_allclose(out, 7.0, atol=1e-5)
+    assert set(r._steps.keys()) == warm, "pooled fade caused a retrace"
+
+
+def test_fader_as_buffered_spatial_voice():
+    """Fader chains play into the buffered spatial pool."""
+    control, scene = ot.SpatialScene.new()
+    fc, f = ot.Fader.new(ot.Sine(0.0, 300.0))
+    control.play_buffered(
+        f, ot.SpatialOptions(position=[-5.0, 0.0, 0.0]),
+        max_distance=20.0, rate=8000, buffer_duration=0.05,
+    )
+    r = ot.Renderer(scene, 8000)
+    before = r.render_frames(1024)
+    fc.fade_to(ot.Sine(0.0, 600.0), 0.05)
+    r.render_frames(1024)
+    after = r.render_frames(2048)
+    assert np.abs(before).max() > 0
+    # after the swap the voice plays 600 Hz
+    spec = np.abs(np.fft.rfft(after[:, 0]))
+    hz = np.argmax(spec) * 8000 / len(after)
+    assert abs(hz - 600.0) < 8.0, hz
