@@ -57,18 +57,43 @@ class ScenePack:
     def _specs(self, tree, prefix_dims):
         return jax.tree.map(lambda _: P(*prefix_dims), tree)
 
+    def _state_specs(self):
+        """Per-leaf partition specs for the stacked device state: voice-axis
+        leaves shard P(scene, voice); scene-level leaves (e.g. the listener
+        rotation) replicate over the voice axis."""
+        proto = self.scenes[0]
+        va = getattr(proto, "device_state_voice_axes", None)
+        if va is None:
+            return self._specs(proto.device_collect(), (SCENE_AXIS, VOICE_AXIS))
+        return jax.tree.map(
+            lambda v: P(SCENE_AXIS, VOICE_AXIS) if v else P(SCENE_AXIS), va()
+        )
+
     def _ensure_state(self):
         arch = self.scenes[0].archetype()
-        if self._dstate is None or arch != self._arch:
-            self._arch = arch
-            stacked = _stack([jax.tree.map(np.asarray, s.device_collect())
-                              for s in self.scenes])
-            sharding = jax.sharding.NamedSharding(
-                self.mesh, P(SCENE_AXIS, VOICE_AXIS)
-            )
-            self._dstate = jax.tree.map(
-                lambda x: jax.device_put(x, sharding), stacked
-            )
+        if self._dstate is not None and arch == self._arch:
+            return
+        stacked = _stack([jax.tree.map(np.asarray, s.device_collect())
+                          for s in self.scenes])
+        if self._dstate is not None:
+            # param-side archetype changes (delta variants, block configs)
+            # must NOT reset the carried device state — rebuild only when
+            # the state tree itself changed shape (e.g. pool growth)
+            old_l, old_t = jax.tree.flatten(self._dstate)
+            new_l, new_t = jax.tree.flatten(stacked)
+            if old_t == new_t and all(
+                a.shape == b.shape for a, b in zip(old_l, new_l)
+            ):
+                self._arch = arch
+                return
+        self._arch = arch
+        specs = self._state_specs()
+        self._dstate = jax.tree.map(
+            lambda x, sp: jax.device_put(
+                x, jax.sharding.NamedSharding(self.mesh, sp)
+            ),
+            stacked, specs,
+        )
 
     def _get_step(self, n):
         key = (self._arch, n)
@@ -93,16 +118,17 @@ class ScenePack:
         pspecs = jax.tree.map(
             lambda f: P(SCENE_AXIS, VOICE_AXIS) if f else P(SCENE_AXIS), vflags
         )
+        sspecs = self._state_specs()
         mapped = jax.shard_map(
             shard_fn,
             mesh=self.mesh,
             in_specs=(
-                self._specs(self._dstate, (SCENE_AXIS, VOICE_AXIS)),
+                sspecs,
                 self._specs(proto.device_data(), ()),
                 pspecs,
             ),
             out_specs=(
-                self._specs(self._dstate, (SCENE_AXIS, VOICE_AXIS)),
+                sspecs,
                 P(SCENE_AXIS),
             ),
             check_vma=False,

@@ -908,9 +908,9 @@ class _SeekPoolDR(_DRPoolBase):
         return i, gen
 
     def host_prepare(self, prev_rot, rot, interval, n, force=False):
+        # rotation values arrive in-graph from the scene's "_rot" state leaf
         self._elapsed = float(np.float32(f32(interval) * np.float32(n)))
-        params = {"rot_prev": f32(prev_rot), "rot": f32(rot)}
-        return self._delta_params(params, force)
+        return self._delta_params({}, force)
 
     def render(self, dstate, ddata, params, n):
         from .ops.geometry import ear_states
@@ -1076,8 +1076,7 @@ class _BufferedPoolDR(_DRPoolBase):
         # strip; the DMA path's 2-page strip is the tightest at n <= 640)
         assert self._n_inner <= PAGE + 1
         assert n <= 640, "block too large for the delay-ring read window"
-        params = {"rot_prev": f32(prev_rot), "rot": f32(rot)}
-        return self._delta_params(params, force)
+        return self._delta_params({}, force)
 
     def render(self, dstate, ddata, params, n):
         from .ops.geometry import ear_states
@@ -1223,6 +1222,8 @@ class SpatialScene(Signal):
         self.initial_capacity = initial_capacity
         self._rot = np.array([1.0, 0.0, 0.0, 0.0], dtype=np.float32)
         self._rot_pending = None
+        self._rot_dev = None  # device copy ("_rot" state leaf)
+        self._has_rot = False
         self._seek_pools = {}
         self._buffered_pools = {}
 
@@ -1324,6 +1325,7 @@ class SpatialScene(Signal):
 
         self._rot = snap["rot"].copy()
         self._rot_pending = snap["rot_pending"]
+        self._rot_dev = None  # re-upload the restored rotation
         for p in self._all_pools():
             st = snap[p.name]
             p.slot_gen = st["gen"].copy()
@@ -1367,7 +1369,7 @@ class SpatialScene(Signal):
             )
             for p in self._all_pools()
         )
-        return ("SpatialScene", pools)
+        return ("SpatialScene", self._has_rot, pools)
 
     def host_structure_event(self):
         for p in self._all_pools():
@@ -1380,9 +1382,18 @@ class SpatialScene(Signal):
         return False
 
     def host_prepare(self, interval, n, count=None):
-        # listener rotation swap refresh (spatial.rs:382-386)
+        # listener rotation swap refresh (spatial.rs:382-386).  The host
+        # keeps the authoritative mirror; device-resident pools read the
+        # device copy ("_rot" state leaf, updated via a delta only when a
+        # rotation event occurs) so idle blocks ship no rotation params.
         prev_rot = self._rot
-        if self._rot_pending is not None:
+        rot_event = self._rot_pending is not None
+        if rot_event:
+            if self._rot_dev is None:
+                # materialize the device copy of the PRE-event rotation now:
+                # the in-graph refresh needs (prev, new), and device_collect
+                # runs after this swap
+                self._rot_dev = jnp.asarray(self._rot)
             self._rot = self._rot_pending
             self._rot_pending = None
         rot = self._rot
@@ -1390,13 +1401,16 @@ class SpatialScene(Signal):
         # queued events, every DR pool ships (padded) delta arrays, so a live
         # scene alternates between exactly two step variants regardless of
         # which pool the events hit (retrace containment)
-        force = any(
+        force = rot_event or any(
             bool(p.pending_plays) or bool(p.pending_motion)
-            or p._ctrl_pending_any()
+            or p._ctrl_pending_any() or p.force_deltas
             for p in self._all_pools()
             if getattr(p, "is_dr", False)
         )
+        self._has_rot = force
         out = {}
+        if force:
+            out["_rot_new"] = rot.copy()
         for p in self._all_pools():
             if getattr(p, "is_dr", False):
                 out[p.name] = p.host_prepare(prev_rot, rot, f32(interval), n, force)
@@ -1405,7 +1419,9 @@ class SpatialScene(Signal):
         return out
 
     def device_collect(self):
-        out = {}
+        if self._rot_dev is None:
+            self._rot_dev = jnp.asarray(self._rot)
+        out = {"_rot": self._rot_dev}
         for p in self._all_pools():
             if getattr(p, "is_dr", False):
                 out[p.name] = p.dr_state()
@@ -1417,6 +1433,7 @@ class SpatialScene(Signal):
         return out
 
     def device_store(self, d):
+        self._rot_dev = d["_rot"]
         for p in self._all_pools():
             if getattr(p, "is_dr", False):
                 p.state = d[p.name]
@@ -1434,10 +1451,18 @@ class SpatialScene(Signal):
         }
 
     def render(self, dstate, ddata, params, n):
+        # rotation refresh in-graph: prev = state, cur = delta (if any)
+        rot_prev = dstate["_rot"]
+        rot_cur = params["_rot_new"] if "_rot_new" in params else rot_prev
         out = jnp.zeros((2, n), dtype=jnp.float32)
-        d2 = {}
+        d2 = {"_rot": rot_cur}
         for p in self._all_pools():
-            dsub, block = p.render(dstate[p.name], ddata[p.name], params[p.name], n)
+            pp = params[p.name]
+            if getattr(p, "is_dr", False):
+                pp = dict(pp)
+                pp["rot_prev"] = rot_prev
+                pp["rot"] = rot_cur
+            dsub, block = p.render(dstate[p.name], ddata[p.name], pp, n)
             d2[p.name] = dsub
             out = out + block
         return d2, out
@@ -1448,12 +1473,24 @@ class SpatialScene(Signal):
         ship per-voice arrays (voice-sharded)."""
         import jax
 
-        return {
+        out = {
             p.name: jax.tree.map(
                 lambda _, dr=getattr(p, "is_dr", False): not dr, params[p.name]
             )
             for p in self._all_pools()
         }
+        if "_rot_new" in params:
+            out["_rot_new"] = False
+        return out
+
+    def device_state_voice_axes(self):
+        """Which device-state leaves carry a leading voice axis (for
+        sharding); the scene-level rotation replicates."""
+        import jax
+
+        out = jax.tree.map(lambda _: True, self.device_collect())
+        out["_rot"] = False
+        return out
 
 
 class SpatialSceneControl:
