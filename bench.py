@@ -92,13 +92,13 @@ def measure(scene, handles, rng, label):
     # Dispatches pipeline (audio stays on device; handle-state readbacks are
     # prefetched); the device-state carry chains every chunk, so the single
     # digest fetch at the end synchronizes the whole pipeline.
-    # Best of 3 trials: the ~0.4 MB/s relay tunnel between this host and the
+    # Best of 5 trials: the ~0.4 MB/s relay tunnel between this host and the
     # TPU injects 0.3-1 s of nondeterministic stall into the ~5 KB/chunk
     # control uploads — noise a locally attached TPU does not have.
     audio = NCHUNKS * CHUNK * BLOCK / RATE
     trials = []
     upd = 0
-    for t in range(3):
+    for t in range(5):
         t0 = time.time()
         for c in range(NCHUNKS):
             for h in handles[upd : upd + 64]:
@@ -112,7 +112,7 @@ def measure(scene, handles, rng, label):
         trials.append(audio / wall)
     scene.sync()
     xrt = max(trials)
-    log(f"[{label}] {NCHUNKS} chunks ({audio:.2f}s audio) x3 trials -> "
+    log(f"[{label}] {NCHUNKS} chunks ({audio:.2f}s audio) x5 trials -> "
         + ", ".join(f"{x:.1f}" for x in trials)
         + f"x RT (best {xrt:.1f}x, live motion control)")
 

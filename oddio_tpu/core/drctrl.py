@@ -15,7 +15,6 @@ and control traffic never retraces the step.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 __all__ = ["DRCtrlMixin", "walk_ctrl_keys"]
 
@@ -92,7 +91,7 @@ class DRCtrlMixin:
     def _ctrl_apply(self, inner_state, params):
         """Scatter queued control writes into the inner state tree (applied
         after plays, so a write always lands on the voice it targeted)."""
-        if f"ctrl_idx0" not in params or not self.ctrl_keys:
+        if "ctrl_idx0" not in params or not self.ctrl_keys:
             return inner_state
         from ..parallel.context import localize_index
 

@@ -113,3 +113,61 @@ class Adapt(Signal):
             step, dstate["avg"], (block.T, jnp.arange(n, dtype=jnp.int32))
         )
         return {"avg": avg, "inner": d2}, out.T
+
+    # -- device-resident mode ------------------------------------------------
+    # The EMA carry lives on device already; in DR pools the option columns
+    # join it and the scan runs batched over the whole pool (the same
+    # per-frame op order as the vmapped host path — bit-identical).
+
+    def dr_supported(self):
+        return self.channels == 1 and self.inner.dr_supported()
+
+    def dr_state_init(self, V):
+        return {
+            "tau": np.full(V, 0.1, np.float32),
+            "max_gain": np.ones(V, np.float32),
+            "low": np.full(V, 0.1, np.float32),
+            "high": np.full(V, 0.5, np.float32),
+            "avg": np.ones(V, np.float32),
+            "inner": self.inner.dr_state_init(V),
+        }
+
+    def dr_slot_row(self, interval):
+        return {
+            "tau": np.float32(self.tau[()]),
+            "max_gain": np.float32(self.max_gain[()]),
+            "low": np.float32(self.low[()]),
+            "high": np.float32(self.high[()]),
+            "avg": np.float32(self.avg0[()]),
+            "inner": self.inner.dr_slot_row(interval),
+        }
+
+    def dr_render(self, state, ddata, interval, n, count):
+        d2, samples = self.inner.dr_render(
+            state["inner"], ddata.get("inner", {}), interval, n, count
+        )
+        # adapt.rs:70: alpha = 1 - exp(-interval / tau)
+        alpha = 1.0 - jnp.exp(-jnp.asarray(interval, jnp.float32) / state["tau"])
+        one_m = 1.0 - alpha
+
+        def step(avg, xi):
+            s, i = xi  # (V,) mono frame, scalar index
+            avg2 = s * s * alpha + avg * one_m
+            avg_peak = jnp.sqrt(avg2) * _SQRT2
+            gain = jnp.where(
+                avg_peak < state["low"],
+                jnp.minimum(state["low"] / avg_peak, state["max_gain"]),
+                jnp.where(avg_peak > state["high"], state["high"] / avg_peak, 1.0),
+            )
+            carry = jnp.where(i < count, avg2, avg)
+            return carry, s * gain
+
+        avg, out = jax.lax.scan(
+            step, state["avg"], (samples.T, jnp.arange(n, dtype=jnp.int32))
+        )
+        st = dict(state)
+        st["avg"], st["inner"] = avg, d2
+        return st, out.T
+
+    def dr_is_finished(self, state):
+        return self.inner.dr_is_finished(state["inner"])

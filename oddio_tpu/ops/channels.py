@@ -56,6 +56,51 @@ class _Wrapper(Signal):
         out["inner"] = d2
         return out, block
 
+    # -- device-resident plumbing for stateless mono wrappers --------------------
+    # Subclasses that transform samples elementwise (Reinhard, Tanh) opt in
+    # by overriding ``_dr_map``; mono-only, like all DR chains.
+
+    _dr_map = None
+
+    def dr_supported(self):
+        return (
+            self._dr_map is not None
+            and self.channels == 1
+            and self.inner.dr_supported()
+        )
+
+    def dr_state_init(self, V):
+        return {"inner": self.inner.dr_state_init(V)}
+
+    def dr_slot_row(self, interval):
+        return {"inner": self.inner.dr_slot_row(interval)}
+
+    def dr_render(self, state, ddata, interval, n, count):
+        d2, samples = self.inner.dr_render(
+            state["inner"], ddata.get("inner", {}), interval, n, count
+        )
+        return {"inner": d2}, type(self)._dr_map(samples)
+
+    def dr_is_finished(self, state):
+        return self.inner.dr_is_finished(state["inner"])
+
+    def dr_seek_supported(self):
+        return (
+            self._dr_map is not None
+            and self.channels == 1
+            and self.seekable
+            and self.inner.dr_seek_supported()
+        )
+
+    def dr_warp_render(self, state, ddata, t0, dt, n):
+        samples = self.inner.dr_warp_render(
+            state["inner"], ddata.get("inner", {}), t0, dt, n
+        )
+        return type(self)._dr_map(samples)
+
+    def dr_advance(self, state, seconds):
+        return {"inner": self.inner.dr_advance(state["inner"], seconds)}
+
 
 class MonoToStereo(_Wrapper):
     """signal.rs:61-91 — duplicate a mono signal into both stereo channels."""

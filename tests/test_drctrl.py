@@ -130,3 +130,27 @@ def test_ctrl_stale_handle_noop():
     gc.set_amplitude_ratio(0.0)  # stale: must not touch the new voice
     out = r.render_frames(512)
     assert np.abs(out).max() > 0.4
+
+
+def test_adapt_limit_dr_matches_host():
+    """Adapt (AGC) and Reinhard/Tanh chains ride DR mixer pools and match
+    the host-pool path."""
+    class _HostAdapt(ot.Adapt):
+        def dr_supported(self):
+            return False
+
+    outs = []
+    for A in (ot.Adapt, _HostAdapt):
+        control, mixer = ot.Mixer.new(channels=1)
+        for i in range(4):
+            chain = ot.Tanh(ot.Reinhard(A(
+                ot.FixedGain(ot.Sine(0.2 * i, 150.0 + 80 * i), 12.0),
+                0.05, ot.AdaptOptions(tau=0.05, max_gain=4.0),
+            )))
+            control.play(chain)
+        pool = list(mixer._pools.values())[0]
+        assert pool.is_dr == (A is ot.Adapt)
+        r = ot.Renderer(mixer, 8000)
+        outs.append(r.render_frames(2048))
+    err = np.abs(outs[0] - outs[1]).max()
+    assert err < 2e-5, err
