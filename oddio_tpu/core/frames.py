@@ -34,14 +34,39 @@ from ..ops._dev import exact_positions, lerp, split_ds
 __all__ = ["Frames", "FramesSignal", "FramesSignalControl"]
 
 
+#: row granularity of the guarded arena (matches the ring/kernel row size)
+ARENA_ROW = 256
+#: zero-guard length around each guarded region: covers a whole block's read
+#: span (RESAMPLE_NMAX * RESAMPLE_DSMAX) plus cursor-row slack, so
+#: out-of-range reads hit literal zeros (frames.rs:105-123) with no masking
+ARENA_GUARD = 3072
+#: maximum read span a looped region must cover past its cursor
+_LOOP_SPAN = ARENA_GUARD
+
+
+def _row_pad(k):
+    return (-k) % ARENA_ROW
+
+
 class _Arena:
-    """Concatenated device storage for all Frames with a given channel count."""
+    """Concatenated device storage for all Frames with a given channel count.
+
+    Two mono layouts exist side by side for the device-resident kernel path:
+    *guarded* regions ([zeros, data, zeros], row-aligned — FramesSignal) and
+    *looped* regions (data replicated to cover one block's span past the
+    seam, row-aligned — Cycle), both in a second "garena" array viewed as
+    (rows, 256) so window fetches are row-granular."""
 
     def __init__(self, channels):
         self.channels = channels
         self._chunks = []  # list of np arrays
         self._total = 0
         self._device = None
+        # one leading zero row so window fetches biased a sample before a
+        # region start still index valid rows
+        self._gchunks = [np.zeros(ARENA_ROW, np.float32)]
+        self._gtotal = ARENA_ROW
+        self._gdevice = None
 
     def add(self, data):
         off = self._total
@@ -49,6 +74,29 @@ class _Arena:
         self._total += data.shape[0]
         self._device = None
         return off
+
+    def add_guarded(self, data):
+        """Returns the garena sample index of data[0]."""
+        z = np.zeros(ARENA_GUARD, np.float32)
+        tail = np.zeros(ARENA_GUARD + _row_pad(len(data)), np.float32)
+        for c in (z, data, tail):
+            self._gchunks.append(c)
+        off = self._gtotal + ARENA_GUARD
+        self._gtotal += len(z) + len(data) + len(tail)
+        self._gdevice = None
+        return off
+
+    def add_looped(self, data):
+        """Returns (offset of data[0], region length in samples)."""
+        copies = 1 + -(-(_LOOP_SPAN + 2) // max(len(data), 1))
+        rep = np.tile(data, copies)
+        pad = np.zeros(_row_pad(len(rep)), np.float32)
+        off = self._gtotal
+        self._gchunks.append(rep)
+        self._gchunks.append(pad)
+        self._gtotal += len(rep) + len(pad)
+        self._gdevice = None
+        return off, len(rep)
 
     def device(self):
         if self._device is None:
@@ -58,6 +106,13 @@ class _Arena:
             else:
                 self._device = jnp.asarray(np.concatenate(self._chunks, axis=0))
         return self._device
+
+    def device_rows(self):
+        """The guarded arena as (rows, 256) f32."""
+        if self._gdevice is None:
+            flat = np.concatenate(self._gchunks)
+            self._gdevice = jnp.asarray(flat.reshape(-1, ARENA_ROW))
+        return self._gdevice
 
 
 _ARENAS = {}
@@ -83,6 +138,22 @@ class Frames:
         self.data = data
         self.arena = _arena(self.channels)
         self.offset = self.arena.add(data)
+        self._guard_off = None  # lazy guarded region (FramesSignal DR kernel)
+        self._loop_off = None  # lazy looped region (Cycle DR kernel)
+
+    def guard_off(self):
+        if self._guard_off is None:
+            if self.channels != 1:
+                raise ValueError("guarded regions are mono-only")
+            self._guard_off = self.arena.add_guarded(self.data)
+        return self._guard_off
+
+    def loop_off(self):
+        if self._loop_off is None:
+            if self.channels != 1:
+                raise ValueError("looped regions are mono-only")
+            self._loop_off = self.arena.add_looped(self.data)
+        return self._loop_off
 
     @classmethod
     def from_slice(cls, rate, samples):
@@ -138,7 +209,7 @@ class FramesSignal(Signal):
     """An audio signal backed by static samples (frames.rs:141-214)."""
 
     seekable = True
-    _host_fields = ("t", "off", "length", "rate")
+    _host_fields = ("t", "off", "length", "rate", "goff")
 
     def __init__(self, frames, start_seconds=0.0):
         super().__init__()
@@ -148,6 +219,8 @@ class FramesSignal(Signal):
         self.off[()] = frames.offset
         self.length[()] = len(frames)
         self.rate[()] = frames._rate
+        # guarded region for the DR resample kernel (mono sounds)
+        self.goff[()] = frames.guard_off() if frames.channels == 1 else 0
         self._cb = ControlBlock(self)
         self.control = FramesSignalControl(self._cb)
 
@@ -162,6 +235,7 @@ class FramesSignal(Signal):
         self.off = full(batch, 0, np.int32)
         self.length = full(batch, 1, np.int32)
         self.rate = full(batch, 1.0, np.float64)
+        self.goff = full(batch, ARENA_GUARD, np.int32)
 
     def _copy_static_from(self, other):
         pass
@@ -219,7 +293,10 @@ class FramesSignal(Signal):
         return (pos >= 0) & (pos >= self.length.astype(np.float64))
 
     def _own_device_data(self):
-        return {"arena": _arena(self.channels).device()}
+        d = {"arena": _arena(self.channels).device()}
+        if self.channels == 1:
+            d["garena"] = _arena(1).device_rows()
+        return d
 
     def render(self, dstate, ddata, params, n):
         tr, fr = exact_positions(
@@ -241,6 +318,42 @@ class FramesSignal(Signal):
         return dstate, block
 
 
+def _dr_resample(garena, xg, lo, hi, o0, ds_int, f_hi, f_lo, n):
+    """Shared DR wavetable read: clamp the trunc-form integer cursor into
+    its (guarded or looped) region, fetch the covering row window, and run
+    the strided resample kernel (ops/pallas_ring.py).  All array inputs are
+    (V,) device values; ``o0`` is the trunc-form fraction (may be
+    negative).  The window is biased one sample early so in-kernel indices
+    stay nonnegative when the relative offset truncates to -1."""
+    import jax
+
+    from ..ops.pallas_ring import (
+        RESAMPLE_DSMAX,
+        RESAMPLE_W,
+        pack_select_scalars,
+        strip_resample,
+    )
+
+    ROW = ARENA_ROW
+    xc = jnp.clip(xg - 1, lo, hi)
+    row0 = xc // ROW
+    extra = xc - row0 * ROW + 1
+    DS = int(RESAMPLE_DSMAX)
+    S_req = max(
+        ((256 + max(n - 128, 0) * DS) // 128) * 128 + RESAMPLE_W,
+        256 + n * DS + 3,
+    )
+    n_rows = -(-S_req // ROW)
+    V = xg.shape[0]
+    idx = (row0[:, None] + jnp.arange(n_rows)).reshape(-1)
+    strips = jnp.take(garena, idx, axis=0, mode="clip").reshape(V, n_rows * ROW)
+    scal = pack_select_scalars(o0, ds_int, f_hi, f_lo)
+    return strip_resample(
+        strips, scal, extra, n=n,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
 class _FramesDR:
     """Device-resident FramesSignal support, mixed into FramesSignal."""
 
@@ -254,6 +367,7 @@ class _FramesDR:
             "base": np.zeros(V, np.int32),
             "frac": np.zeros(V, np.float32),
             "off": np.zeros(V, np.int32),
+            "goff": np.full(V, ARENA_GUARD, np.int32),
             "length": np.ones(V, np.int32),
             "rate": np.ones(V, np.float32),
             "ds_int": np.ones(V, np.int32),
@@ -274,6 +388,7 @@ class _FramesDR:
             "base": np.int32(np.clip(base, -(2**30), 2**30)),
             "frac": np.float32(s0 - base),
             "off": np.int32(self.off[()]),
+            "goff": np.int32(self.goff[()]),
             "length": np.int32(self.length[()]),
             "rate": np.float32(self.rate[()]),
             "ds_int": np.int32(ds_int),
@@ -286,22 +401,39 @@ class _FramesDR:
 
         from ..ops._dev import device_advance, to_trunc_form
 
+        from ..ops.pallas_ring import RESAMPLE_NMAX
+
         if isinstance(interval, (int, float, np.floating)):
             # the slot row's exact host split of the static pool interval
             ds_int, f_hi, f_lo = state["ds_int"], state["f_hi"], state["f_lo"]
         else:
-            # dynamic per-voice interval (Speed chains, speed.rs:32-36)
+            # dynamic per-voice interval (Speed chains, speed.rs:32-36),
+            # with the reference's unit-step snap (frames.rs:180-187)
             from ..ops._dev import device_split_ds
 
-            ds_int, f_hi, f_lo = device_split_ds(state["rate"] * interval)
-        tr, fr = exact_positions(
-            state["frac"], ds_int, f_hi, f_lo, n, signed=True,
-        )
-        s = state["base"][:, None] + tr
-        arena = ddata["arena"]
-        a = _arena_get(arena, state["off"][:, None], state["length"][:, None], s)
-        b = _arena_get(arena, state["off"][:, None], state["length"][:, None], s + 1)
-        samples = lerp(a, b, fr)
+            ds = state["rate"] * jnp.asarray(interval, jnp.float32)
+            ds = jnp.where(jnp.abs(ds - 1.0) <= EPS32, 1.0, ds)
+            ds_int, f_hi, f_lo = device_split_ds(ds)
+
+        if n <= RESAMPLE_NMAX and "garena" in ddata:
+            # row-window fetch + strided resample kernel; the guarded
+            # region's zero pads carry frames.rs:105-123's edge semantics
+            xg = state["goff"] + state["base"]
+            lo = state["goff"] - ARENA_GUARD
+            hi = state["goff"] + state["length"]
+            samples = _dr_resample(
+                ddata["garena"], xg, lo, hi, state["frac"],
+                ds_int, f_hi, f_lo, n,
+            )
+        else:
+            tr, fr = exact_positions(
+                state["frac"], ds_int, f_hi, f_lo, n, signed=True,
+            )
+            s = state["base"][:, None] + tr
+            arena = ddata["arena"]
+            a = _arena_get(arena, state["off"][:, None], state["length"][:, None], s)
+            b = _arena_get(arena, state["off"][:, None], state["length"][:, None], s + 1)
+            samples = lerp(a, b, fr)
         base2, frac2 = device_advance(
             state["base"], state["frac"], count, ds_int, f_hi, f_lo,
         )

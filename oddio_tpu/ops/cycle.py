@@ -26,7 +26,7 @@ __all__ = ["Cycle"]
 
 class Cycle(Signal):
     seekable = True
-    _host_fields = ("cursor", "off", "length", "rate")
+    _host_fields = ("cursor", "off", "length", "rate", "loff")
 
     def __init__(self, frames):
         super().__init__()
@@ -35,12 +35,15 @@ class Cycle(Signal):
         self.off[()] = frames.offset
         self.length[()] = len(frames)
         self.rate[()] = frames._rate
+        # looped (seam-replicated) region for the DR resample kernel
+        self.loff[()] = frames.loop_off()[0] if frames.channels == 1 else 0
 
     def _alloc_host(self, batch):
         self.cursor = full(batch, 0.0, np.float64)
         self.off = full(batch, 0, np.int32)
         self.length = full(batch, 1, np.int32)
         self.rate = full(batch, 1.0, np.float64)
+        self.loff = full(batch, 0, np.int32)
 
     def _arch_extra(self):
         return (self.channels,)
@@ -94,7 +97,10 @@ class Cycle(Signal):
         )
 
     def _own_device_data(self):
-        return {"arena": _arena(self.channels).device()}
+        d = {"arena": _arena(self.channels).device()}
+        if self.channels == 1:
+            d["garena"] = _arena(1).device_rows()
+        return d
 
     # -- device-resident mode ------------------------------------------------
 
@@ -106,6 +112,7 @@ class Cycle(Signal):
             "base": np.zeros(V, np.int32),
             "frac": np.zeros(V, np.float32),
             "off": np.zeros(V, np.int32),
+            "loff": np.zeros(V, np.int32),
             "length": np.ones(V, np.int32),
             "rate": np.ones(V, np.float32),
             "ds_int": np.ones(V, np.int32),
@@ -121,6 +128,7 @@ class Cycle(Signal):
             "base": np.int32(np.clip(base, 0, 2**30)),
             "frac": np.float32(self.cursor - base),
             "off": np.int32(self.off[()]),
+            "loff": np.int32(self.loff[()]),
             "length": np.int32(self.length[()]),
             "rate": np.float32(self.rate[()]),
             "ds_int": np.int32(ds_int),
@@ -139,18 +147,32 @@ class Cycle(Signal):
         return device_split_ds(state["rate"] * interval)
 
     def dr_render(self, state, ddata, interval, n, count):
+        from ..core.frames import _dr_resample
         from ._dev import device_advance
+        from .pallas_ring import RESAMPLE_NMAX
 
         ds_int, f_hi, f_lo = self._dr_step(state, interval)
-        tr, fr = exact_positions(state["frac"], ds_int, f_hi, f_lo, n)
-        length = state["length"][:, None]
-        x = jnp.mod(state["base"][:, None] + tr, length)
-        arena = ddata["arena"]
-        a = jnp.take(arena, state["off"][:, None] + x, axis=0, mode="clip")
-        b = jnp.take(
-            arena, state["off"][:, None] + jnp.mod(x + 1, length), axis=0, mode="clip"
-        )
-        samples = lerp(a, b, fr)
+        if n <= RESAMPLE_NMAX and "garena" in ddata:
+            # looped region: data replicated past the seam, so the in-block
+            # walk (and the seam lerp pair, cycle.rs:34-47) never wraps
+            xg = state["loff"] + state["base"]
+            lo = state["loff"] - 1
+            hi = state["loff"] + state["length"] - 1
+            samples = _dr_resample(
+                ddata["garena"], xg, lo, hi, state["frac"],
+                ds_int, f_hi, f_lo, n,
+            )
+        else:
+            tr, fr = exact_positions(state["frac"], ds_int, f_hi, f_lo, n)
+            length = state["length"][:, None]
+            x = jnp.mod(state["base"][:, None] + tr, length)
+            arena = ddata["arena"]
+            a = jnp.take(arena, state["off"][:, None] + x, axis=0, mode="clip")
+            b = jnp.take(
+                arena, state["off"][:, None] + jnp.mod(x + 1, length), axis=0,
+                mode="clip",
+            )
+            samples = lerp(a, b, fr)
         # cursor end state matches the host path: position of the last frame
         # reduced mod len, plus one step (cycle.rs:40-47 rebase semantics)
         cm1 = jnp.maximum(count - 1, 0)

@@ -306,6 +306,111 @@ def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K, emax,
     )
 
 
+# --- wavetable / sampler resample ---------------------------------------------
+#
+# FramesSignal/Cycle playback at arbitrary rate ratios is a *strided* read:
+# positions x_j = x0 + j*ds with ds up to RESAMPLE_DSMAX (vs the ring
+# kernels' ds ~= 1 doppler walks).  Sources read from guarded arena regions
+# (core/frames.py): zero guards implement frames.rs:105-123's zero-padding
+# with no in-kernel masking, loop replication implements cycle.rs's
+# wraparound, so the kernel is a pure realign + wide dynamic gather + lerp.
+
+#: resample gather window: 6 x 128-lane tables per sub-block — covers
+#: (shift & 127) + j + span for per-sub-block spans up to ~500 samples
+RESAMPLE_W = 768
+#: per-frame step bound of the kernel path (beyond it positions clamp to
+#: the fetched window; > 4x downsampling should pre-decimate its source)
+RESAMPLE_DSMAX = 4.0
+#: block-size bound of the kernel path (matches the ring kernels)
+RESAMPLE_NMAX = 640
+
+
+def _gatherW(w1, m, W):
+    """a[j] = w1[m_j] for m in [0, W) via W/128 128-lane dynamic gathers."""
+    out = jnp.take_along_axis(w1[:, 0:128], jnp.clip(m, 0, 127), axis=-1)
+    for c in range(1, W // 128):
+        g = jnp.take_along_axis(
+            w1[:, 128 * c : 128 * (c + 1)], jnp.clip(m - 128 * c, 0, 127), axis=-1
+        )
+        out = jnp.where(m >= 128 * c, g, out)
+    return out
+
+
+def _resample_kernel(s_ref, sc_ref, e_ref, out_ref, *, n):
+    """Per-voice strided fractional read: out[j] = lerp(strip[p_j],
+    strip[p_j + 1], fr_j) at p_j = extra + trunc(o0 + j*ds).  ``o0`` is the
+    trunc-form start fraction (may be negative, like the reference's f32
+    ``offset`` in frames.rs:176-196); the truncate-toward-zero adjustment
+    applies to the RELATIVE offset, mirroring ``exact_positions(signed)``
+    term for term."""
+    strips = s_ref[...]
+    scal = sc_ref[...]
+    extra = e_ref[...]  # (tile, 1) int32; guarantees extra + trunc(...) >= 0
+    tile = strips.shape[0]
+    W = RESAMPLE_W
+    SB = SELECT_SB
+    o0 = scal[:, 0:1]
+    f_hi = scal[:, 1:2]
+    f_lo = scal[:, 2:3]
+    ds_int = scal[:, 3:4].astype(jnp.int32)
+    parts = []
+    for sb in range(-(-n // SB)):
+        t_i = jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1) + sb * SB
+        t_f = t_i.astype(jnp.float32)
+        H = t_f * f_hi  # exact f32 product for t < 4096 (12-bit f_hi)
+        Hint = H.astype(jnp.int32)
+        u = (H - Hint.astype(jnp.float32)) + (o0 + t_f * f_lo)
+        fl_u = jnp.floor(u)
+        fr = u - fl_u
+        wr = t_i * ds_int + Hint + fl_u.astype(jnp.int32)
+        adjust = (wr < 0) & (fr > 0.0)
+        wr = jnp.where(adjust, wr + 1, wr)
+        fr = jnp.where(adjust, fr - 1.0, fr)
+        p = extra + wr
+        # row-constant coarse realign (positions are nondecreasing: min at 0)
+        shift = p[:, 0:1]
+        b7 = shift >> 7
+        S = strips.shape[-1]
+        Hmax = (S - W) // 128 + 1
+        w1 = jnp.zeros((tile, W), jnp.float32)
+        for h in range(Hmax):
+            w1 = w1 + strips[:, 128 * h : 128 * h + W] * (b7 == h).astype(
+                jnp.float32
+            )
+        m = p - (b7 << 7)
+        a = _gatherW(w1, m, W)
+        b = _gatherW(w1, m + 1, W)
+        parts.append(a + fr * (b - a))
+    out_ref[...] = jnp.concatenate(parts, axis=-1)[:, :n]
+
+
+def strip_resample(strips, scal, extra, *, n, interpret=False, tile=None):
+    """Strided fractional resample of per-voice arena windows.
+
+    strips (V, S) with S a multiple of 128 and >= RESAMPLE_W; scal (V, 4)
+    packed trunc-form cursor scalars (pack_select_scalars); extra (V,)
+    window offset of the integer cursor (the caller biases it so
+    extra + trunc(relative) >= 0 always).  Returns (V, n) samples."""
+    V, S = strips.shape
+    if tile is None:
+        tile = min(_tile_for(V), 8)  # bound VMEM: tile * S * 4 bytes
+    grid_spec = pl.GridSpec(
+        grid=(V // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_resample_kernel, n=n),
+        out_shape=jax.ShapeDtypeStruct((V, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(strips, scal, extra[:, None].astype(jnp.int32))
+
+
 # --- fully fused ring step ----------------------------------------------------
 
 
