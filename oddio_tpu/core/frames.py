@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .hostmath import EPS32, f32, f64, full
 from .signal import ControlBlock, Signal
-from ..ops._dev import exact_positions, lerp, split_ds
+from ..ops._dev import exact_positions, lerp, split_ds, top12 as _top12_np
 
 __all__ = ["Frames", "FramesSignal", "FramesSignalControl"]
 
@@ -370,6 +370,7 @@ class _FramesDR:
             "goff": np.full(V, ARENA_GUARD, np.int32),
             "length": np.ones(V, np.int32),
             "rate": np.ones(V, np.float32),
+            "r_hi": np.ones(V, np.float32),
             "ds_int": np.ones(V, np.int32),
             "f_hi": np.zeros(V, np.float32),
             "f_lo": np.zeros(V, np.float32),
@@ -391,6 +392,7 @@ class _FramesDR:
             "goff": np.int32(self.goff[()]),
             "length": np.int32(self.length[()]),
             "rate": np.float32(self.rate[()]),
+            "r_hi": _top12_np(self.rate[()]),
             "ds_int": np.int32(ds_int),
             "f_hi": np.float32(f_hi),
             "f_lo": np.float32(f_lo),
@@ -448,6 +450,63 @@ class _FramesDR:
             (state["base"] == state["length"] - 1) & (state["frac"] < 0)
         )
 
+    # -- device-resident Seek mode (frames.rs:209-214) -------------------------
+    # The spatial seek path samples at cursor + t0 + j*dt per ear; positions
+    # land on the same strided-resample kernel as dr_render.  The sample
+    # shift t0*rate uses the split-product (ops/_dev.py::warp_shift) so f32
+    # stays within ~1e-5 samples of the host path's f64 cursor shifts.
+
+    def dr_seek_supported(self):
+        return (
+            self.channels == 1
+            and type(self).host_is_finished is FramesSignal.host_is_finished
+        )
+
+    def _dr_warp_cursor(self, state, t0, wrap):
+        """Shifted trunc-form cursors (base2, o0) for (V, E) second-offsets."""
+        from ..ops._dev import warp_shift
+
+        si, sf = warp_shift(state["rate"], state["r_hi"], t0)
+        u = state["frac"][:, None] + sf
+        uf = jnp.floor(u)
+        base2 = state["base"][:, None] + si + uf.astype(jnp.int32)
+        o0 = u - uf
+        if wrap:  # cycle.rs:56-60 rem_euclid
+            return jnp.mod(base2, state["length"][:, None]), o0
+        neg = (base2 < 0) & (o0 > 0)  # trunc-toward-zero form
+        return jnp.where(neg, base2 + 1, base2), jnp.where(neg, o0 - 1.0, o0)
+
+    def dr_warp_render(self, state, ddata, t0, dt, n):
+        from ..ops._dev import device_split_ds
+
+        V, E = t0.shape
+        base2, o0 = self._dr_warp_cursor(state, t0, wrap=False)
+        ds = dt * state["rate"][:, None]
+        ds = jnp.where(jnp.abs(ds - 1.0) <= EPS32, 1.0, ds)
+        ds_int, f_hi, f_lo = device_split_ds(ds)
+        xg = (state["goff"][:, None] + base2).reshape(-1)
+        lo = jnp.repeat(state["goff"] - ARENA_GUARD, E)
+        hi = jnp.repeat(state["goff"] + state["length"], E)
+        samples = _dr_resample(
+            ddata["garena"], xg, lo, hi, o0.reshape(-1),
+            ds_int.reshape(-1), f_hi.reshape(-1), f_lo.reshape(-1), n,
+        )
+        return samples.reshape(V, E, n)
+
+    def dr_advance(self, state, seconds):
+        from ..ops._dev import to_trunc_form, warp_shift
+
+        t = jnp.full(state["base"].shape + (1,), np.float32(seconds), jnp.float32)
+        base2, o0 = self._dr_warp_cursor(state, t, wrap=self._dr_wrap)
+        out = dict(state)
+        if self._dr_wrap:
+            out["base"], out["frac"] = base2[:, 0], o0[:, 0]
+        else:
+            out["base"], out["frac"] = to_trunc_form(base2[:, 0], o0[:, 0])
+        return out
+
+    _dr_wrap = False
+
 
 for _name in (
     "dr_supported",
@@ -455,6 +514,11 @@ for _name in (
     "dr_slot_row",
     "dr_render",
     "dr_is_finished",
+    "dr_seek_supported",
+    "_dr_warp_cursor",
+    "dr_warp_render",
+    "dr_advance",
+    "_dr_wrap",
 ):
     setattr(FramesSignal, _name, getattr(_FramesDR, _name))
 

@@ -356,15 +356,17 @@ class Mixer(Signal):
         return (self.initial_capacity,)
 
     def archetype(self):
+        # live signal archetypes: host pools' batched templates carry
+        # per-block trace-relevant flags (e.g. Stream's zero-write variant)
         pools = tuple(
             (
                 p.name,
-                arch,
+                p.proto.archetype() if p.is_dr else p.sig.archetype(),
                 getattr(p, "_interval", None),
                 getattr(p, "_has_play", False),
                 getattr(p, "_has_stop", False),
             )
-            for arch, p in self._pools.items()
+            for p in self._pools.values()
         )
         return ("Mixer", self.channels, pools)
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core.frames import _arena
 from ..core.hostmath import f32, f64, full, rem_euclid
 from ..core.signal import Signal
-from ._dev import exact_positions, lerp, split_ds
+from ._dev import exact_positions, lerp, split_ds, top12 as _top12_np
 
 __all__ = ["Cycle"]
 
@@ -115,6 +115,7 @@ class Cycle(Signal):
             "loff": np.zeros(V, np.int32),
             "length": np.ones(V, np.int32),
             "rate": np.ones(V, np.float32),
+            "r_hi": np.ones(V, np.float32),
             "ds_int": np.ones(V, np.int32),
             "f_hi": np.zeros(V, np.float32),
             "f_lo": np.zeros(V, np.float32),
@@ -131,6 +132,7 @@ class Cycle(Signal):
             "loff": np.int32(self.loff[()]),
             "length": np.int32(self.length[()]),
             "rate": np.float32(self.rate[()]),
+            "r_hi": _top12_np(self.rate[()]),
             "ds_int": np.int32(ds_int),
             "f_hi": np.float32(f_hi),
             "f_lo": np.float32(f_lo),
@@ -191,6 +193,48 @@ class Cycle(Signal):
 
     def dr_is_finished(self, state):
         return jnp.zeros(state["base"].shape, dtype=bool)
+
+    # -- device-resident Seek mode (cycle.rs:56-60) -----------------------------
+    # Cursor shifts wrap rem_euclid; positions ride the looped region so the
+    # warped in-block walk never wraps.  Shares the cursor-shift machinery
+    # with FramesSignal (core/frames.py::_FramesDR).
+
+    _dr_wrap = True
+
+    def dr_seek_supported(self):
+        from ..core.signal import Signal
+
+        return (
+            self.channels == 1
+            and type(self).host_is_finished is Signal.host_is_finished
+        )
+
+    def _dr_warp_cursor(self, state, t0, wrap):
+        from ..core.frames import _FramesDR
+
+        return _FramesDR._dr_warp_cursor(self, state, t0, wrap)
+
+    def dr_advance(self, state, seconds):
+        from ..core.frames import _FramesDR
+
+        return _FramesDR.dr_advance(self, state, seconds)
+
+    def dr_warp_render(self, state, ddata, t0, dt, n):
+        from ..core.frames import _dr_resample
+        from ._dev import device_split_ds
+
+        V, E = t0.shape
+        base2, o0 = self._dr_warp_cursor(state, t0, wrap=True)
+        ds = dt * state["rate"][:, None]
+        ds_int, f_hi, f_lo = device_split_ds(ds)
+        xg = (state["loff"][:, None] + base2).reshape(-1)
+        lo = jnp.repeat(state["loff"] - 1, E)
+        hi = jnp.repeat(state["loff"] + state["length"] - 1, E)
+        samples = _dr_resample(
+            ddata["garena"], xg, lo, hi, o0.reshape(-1),
+            ds_int.reshape(-1), f_hi.reshape(-1), f_lo.reshape(-1), n,
+        )
+        return samples.reshape(V, E, n)
 
     def render(self, dstate, ddata, params, n):
         tr, fr = exact_positions(

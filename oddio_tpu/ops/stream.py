@@ -88,7 +88,13 @@ class Stream(Signal):
         self._pending = pend
 
     def _arch_extra(self):
-        return (self.size, self.max_write, self.channels)
+        # _has_write is set per block by host_prepare: blocks with no queued
+        # producer data skip the (V, C, max_write) chunk params entirely —
+        # the stream analogue of the engines' zero-delta fast path.  The
+        # renderer keys steps on the archetype after preparing, so the two
+        # variants get their own jitted programs.
+        return (self.size, self.max_write, self.channels,
+                getattr(self, "_has_write", False))
 
     def write_slot(self, i, spec, pool, gen):
         super().write_slot(i, spec, pool, gen)
@@ -126,7 +132,8 @@ class Stream(Signal):
         # only voices in the dirty set are visited
         V = self.batch[0] if self.batch else 1
         C = self.channels
-        chunk = np.zeros((V, C, self.max_write), np.float32)
+        self._has_write = bool(self._dirty)
+        chunk = np.zeros((V, C, self.max_write if self._has_write else 0), np.float32)
         counts = np.zeros(V, np.int32)
         lens = np.atleast_1d(self.buflen).copy()
         for v in sorted(self._dirty):
@@ -158,10 +165,11 @@ class Stream(Signal):
             "ds": ds,
             "len": new_len.reshape(self.batch).astype(np.int32),
             "start": self.start.copy(),
-            "chunk": chunk.reshape(self.batch + (C, self.max_write)),
-            "wcount": counts.reshape(self.batch),
-            "wpos": write_pos.reshape(self.batch),
         }
+        if self._has_write:
+            params["chunk"] = chunk.reshape(self.batch + (C, self.max_write))
+            params["wcount"] = counts.reshape(self.batch)
+            params["wpos"] = write_pos.reshape(self.batch)
         # advance (stream.rs:63-69): next = t + dt*rate, release whole samples
         cnt = np.broadcast_to(f32(n if count is None else count), self.batch)
         nxt = (self.t + (interval * cnt * self.rate.astype(np.float32))).astype(
@@ -182,11 +190,12 @@ class Stream(Signal):
     def render(self, dstate, ddata, params, n):
         ring = dstate["ring"]  # (C, size) unbatched (vmapped in pools)
         size = self.size
-        # producer: scatter the newly shipped chunk (Receiver::update)
-        j = jnp.arange(self.max_write)
-        idx = jnp.mod(params["wpos"] + j, size)
-        idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
-        ring = ring.at[:, idx].set(params["chunk"], mode="drop")
+        if "chunk" in params:
+            # producer: scatter the newly shipped chunk (Receiver::update)
+            j = jnp.arange(self.max_write)
+            idx = jnp.mod(params["wpos"] + j, size)
+            idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
+            ring = ring.at[:, idx].set(params["chunk"], mode="drop")
         # consumer: lerp read with zero padding (stream.rs:37-61)
         s = params["t"] + params["ds"] * iota_f32(n)
         x0 = jnp.trunc(s).astype(jnp.int32)

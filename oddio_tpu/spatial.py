@@ -909,6 +909,7 @@ class _SeekPoolDR(_DRPoolBase):
 
     def host_prepare(self, prev_rot, rot, interval, n, force=False):
         # rotation values arrive in-graph from the scene's "_rot" state leaf
+        assert n <= 640, "block too large for the warp-resample window"
         self._elapsed = float(np.float32(f32(interval) * np.float32(n)))
         return self._delta_params({}, force)
 

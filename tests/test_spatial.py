@@ -348,3 +348,74 @@ def test_seek_pool_dr_fixedgain_chain():
     pool_arch_is_dr = True
     ratio = np.float32(10.0) ** np.float32(6.0 / 20.0)
     np.testing.assert_allclose(loud, base * ratio, rtol=1e-5, atol=1e-7)
+
+
+class _HostSeekFrames(ot.FramesSignal):
+    def dr_seek_supported(self):
+        return False
+
+
+class _HostSeekCycle(ot.Cycle):
+    def dr_seek_supported(self):
+        return False
+
+
+def test_seek_pool_dr_frames_cycle_matches_host():
+    """Sampler voices (FramesSignal, Cycle) on the device-resident seek
+    path: per-ear warped resampling through the strided kernel matches the
+    host seek pool (f32 shift products vs host f64, <= ~2e-5)."""
+    rng = np.random.default_rng(9)
+    snd = ot.Frames.from_slice(
+        8000, (np.sin(np.linspace(0, 700, 12000)) * 0.7).astype(np.float32)
+    )
+    tbl = ot.Frames.from_slice(8000, rng.standard_normal(997).astype(np.float32))
+
+    def build(host, rng):
+        FS = _HostSeekFrames if host else ot.FramesSignal
+        CY = _HostSeekCycle if host else ot.Cycle
+        control, scene = ot.SpatialScene.new()
+        hs = []
+        for i in range(5):
+            hs.append(control.play(FS(snd, -0.02 * i), ot.SpatialOptions(
+                position=rng.uniform(-15, 15, 3), velocity=rng.uniform(-4, 4, 3))))
+        for i in range(4):
+            c = CY(tbl)
+            c.seek(0.01 * i)
+            hs.append(control.play(c, ot.SpatialOptions(
+                position=rng.uniform(-15, 15, 3), velocity=rng.uniform(-4, 4, 3))))
+        return scene, hs
+
+    outs = []
+    for host in (False, True):
+        rng = np.random.default_rng(9)
+        scene, hs = build(host, rng)
+        assert all(
+            getattr(p, "is_dr", False) != host
+            for p in scene._seek_pools.values()
+        )
+        r = ot.Renderer(scene, 8000)
+        a = r.render_frames(1024)
+        for h in hs[::2]:
+            h.set_motion(rng.uniform(-15, 15, 3), rng.uniform(-4, 4, 3), False)
+        b = r.render_frames(2048)
+        outs.append(np.concatenate([a, b]))
+    err = np.abs(outs[0] - outs[1]).max()
+    assert err < 5e-5, err
+
+
+def test_seek_pool_dr_frames_finish_lingers():
+    """A FramesSignal seek-DR voice finishes on device, lingers for its
+    propagation delay, then frees the slot (spatial.rs:241-261)."""
+    frames = ot.Frames.from_slice(8000, np.ones(400, np.float32))
+    control, scene = ot.SpatialScene.new()
+    h = control.play(
+        ot.FramesSignal(frames, 0.0),
+        ot.SpatialOptions(position=[3.0, 0.0, 0.0]),
+    )
+    pool = list(scene._seek_pools.values())[0]
+    assert pool.is_dr
+    r = ot.Renderer(scene, 8000, sync_every=1)
+    for _ in range(6):  # 400 frames source + linger + sync cadence
+        r.render_block(256)
+    assert h.is_finished()
+    assert pool.mask_host.sum() == 0
