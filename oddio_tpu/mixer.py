@@ -463,9 +463,15 @@ class Mixer(Signal):
                 d2[pool.name] = dsub
                 out = out + block
                 continue
-            dsub, blocks = jax.vmap(
-                lambda d, p: pool.sig.render(d, dd, p, n)
-            )(dstate[pool.name], ps["p"])
+            rb = getattr(pool.sig, "render_batched", None)
+            if rb is not None:
+                # pool-level batched render: lets signals with Pallas read
+                # kernels (Stream) run them once per pool, outside the vmap
+                dsub, blocks = rb(dstate[pool.name], dd, ps["p"], n)
+            else:
+                dsub, blocks = jax.vmap(
+                    lambda d, p: pool.sig.render(d, dd, p, n)
+                )(dstate[pool.name], ps["p"])
             d2[pool.name] = dsub
             # where() (not multiply) so garbage from inactive slots — including
             # NaN/inf — never reaches the output

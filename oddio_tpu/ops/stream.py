@@ -42,6 +42,10 @@ class Stream(Signal):
         values bound per-block transfer for huge pools)."""
         super().__init__()
         self.size = int(size)
+        # internal ring modulus, row-padded so mono pools can read through
+        # the row-window resample kernel; capacity checks (free/write) use
+        # the logical ``size``, so buffering semantics are unchanged
+        self.size_pad = -(-(self.size + 1) // 256) * 256
         self.max_write = int(max_write_per_block or size)
         self.channels = int(channels)
         self._alloc_host(())
@@ -73,6 +77,7 @@ class Stream(Signal):
 
     def _copy_static_from(self, other):
         self.size = other.size
+        self.size_pad = other.size_pad
         self.max_write = other.max_write
         self.channels = other.channels
 
@@ -94,7 +99,8 @@ class Stream(Signal):
         # renderer keys steps on the archetype after preparing, so the two
         # variants get their own jitted programs.
         return (self.size, self.max_write, self.channels,
-                getattr(self, "_has_write", False))
+                getattr(self, "_has_write", False),
+                getattr(self, "_ds_small", True))
 
     def write_slot(self, i, spec, pool, gen):
         super().write_slot(i, spec, pool, gen)
@@ -120,11 +126,11 @@ class Stream(Signal):
 
     def _own_device_init(self):
         return {
-            "ring": jnp.zeros(self.batch + (self.channels, self.size), jnp.float32)
+            "ring": jnp.zeros(self.batch + (self.channels, self.size_pad), jnp.float32)
         }
 
     def _own_slot_init(self, i):
-        return {"ring": np.zeros((self.channels, self.size), np.float32)}
+        return {"ring": np.zeros((self.channels, self.size_pad), np.float32)}
 
     def host_prepare(self, interval, n, count=None):
         interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
@@ -155,11 +161,15 @@ class Stream(Signal):
                 chunk[v, :, : len(flat)] = flat.T
                 counts[v] = len(flat)
         self._dirty = {v for v in self._dirty if self._pending.flat[v]}
-        write_pos = (np.atleast_1d(self.start) + lens) % np.int32(self.size)
+        write_pos = (np.atleast_1d(self.start) + lens) % np.int32(self.size_pad)
         new_len = lens + counts
         self.stopping = self.stopping | self.closed  # stream.rs:76-78
 
         ds = (interval * self.rate.astype(np.float32)).astype(np.float32)
+        # kernel-path eligibility (trace-static via _arch_extra)
+        from .pallas_ring import RESAMPLE_DSMAX
+
+        self._ds_small = bool(np.all(ds <= RESAMPLE_DSMAX))
         params = {
             "t": self.t.copy(),
             "ds": ds,
@@ -180,22 +190,26 @@ class Stream(Signal):
         released = np.trunc(tc).astype(np.int32)
         self.t = (tc - released).astype(np.float32)
         self.buflen = (new_len.reshape(self.batch) - released).astype(np.int32)
-        self.start = ((self.start + released) % np.int32(self.size)).astype(np.int32)
+        self.start = ((self.start + released) % np.int32(self.size_pad)).astype(np.int32)
         return params
 
     def host_is_finished(self):
         """stream.rs:88-91: stopping && t == len (all drained)."""
         return self.stopping & (self.t == self.buflen.astype(np.float32))
 
+    def _write_one(self, ring, params):
+        """Scatter one voice's newly shipped chunk (Receiver::update)."""
+        size = self.size_pad
+        j = jnp.arange(self.max_write)
+        idx = jnp.mod(params["wpos"] + j, size)
+        idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
+        return ring.at[:, idx].set(params["chunk"], mode="drop")
+
     def render(self, dstate, ddata, params, n):
-        ring = dstate["ring"]  # (C, size) unbatched (vmapped in pools)
-        size = self.size
+        ring = dstate["ring"]  # (C, size_pad) unbatched (vmapped in pools)
+        size = self.size_pad
         if "chunk" in params:
-            # producer: scatter the newly shipped chunk (Receiver::update)
-            j = jnp.arange(self.max_write)
-            idx = jnp.mod(params["wpos"] + j, size)
-            idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
-            ring = ring.at[:, idx].set(params["chunk"], mode="drop")
+            ring = self._write_one(ring, params)
         # consumer: lerp read with zero padding (stream.rs:37-61)
         s = params["t"] + params["ds"] * iota_f32(n)
         x0 = jnp.trunc(s).astype(jnp.int32)
@@ -209,6 +223,66 @@ class Stream(Signal):
         b = get(x0 + 1)
         out = lerp(a, b, (s - jnp.trunc(s))[None, :])
         return {"ring": ring}, out
+
+    def render_batched(self, dstate, ddata, params, n):
+        """Pool-level batched render: the ring read runs through the strided
+        row-window resample kernel once per pool instead of an elementwise
+        gather per voice (ops/pallas_ring.py).  Falls back to the vmapped
+        per-voice path for stereo streams, out-of-range rate ratios, or
+        rings smaller than the read window."""
+        import jax
+
+        from ..core.frames import ARENA_ROW
+        from .pallas_ring import RESAMPLE_DSMAX, RESAMPLE_NMAX, RESAMPLE_W, \
+            pack_select_scalars, strip_resample
+        from ._dev import device_split_ds, exact_positions
+
+        size = self.size_pad
+        DS = int(RESAMPLE_DSMAX)
+        S_req = max(
+            ((256 + max(n - 128, 0) * DS) // 128) * 128 + RESAMPLE_W,
+            256 + n * DS + 3,
+        )
+        kernel_ok = (
+            self.channels == 1
+            and n <= RESAMPLE_NMAX
+            and S_req <= size
+            and bool(getattr(self, "_ds_small", True))
+        )
+        if not kernel_ok:
+            return jax.vmap(lambda d, p: self.render(d, ddata, p, n))(
+                dstate, params
+            )
+
+        ring = dstate["ring"]  # (V, 1, size_pad)
+        V = ring.shape[0]
+        if "chunk" in params:
+            ring = jax.vmap(self._write_one)(ring, params)
+        # zero the first unwritten cell so the boundary lerp pair reads a
+        # true zero instead of stale data (get_pair's b at k == len)
+        cell = jnp.mod(params["start"] + params["len"], size)
+        ring = ring.at[jnp.arange(V), :, cell].set(0.0)
+
+        rpv = size // ARENA_ROW
+        view = ring.reshape(V * rpv, ARENA_ROW)
+        ds_int, f_hi, f_lo = device_split_ds(params["ds"])
+        row0 = params["start"] // ARENA_ROW
+        extra = params["start"] - row0 * ARENA_ROW
+        n_rows = -(-S_req // ARENA_ROW)
+        vbase = jnp.arange(V, dtype=jnp.int32) * rpv
+        idx = (
+            vbase[:, None] + jnp.mod(row0[:, None] + jnp.arange(n_rows), rpv)
+        ).reshape(-1)
+        strips = jnp.take(view, idx, axis=0).reshape(V, n_rows * ARENA_ROW)
+        scal = pack_select_scalars(params["t"], ds_int, f_hi, f_lo)
+        samp = strip_resample(
+            strips, scal, extra, n=n,
+            interpret=jax.default_backend() != "tpu",
+        )
+        # zero past the buffered extent (stream.rs:41-49 underrun padding)
+        whole, _ = exact_positions(params["t"], ds_int, f_hi, f_lo, n)
+        samp = jnp.where(whole < params["len"][:, None], samp, 0.0)
+        return {"ring": view.reshape(V, 1, size)}, samp[:, None, :]
 
 
 class StreamControl:

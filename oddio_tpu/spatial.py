@@ -434,9 +434,16 @@ class _BufferedPool(_VoicePool):
         # derive the voice count from a per-voice leaf: under shard_map this
         # is the per-shard slice of the pool, not the full capacity
         V = params["mask"].shape[0]
-        dsub, blocks = jax.vmap(
-            lambda d, p: self.sig.render(d, ddata.get("inner", {}), p, n_inner)
-        )(dstate["inner"], params["inner"])
+        rb = getattr(self.sig, "render_batched", None)
+        if rb is not None:
+            # pool-level batched inner render (Pallas-backed Streams)
+            dsub, blocks = rb(
+                dstate["inner"], ddata.get("inner", {}), params["inner"], n_inner
+            )
+        else:
+            dsub, blocks = jax.vmap(
+                lambda d, p: self.sig.render(d, ddata.get("inner", {}), p, n_inner)
+            )(dstate["inner"], params["inner"])
         samples = blocks[:, 0, :]  # (V, n_inner) mono
         L = self.ring_len
         rpv = self._rpv

@@ -283,3 +283,40 @@ def test_fader_as_buffered_spatial_voice():
     spec = np.abs(np.fft.rfft(after[:, 0]))
     hz = np.argmax(spec) * 8000 / len(after)
     assert abs(hz - 600.0) < 8.0, hz
+
+
+def test_stream_batched_kernel_matches_vmap():
+    """The pool-level strided-kernel stream read equals the per-voice
+    elementwise path (underruns, wrap, refills included)."""
+    import jax
+
+    rng = np.random.default_rng(13)
+
+    def run(force_vmap):
+        control, mixer = ot.Mixer.new(channels=1)
+        ctls = []
+        for i in range(5):
+            ctl, s = ot.Stream.new(4000 + 1000 * i, 4000 + 111 * i)
+            ctls.append(ctl)
+            control.play(s)
+        if force_vmap:  # fall back to the vmapped per-voice path
+            for pool in mixer._pools.values():
+                pool.sig.render_batched = None
+        r = ot.Renderer(mixer, 8000)
+        out = []
+        for k in range(14):
+            if k % 3 == 0:
+                for i, ctl in enumerate(ctls[: 2 + k % 4]):
+                    ctl.write(rng.standard_normal(1200 + 40 * i).astype(np.float32) * 0.2)
+            out.append(r.render_frames(512))
+        return np.concatenate(out)
+
+    rng = np.random.default_rng(13)
+    a = run(False)
+    rng = np.random.default_rng(13)
+    b = run(True)
+    err = np.abs(a - b).max()
+    # the vmapped path computes positions as a plain f32 t + j*ds (like the
+    # reference's sequential walk); the kernel uses the exact split — the
+    # difference is the fallback's own position wobble (~n*eps*ds)
+    assert err < 5e-5, err
