@@ -103,7 +103,7 @@ class PoolDR(DRCtrlMixin):
 
     is_dr = True
 
-    def __init__(self, name, spec, capacity, k_play=16, k_stop=64):
+    def __init__(self, name, spec, capacity, k_play=8, k_stop=64):
         self.name = name
         self.proto = spec
         self.capacity = capacity

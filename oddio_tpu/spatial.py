@@ -902,7 +902,7 @@ class _SeekPoolDR(_DRPoolBase):
 
     ROW_KEYS = _DRPoolBase.GEOM_KEYS
 
-    def __init__(self, name, spec, capacity, k_motion=64, k_play=16):
+    def __init__(self, name, spec, capacity, k_motion=64, k_play=8):
         self._init_base(name, spec, capacity, k_motion, k_play)
 
     def play(self, spec, options):
@@ -970,7 +970,7 @@ class _BufferedPoolDR(_DRPoolBase):
     #: bounds the per-block doppler walk handled by the shift-select read
     #: kernel: |ds-1|*n <= 2K (K=64 covers > ±40 m/s radial at 512@48k)
     K_DOPPLER = 64
-    def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=16):
+    def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=8):
         self._init_base(name, spec, capacity, k_motion, k_play)
         self.rate = int(rate)
         #: uniform ring modulus for the pool (>= every voice's required
