@@ -981,12 +981,8 @@ class _BufferedPoolDR(_DRPoolBase):
         assert self.cap_pool % PAGE == 0 and self.cap_pool >= 2 * PAGE
         self.ring_len = self.cap_pool
         self.interval_inner = float(np.float32(1.0) / np.float32(rate))
-        self.k_motion = k_motion
-        self.k_play = k_play
-        #: per-ear start offsets within the shared read window sit in
-        #: [0, emax): 256 (row granularity) + the inter-ear distance in pool
-        #: samples (|d_L - d_R| <= 0.215 m, spatial.rs:571-598) + slack
-        self.emax = 256 + int(np.ceil(0.215 / float(SPEED_OF_SOUND) * rate)) + 2
+        #: per-ear start offsets within the shared read window (see _emax)
+        self.emax = _emax(rate)
         self._n_inner = 1
         #: single-pass ring kernel (streams the whole ring through VMEM);
         #: the default 3-op path (page gather -> place -> select) measured
