@@ -90,6 +90,37 @@ def device_advance(base, frac, count, ds_int, f_hi, f_lo):
     return base2, u - fl
 
 
+#: Taylor coefficients of sin(pi*r) on r in [-1/2, 1/2] (f64-derived;
+#: truncation error ~6e-8, below f32 evaluation noise)
+_SINPI_C = tuple(
+    np.float32(c)
+    for c in (
+        3.141592653589793, -5.16771278004997, 2.550164039877345,
+        -0.5992645293207921, 0.08214588661112823,
+        -0.007370430945714351, 0.00046630280576761255,
+    )
+)
+
+
+def sin_turns(x):
+    """``sin(2*pi*x)`` for already-wrapped phase ``x`` in [0, 1).
+
+    The engine's phase cursors are kept wrapped in cycles, so the generic
+    libm-style range reduction inside XLA's ``sin`` is wasted work on the
+    hot paths; this quarter-wave odd polynomial evaluates the same value
+    within ~1e-7 (inside the |sin_f32 - sin_exact| <= ~1e-5 tolerance the
+    parity contract already grants transcendentals, PARITY.md)."""
+    h = x + x  # half-turns in [0, 2)
+    k = jnp.floor(h + 0.5)  # nearest integer: 0, 1 or 2
+    r = h - k  # [-1/2, 1/2]
+    sign = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k * 0.5))  # (-1)^k
+    r2 = r * r
+    p = _SINPI_C[6]
+    for c in _SINPI_C[5::-1]:
+        p = p * r2 + c
+    return sign * r * p
+
+
 def top12(x):
     """f32 with the mantissa truncated to its top 12 bits (exact split:
     x == top12(x) + (x - top12(x)), both halves <= 12 mantissa bits)."""

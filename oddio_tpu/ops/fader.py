@@ -133,6 +133,23 @@ class Fader(Signal):
         else:
             self._pending = (signal, float(duration))
 
+    def host_aux_snapshot(self):
+        """Queued control events are engine state: a snapshot taken between
+        fade_to() and the next block must not lose the fade (the checkpoint
+        analogue of the DR pools' pending_plays handling)."""
+        if not self._pool_mode:
+            return None
+        return {
+            "pending_fades": dict(self._pending_fades),
+            "pending_breset": set(self._pending_breset),
+        }
+
+    def host_aux_restore(self, aux):
+        if not self._pool_mode or aux is None:
+            return
+        self._pending_fades = dict(aux["pending_fades"])
+        self._pending_breset = set(aux["pending_breset"])
+
     def _b_defaults(self):
         """Default per-slot device rows for the b bank (numpy pytree)."""
         if self._b_dev_default is None:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core.hostmath import TAU32, f32, full, rust_rem
 from ..core.signal import Signal
-from ._dev import exact_positions, split_ds
+from ._dev import exact_positions, sin_turns, split_ds
 
 __all__ = ["Sine"]
 
@@ -98,7 +98,7 @@ class Sine(Signal):
         _, frac = exact_positions(
             params["c0"], params["dc_int"], params["f_hi"], params["f_lo"], n
         )
-        block = jnp.sin(TAU32 * frac)
+        block = sin_turns(frac)
         return dstate, block[None, :]
 
     # -- device-resident mode ------------------------------------------------
@@ -190,7 +190,7 @@ class Sine(Signal):
                 out["acc_a"].astype(jnp.float32) * np.float32(2.0**-24)
                 + out["acc_b"].astype(jnp.float32) * np.float32(2.0**-48)
             )
-            return out, jnp.sin(TAU32 * frac)
+            return out, sin_turns(frac)
 
         # dynamic per-voice interval (under Speed, speed.rs:32-36): re-derive
         # the step in-graph; f32 quantization of dc costs <= n*eps*dc
@@ -200,7 +200,7 @@ class Sine(Signal):
         dc_int, f_hi, f_lo = device_split_ds(dc)
         c0 = self._acc_c0(state)
         _, frac = exact_positions(c0, dc_int, f_hi, f_lo, n)
-        samples = jnp.sin(TAU32 * frac)
+        samples = sin_turns(frac)
         cf = count.astype(jnp.float32)
         H = cf * f_hi  # exact
         adv = (H - jnp.floor(H)) + cf * f_lo
@@ -238,7 +238,7 @@ class Sine(Signal):
         dc = dt * fcyc[:, None]  # warped cycles per frame (V, E)
         dc_int, f_hi, f_lo = device_split_ds(dc)
         _, frac = exact_positions(c0, dc_int, f_hi, f_lo, n)
-        return jnp.sin(TAU32 * frac)
+        return sin_turns(frac)
 
     def dr_advance(self, state, seconds):
         inv_tau = np.float32(1.0 / np.float64(TAU32))

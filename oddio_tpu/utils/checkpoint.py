@@ -20,6 +20,9 @@ __all__ = ["snapshot", "restore", "save", "load"]
 
 def _host_state(sig):
     state = {f: np.copy(getattr(sig, f)) for f in sig._host_fields}
+    aux = getattr(sig, "host_aux_snapshot", None)
+    if aux is not None:
+        state["__aux__"] = aux()
     kids = {k: _host_state(c) for k, c in sig.children().items()}
     if kids:
         state["__children__"] = kids
@@ -29,6 +32,9 @@ def _host_state(sig):
 def _set_host_state(sig, state):
     for f in sig._host_fields:
         setattr(sig, f, np.copy(state[f]))
+    aux = getattr(sig, "host_aux_restore", None)
+    if aux is not None and "__aux__" in state:
+        aux(state["__aux__"])
     for k, c in sig.children().items():
         _set_host_state(c, state.get("__children__", {})[k])
 

@@ -320,3 +320,29 @@ def test_stream_batched_kernel_matches_vmap():
     # reference's sequential walk); the kernel uses the exact split — the
     # difference is the fallback's own position wobble (~n*eps*ds)
     assert err < 5e-5, err
+
+
+def test_pooled_fader_checkpoint_keeps_pending_fade():
+    """A snapshot between fade_to() and the next block carries the queued
+    fade across restore (engine state, like the DR pools' pending plays)."""
+    from oddio_tpu.utils import checkpoint
+
+    def build():
+        mc, mixer = ot.Mixer.new(channels=1)
+        fc, f = ot.Fader.new(ot.Constant(1.0))
+        mc.play(f)
+        return mc, mixer, fc
+
+    mc, mixer, fc = build()
+    r = ot.Renderer(mixer, 8000)
+    r.render_block(256)
+    fc.fade_to(ot.Constant(5.0), 0.05)  # queued, not yet applied
+    snap = checkpoint.snapshot(mixer)
+
+    mc2, mixer2, fc2 = build()
+    r2 = ot.Renderer(mixer2, 8000)
+    r2.render_block(256)  # same structural position as the snapshot
+    checkpoint.restore(mixer2, snap)
+    for _ in range(4):  # 0.05 s fade completes
+        out = r2.render_block(256)
+    np.testing.assert_allclose(out, 5.0, atol=1e-5)
