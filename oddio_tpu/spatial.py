@@ -965,7 +965,7 @@ class _BufferedPoolDR(_DRPoolBase):
     SpatialScene.sync()).
     """
 
-    ROW_KEYS = _DRPoolBase.GEOM_KEYS + ("write", "max_delay")
+    ROW_KEYS = _DRPoolBase.GEOM_KEYS + ("max_delay", "phase")
 
     #: bounds the per-block doppler walk handled by the shift-select read
     #: kernel: |ds-1|*n <= 2K (K=64 covers > ±40 m/s radial at 512@48k)
@@ -973,6 +973,9 @@ class _BufferedPoolDR(_DRPoolBase):
     def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=8):
         self._init_base(name, spec, capacity, k_motion, k_play)
         self.rate = int(rate)
+        #: the POOL's shared write cursor (f32, host-authoritative): every
+        #: voice writes at the same phase, so ring appends are slab writes
+        self._w_host = np.float32(0.0)
         #: uniform ring modulus for the pool (>= every voice's required
         #: capacity; a longer history is audio-identical, the per-voice
         #: max_delay column still clamps reads like spatial.rs:414-415).
@@ -1013,8 +1016,8 @@ class _BufferedPoolDR(_DRPoolBase):
     def _extra_zero(self, V):
         return {
             "ring": jnp.zeros(self._ring_shape(V), jnp.float32),
-            "write": jnp.zeros(V, jnp.float32),
             "max_delay": jnp.zeros(V, jnp.float32),
+            "phase": jnp.zeros(V, jnp.float32),
         }
 
     def _concat_state(self, st, fresh, old, new):
@@ -1034,15 +1037,23 @@ class _BufferedPoolDR(_DRPoolBase):
         i, gen = self._claim_slot(spec)
         cap = int(np.ceil(np.float32(max_delay) * np.float32(self.rate))) + 1
         assert cap <= self.cap_pool
-        # SpatialSignalBuffered::new pre-delay (spatial.rs:39-43); the pool
-        # modulus is uniform (longer history, audio-identical)
+        # The voice starts at the POOL's shared write cursor: its freshly
+        # zeroed band plays the role of SpatialSignalBuffered::new's
+        # pre-delay zeros (spatial.rs:39-43) — early reads wrap into the
+        # voice's own zeros exactly like the reference's fresh ring, and a
+        # shared cursor makes every voice's write rows identical, so the
+        # per-block ring append is a slab write with no row gather.  The
+        # pre-delay's FRACTIONAL sample phase (and the pool cursor's phase
+        # at play) become a per-voice read-offset constant.
         d = np.minimum(
             v3_norm(f32(options.position)[None, :])[0] / SPEED_OF_SOUND,
             np.float32(max_delay),
         )
+        w0 = np.float32(np.float32(self.rate) * np.float32(d))
+        W = np.float32(self._w_host)
         row = self._geom_row(options)
-        row["write"] = rust_rem(
-            np.float32(self.rate) * np.float32(d), np.float32(self.cap_pool)
+        row["phase"] = np.float32(
+            (w0 - np.ceil(w0)) - (W - np.ceil(W))
         )
         row["max_delay"] = np.float32(max_delay)
         row["inner"] = spec.dr_slot_row(self.interval_inner)
@@ -1051,8 +1062,8 @@ class _BufferedPoolDR(_DRPoolBase):
 
     def _default_row(self):
         row = super()._default_row()
-        row["write"] = np.float32(0)
         row["max_delay"] = np.float32(0)
+        row["phase"] = np.float32(0)
         return row
 
     def _clear_rows(self, S, idx):
@@ -1080,13 +1091,33 @@ class _BufferedPoolDR(_DRPoolBase):
         # strip; the DMA path's 2-page strip is the tightest at n <= 640)
         assert self._n_inner <= PAGE + 1
         assert n <= 640, "block too large for the delay-ring read window"
-        return self._delta_params({}, force)
+        # shared ring cursor bookkeeping (ring.rs:18-41), host-authoritative:
+        # all voices write at the pool cursor's phase (the zeroed band at
+        # play supplies the pre-delay history), so these are four scalars
+        # instead of per-voice columns and the append is a slab write
+        cap = self.cap_pool
+        capf = np.float32(cap)
+        adv = np.float32(np.float32(self._elapsed) * np.float32(self.rate))
+        w0 = np.float32(self._w_host)
+        end = np.float32(np.mod(np.float32(w0 + adv), capf))
+        start_i = int(np.ceil(w0))
+        end_i = int(np.ceil(end))
+        n_write = end_i - start_i if end_i > start_i else (cap - start_i) + end_i
+        if end_i == start_i:
+            n_write = 0
+        self._w_host = end
+        params = {
+            "w": end,
+            "nw": np.int32(n_write),
+            "wstart": np.int32(start_i),
+        }
+        return self._delta_params(params, force)
 
     def render(self, dstate, ddata, params, n):
         from .ops.geometry import ear_states
 
         S = dict(dstate)
-        V = S["write"].shape[0]
+        V = S["mask"].shape[0]
         elapsed = np.float32(self._elapsed)
         ratef = np.float32(self.rate)
         n_inner = self._n_inner
@@ -1094,16 +1125,12 @@ class _BufferedPoolDR(_DRPoolBase):
         # 1-4. control walk (plays, motion, geometry, lingering)
         S, mask, prev_pos, next_pos = self._walk_device(S, params, elapsed)
 
-        # 5. ring write bookkeeping (ring.rs:18-41); uniform pool modulus
+        # 5. shared ring cursor (host-computed scalars; see host_prepare)
         cap = self.cap_pool
         capf = np.float32(cap)
-        adv = np.float32(elapsed * ratef)
-        end = jnp.mod(S["write"] + adv, capf)
-        start_i = jnp.ceil(S["write"]).astype(jnp.int32)
-        end_i = jnp.ceil(end).astype(jnp.int32)
-        n_write = jnp.where(end_i > start_i, end_i - start_i, (cap - start_i) + end_i)
-        n_write = jnp.where((end_i == start_i) | ~mask, 0, n_write)
-        S["write"] = jnp.where(mask, end, S["write"])
+        w_end = params["w"]
+        n_write = jnp.full((V,), params["nw"], jnp.int32)
+        start_i = params["wstart"]
 
         # 6. inner source render; page-strip append (ring.rs:18-41).  All
         # n_inner frames are written every block — the <=1-frame overlap past
@@ -1125,7 +1152,7 @@ class _BufferedPoolDR(_DRPoolBase):
         nf = np.float32(n) if n > 0 else np.float32(1.0)
         dt_e = (n_off - p_off) / nf
         d_gain = (n_gain - p_gain) / nf
-        offset0 = jnp.mod(S["write"][:, None] + p_off * ratef, capf)
+        offset0 = jnp.mod((w_end + S["phase"])[:, None] + p_off * ratef, capf)
         obase = jnp.floor(offset0)
         ds = dt_e * ratef
         ds_int, f_hi, f_lo = device_split_ds(ds)
@@ -1135,8 +1162,8 @@ class _BufferedPoolDR(_DRPoolBase):
         scal = pack_select_scalars(offset0 - obase, ds_int, f_hi, f_lo)
         maskf = mask.astype(jnp.float32)
         if self.use_dma_kernel or self.use_fused_kernel:
-            wpage = start_i // PAGE
-            extra_w = start_i - wpage * PAGE
+            wpage = jnp.full((V,), start_i // PAGE, jnp.int32)
+            extra_w = jnp.full((V,), start_i - (start_i // PAGE) * PAGE, jnp.int32)
             rstart = jnp.mod(obase.astype(jnp.int32) - K, cap)
             rpage = rstart // PAGE
             extra_r = rstart - rpage * PAGE
@@ -1168,17 +1195,21 @@ class _BufferedPoolDR(_DRPoolBase):
         # at most the inter-ear distance, |d_L - d_R| <= 0.215 m).
         ROW = self.ROW
         P4 = cap // ROW
-        view = S["ring"]  # native (V*P4, ROW) layout
+        view3 = S["ring"].reshape(V, P4, ROW)
         vbase4 = jnp.arange(V, dtype=jnp.int32) * P4
+        # the shared cursor makes write rows identical across voices: the
+        # append is a (V, n_rows_w, ROW) slab select/insert, no row gather
         wrow = start_i // ROW
         extra_w = start_i - wrow * ROW
         n_rows_w = (ROW - 1 + n_inner - 1) // ROW + 1
-        idx_w = (
-            vbase4[:, None] + jnp.mod(wrow[:, None] + jnp.arange(n_rows_w), P4)
-        ).reshape(-1)
-        wstrips = jnp.take(view, idx_w, axis=0).reshape(V, n_rows_w * ROW)
-        wstrips = strip_place(wstrips, samples, extra_w, interpret=interp)
-        view = view.at[idx_w].set(wstrips.reshape(-1, ROW))
+        rows_w = jnp.mod(wrow + jnp.arange(n_rows_w), P4)
+        wstrips = jnp.take(view3, rows_w, axis=1).reshape(V, n_rows_w * ROW)
+        wstrips = strip_place(
+            wstrips, samples, jnp.full((V,), extra_w, jnp.int32),
+            interpret=interp,
+        )
+        view3 = view3.at[:, rows_w, :].set(wstrips.reshape(V, n_rows_w, ROW))
+        view = view3.reshape(V * P4, ROW)
         S["ring"] = view
 
         ob = obase.astype(jnp.int32)  # (V, 2)
@@ -1316,6 +1347,8 @@ class SpatialScene(Signal):
                 st["pending_plays"] = _copy.deepcopy(p.pending_plays)
                 st["pending_motion"] = _copy.deepcopy(p.pending_motion)
                 st["pending_ctrl"] = _copy.deepcopy(p.pending_ctrl)
+                if hasattr(p, "_w_host"):
+                    st["w_host"] = float(p._w_host)
             else:
                 st["cols"] = {c: np.copy(getattr(p, c)) for c in p._COL_NAMES}
                 st["sig"] = _host_state(p.sig)
@@ -1344,6 +1377,8 @@ class SpatialScene(Signal):
                 p.pending_ctrl = _copy.deepcopy(
                     st.get("pending_ctrl", p.pending_ctrl)
                 )
+                if "w_host" in st:
+                    p._w_host = np.float32(st["w_host"])
             else:
                 for c, v in st["cols"].items():
                     setattr(p, c, np.copy(v))
