@@ -1195,21 +1195,23 @@ class _BufferedPoolDR(_DRPoolBase):
         # at most the inter-ear distance, |d_L - d_R| <= 0.215 m).
         ROW = self.ROW
         P4 = cap // ROW
-        view3 = S["ring"].reshape(V, P4, ROW)
+        view = S["ring"]  # native (V*P4, ROW) layout
         vbase4 = jnp.arange(V, dtype=jnp.int32) * P4
-        # the shared cursor makes write rows identical across voices: the
-        # append is a (V, n_rows_w, ROW) slab select/insert, no row gather
+        # write rows are identical across voices (shared cursor); the
+        # row-granular gather/place/scatter measured fastest on this layout
+        # (middle-axis slab updates defeat XLA's in-place scatter)
         wrow = start_i // ROW
         extra_w = start_i - wrow * ROW
         n_rows_w = (ROW - 1 + n_inner - 1) // ROW + 1
-        rows_w = jnp.mod(wrow + jnp.arange(n_rows_w), P4)
-        wstrips = jnp.take(view3, rows_w, axis=1).reshape(V, n_rows_w * ROW)
+        idx_w = (
+            vbase4[:, None] + jnp.mod(wrow + jnp.arange(n_rows_w), P4)[None, :]
+        ).reshape(-1)
+        wstrips = jnp.take(view, idx_w, axis=0).reshape(V, n_rows_w * ROW)
         wstrips = strip_place(
             wstrips, samples, jnp.full((V,), extra_w, jnp.int32),
             interpret=interp,
         )
-        view3 = view3.at[:, rows_w, :].set(wstrips.reshape(V, n_rows_w, ROW))
-        view = view3.reshape(V * P4, ROW)
+        view = view.at[idx_w].set(wstrips.reshape(-1, ROW))
         S["ring"] = view
 
         ob = obase.astype(jnp.int32)  # (V, 2)
