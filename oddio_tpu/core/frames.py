@@ -529,14 +529,47 @@ class FramesSignalControl:
     def __init__(self, cb):
         self._cb = cb
 
+    def _dr_cursor(self):
+        """(base, length, rate) for a voice living in a device-resident
+        pool, read from the pool's state (one small readback per query —
+        the analogue of the reference's position atomic)."""
+        pool, slot, gen, path = self._cb._dr
+        if pool.slot_gen[slot] != gen or pool.state is None:
+            return None
+        for slot_i, _row in pool.pending_plays:
+            if slot_i == slot:  # queued play not yet applied
+                return None
+        t = pool.state["inner"]
+        for k in path:
+            t = t[k]
+        return (
+            float(np.asarray(t["base"][slot])),
+            float(np.asarray(t["length"][slot])),
+            float(np.asarray(t["rate"][slot])),
+        )
+
     def playback_position(self):
         if not self._cb.live():
             return 0.0
+        if self._cb._dr is not None:
+            cur = self._dr_cursor()
+            if cur is None:  # pre-play: the spec mirror is current
+                sig = self._cb.sig
+                return float(sig._playback_position()[self._cb.idx])
+            base, _, rate = cur
+            return base / rate
         sig, idx = self._cb.sig, self._cb.idx
         return float(sig._playback_position()[idx])
 
     def is_finished(self):
         if not self._cb.live():
             return True
+        if self._cb._dr is not None:
+            cur = self._dr_cursor()
+            if cur is None:
+                sig = self._cb.sig
+                return bool(sig._control_finished()[self._cb.idx])
+            base, length, _ = cur
+            return base >= 0 and base >= length
         sig, idx = self._cb.sig, self._cb.idx
         return bool(sig._control_finished()[idx])

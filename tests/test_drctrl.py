@@ -200,3 +200,23 @@ def test_cycle_resample_kernel_matches_gather():
             c.seek(0.03)
             outs.append(_dr_ab(c, 1.3 / 8000.0, 512, 12, use_kernel))
         assert np.abs(outs[0] - outs[1]).max() < 1e-6, L
+
+
+def test_frames_control_readout_in_dr_pool():
+    """playback_position()/is_finished() on a FramesSignal handle keep
+    working when the voice lives in a device-resident pool
+    (frames.rs:238-247 getters are API surface)."""
+    frames = ot.Frames.from_slice(8000, np.ones(2000, np.float32))
+    fc, f = ot.FramesSignal.new(frames, 0.0)
+    control, mixer = ot.Mixer.new(channels=1)
+    control.play(f)
+    pool = list(mixer._pools.values())[0]
+    assert pool.is_dr
+    assert fc.playback_position() == 0.0  # queued play: mirror is current
+    r = ot.Renderer(mixer, 8000)
+    r.render_frames(1024)
+    pos = fc.playback_position()
+    assert abs(pos - 1024 / 8000) < 1e-6, pos
+    assert not fc.is_finished()
+    r.render_frames(1024)
+    assert fc.is_finished()
