@@ -112,3 +112,30 @@ def test_streaming_agc_scene_pack():
     assert out.shape == (S, 2048, 1)
     assert np.isfinite(out).all()
     assert np.abs(out[:, 512:]).max() > 0.05  # audio flows after ingest
+
+
+def test_scenepack_sampler_seek_voices():
+    """Sampler (FramesSignal) voices on the DR seek path under shard_map:
+    the guarded-arena resample kernel runs per shard with replicated
+    ddata; pack output matches single-device renderers."""
+    need_devices(8)
+    snd = ot.Frames.from_slice(
+        8000, np.sin(np.linspace(0, 900, 16000)).astype(np.float32)
+    )
+
+    def build(seed):
+        r2 = np.random.default_rng(seed)
+        c, s = ot.SpatialScene.new()
+        for i in range(8):
+            c.play(ot.FramesSignal(snd, -0.01 * i), ot.SpatialOptions(
+                position=r2.uniform(-15, 15, 3), velocity=r2.uniform(-3, 3, 3)))
+        return s
+
+    exp = []
+    for s in [build(k) for k in range(2)]:
+        r = ot.Renderer(s, 8000)
+        exp.append(np.concatenate([r.render_block(512) for _ in range(3)]))
+    exp = np.stack(exp)
+    pack = ScenePack([build(k) for k in range(2)], 8000, make_mesh(2, 4))
+    got = np.concatenate([pack.render_block(512) for _ in range(3)], axis=1)
+    np.testing.assert_allclose(got, exp, atol=1e-5)

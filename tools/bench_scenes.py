@@ -45,16 +45,22 @@ def _measure(label, r, scene_like, tick=None):
     blocks = r.render_frames_device(BLOCK * CHUNK)
     float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     log(f"[{label}] warmup incl. compile: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    for c in range(NCHUNKS):
-        if tick:
-            tick(c + 1)
-        blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
-    total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
-    wall = time.time() - t0
     audio = NCHUNKS * CHUNK * BLOCK / RATE
-    assert np.isfinite(total)
-    log(f"[{label}] {audio:.2f}s audio in {wall:.2f}s -> {audio/wall:.1f}x RT")
+    for mode in (("control ticks", tick), ("no control uploads", None)):
+        name, tk = mode
+        if tk is None and tick is None:
+            continue
+        t0 = time.time()
+        for c in range(NCHUNKS):
+            if tk:
+                tk(c + 1)
+            blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
+        total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
+        wall = time.time() - t0
+        assert np.isfinite(total)
+        note = "; control uploads ride the relay tunnel here" if tk else ""
+        log(f"[{label}] {audio:.2f}s audio in {wall:.2f}s -> "
+            f"{audio/wall:.1f}x RT ({name}{note})")
 
 
 def densemix():
