@@ -482,7 +482,9 @@ def _step_kernel(samples_ref, wpage_ref, extra_w_ref, rpage_ref, extra_r_ref,
         rhi = rhi + pg * (rp1 == p).astype(jnp.float32)
     rstrips = jnp.concatenate([rlo, rhi], axis=-1)  # (tile, 2, S)
 
-    # -- realign + banded one-hot matmul resample (as in _select_kernel)
+    # -- realign + banded one-hot matmul resample (this fused variant
+    # keeps the original E-matmul design; the default path's _select_kernel
+    # moved to the per-element dynamic gather)
     extra_r = extra_r_ref[...]
     b7 = extra_r >> 7
     b4 = (extra_r >> 4) & 7

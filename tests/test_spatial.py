@@ -419,3 +419,36 @@ def test_seek_pool_dr_frames_finish_lingers():
         r.render_block(256)
     assert h.is_finished()
     assert pool.mask_host.sum() == 0
+
+
+def test_seek_pool_dr_voice_churn():
+    """Sustained play/finish churn on the DR seek pool: finite sampler
+    voices finish on device, slots recycle across generations, stale
+    handles stay inert, and the mix stays finite."""
+    rng = np.random.default_rng(21)
+    frames = ot.Frames.from_slice(8000, np.ones(300, np.float32) * 0.1)
+    control, scene = ot.SpatialScene.new(initial_capacity=8)
+    r = ot.Renderer(scene, 8000, sync_every=2)
+    handles = []
+    for step in range(30):
+        if step % 2 == 0:
+            handles.append(control.play(
+                ot.FramesSignal(frames, 0.0),
+                ot.SpatialOptions(position=rng.uniform(-5, 5, 3)),
+            ))
+        if handles and step % 5 == 0:
+            handles[rng.integers(len(handles))].set_motion(
+                rng.uniform(-5, 5, 3), [0.0, 0.0, 0.0], False)
+        out = r.render_block(256)
+        assert np.isfinite(out).all()
+    pool = list(scene._seek_pools.values())[0]
+    assert pool.is_dr
+    scene.sync()
+    # every voice (300 frames + linger) has finished and been reclaimed
+    for _ in range(8):
+        r.render_block(256)
+    scene.sync()
+    assert pool.mask_host.sum() == 0
+    assert len(pool._free) == pool.capacity
+    assert all(h.is_finished() for h in handles)
+    assert pool.slot_gen.sum() >= len(handles) - pool.capacity
