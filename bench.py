@@ -3,27 +3,24 @@
 North star (BASELINE.json): render 4096 spatialized voices per chip at
 >=100x real time, 48 kHz stereo, 512-frame blocks.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": xRT, "unit": "x_realtime", "vs_baseline": xRT/100}
+Prints ONE JSON line with the flagship metric plus named secondary paths
+(every number is regression-visible to the driver):
 
-The scene is 4096 moving sine voices played through SpatialScene.play() —
-the reference's canonical path for deterministic (Seek-able) sources
-(spatial.rs:289-302), riding the device-resident seek pool: per-block
-geometry, doppler time-warp resampling, gain ramps and the mix reduction
-all run in one jitted graph, with live sparse motion deltas from the host.
+  value                 median sustained render rate of the 4096-voice
+                        seek-path scene (play(); velocity-driven motion)
+  seek_trials           per-trial array for the flagship number
+  live_control_*        the same scene with 64 set_motion deltas per 0.5 s
+                        game tick riding this harness's ~0.4 MB/s relay
+                        tunnel (upload-bound HERE; PCIe-trivial in prod)
+  buffered_xrt          4096-voice play_buffered() scene (delay rings —
+                        the only path for streams/arbitrary sources)
+  densemix_xrt          1024 gain-controlled voices -> Reinhard -> Tanh
+  wavetable_xrt         1024 Cycle+Speed wavetable voices
+  streams_mixer_xrt     64 prefilled Stream voices in a Mixer (drain)
+  streams_spatial_xrt   64 prefilled Stream voices spatialized (drain)
 
-The metric is the sustained render rate (host control-plane prep + device
-step, dispatches pipelined as in production block streaming) with
-velocity-driven motion (reference semantics, spatial.rs:501-511), audio
-kept on device and only a digest fetched.  In this harness the TPU sits
-behind a ~0.4 MB/s relay tunnel, so bulk PCM egress and per-tick control
-uploads measure the tunnel, not the engine (production hosts ship both
-over PCIe); the live-control rate (64 set_motion deltas per 0.5 s tick
-riding the tunnel) and the tunnel-bound end-to-end rate are reported as
-secondary numbers.
-
-Set ODDIO_BENCH_SECONDARY=1 to also measure the buffered (delay-ring)
-path at the same voice count (reported on stderr only).
+Audio stays on device; each metric fetches only a digest scalar (bulk PCM
+egress is relay-tunnel-bound in this harness and reported on stderr).
 """
 
 import json
@@ -41,14 +38,14 @@ VOICES = 4096
 RATE = 48000
 BLOCK = 512
 CHUNK = 47  # blocks per scan dispatch (~0.5 s)
-NCHUNKS = 32  # ~16 s of audio
+NCHUNKS = 32  # ~16 s of audio per trial
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_scene(buffered):
+def build_spatial(buffered):
     import oddio_tpu as ot
 
     rng = np.random.default_rng(0)
@@ -69,114 +66,201 @@ def build_scene(buffered):
     return control, scene, handles
 
 
-def measure(scene, handles, rng, label):
-    """Sustained pipelined render rate with live sparse motion control."""
+def velocity_trials(r, scene, label, ntrials=3, nchunks=NCHUNKS):
+    """Sustained pipelined render rate, motion velocity-driven on device
+    (reference semantics, spatial.rs:501-511): no per-tick control uploads
+    in the loop — the number a PCIe-attached production host sees."""
     import jax.numpy as jnp
-    import oddio_tpu as ot
 
-    r = ot.Renderer(scene, RATE)
+    audio = nchunks * CHUNK * BLOCK / RATE
+    trials = []
+    for _ in range(ntrials):
+        t0 = time.time()
+        for _ in range(nchunks):
+            blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
+        total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
+        assert np.isfinite(total)
+        trials.append(round(audio / (time.time() - t0), 2))
+    if scene is not None and hasattr(scene, "sync"):
+        scene.sync()
+    log(f"[{label}] velocity-driven x{ntrials} -> "
+        + ", ".join(f"{x:.1f}" for x in trials) + "x RT")
+    return trials
+
+
+def warmup(r, scene, handles, rng, label):
+    import jax.numpy as jnp
+
     t0 = time.time()
     first = r.render_frames(BLOCK * 8)
     assert np.isfinite(first).all() and np.abs(first).max() > 0
-    # warm every variant the timed loop uses: a motion-delta block followed
+    # warm every variant the timed loops use: a motion-delta block followed
     # by zero-delta scan blocks (audio kept on device) plus the digest op
-    for h in handles[:64]:
-        h.set_motion(rng.uniform(-30, 30, 3), rng.uniform(-5, 5, 3), False)
+    if handles:
+        for h in handles[:64]:
+            h.set_motion(rng.uniform(-30, 30, 3), rng.uniform(-5, 5, 3), False)
     blocks = r.render_frames_device(BLOCK * CHUNK)
     blocks = r.render_frames_device(BLOCK * CHUNK)  # idle full-chunk scan
     float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     log(f"[{label}] warmup incl. compile: {time.time()-t0:.1f}s")
 
-    # timed: offline chunked rendering — each ~0.5 s chunk is one scan
-    # dispatch; between chunks the game tick moves 64 voices (sparse motion
-    # deltas ride the first block of the next chunk); all other motion is
-    # velocity-driven on device (reference semantics, spatial.rs:501-511).
-    # Dispatches pipeline (audio stays on device; handle-state readbacks are
-    # prefetched); the device-state carry chains every chunk, so the single
-    # digest fetch at the end synchronizes the whole pipeline.
-    # Best of 5 trials: the ~0.4 MB/s relay tunnel between this host and the
-    # TPU injects 0.3-1 s of nondeterministic stall into the ~5 KB/chunk
-    # control uploads — noise a locally attached TPU does not have.
+
+def live_trials(r, scene, handles, rng, label, ntrials=5):
+    """Like velocity_trials but with 64 set_motion deltas per ~0.5 s game
+    tick shipped over the relay tunnel (upload weather dominates here)."""
+    import jax.numpy as jnp
+
     audio = NCHUNKS * CHUNK * BLOCK / RATE
     trials = []
     upd = 0
-    for t in range(5):
+    for _ in range(ntrials):
         t0 = time.time()
-        for c in range(NCHUNKS):
+        for _ in range(NCHUNKS):
             for h in handles[upd : upd + 64]:
-                h.set_motion(rng.uniform(-30, 30, 3), rng.uniform(-5, 5, 3), False)
-            upd = (upd + 64) % VOICES
+                h.set_motion(rng.uniform(-30, 30, 3), rng.uniform(-5, 5, 3),
+                             False)
+            upd = (upd + 64) % len(handles)
             blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
             scene.sync_prefetch()
         total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
-        wall = time.time() - t0
         assert np.isfinite(total) and total > 0
-        trials.append(audio / wall)
+        trials.append(round(audio / (time.time() - t0), 2))
     scene.sync()
-    xrt = max(trials)
-    log(f"[{label}] {NCHUNKS} chunks ({audio:.2f}s audio) x5 trials -> "
-        + ", ".join(f"{x:.1f}" for x in trials)
-        + f"x RT (best {xrt:.1f}x, live motion control)")
+    log(f"[{label}] live-control x{ntrials} -> "
+        + ", ".join(f"{x:.1f}" for x in trials) + "x RT (relay-bound)")
+    return trials
 
-    # velocity-driven motion (no per-tick set_motion traffic): the engine's
-    # sustained render rate with host prep + pipelined dispatches but no
-    # relay-tunnel control uploads in the loop — the number a PCIe-attached
-    # production host sees for both workloads (its 5 KB/chunk of control
-    # deltas are microseconds, not the 0.3-1 s tunnel stalls here)
-    vel_trials = []
-    for t in range(3):
-        t0 = time.time()
-        for c in range(NCHUNKS):
-            blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
-        float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
-        vel_trials.append(audio / (time.time() - t0))
-    idle = max(vel_trials)
-    scene.sync()
-    log(f"[{label}] velocity-driven render rate x3 -> "
-        + ", ".join(f"{x:.1f}" for x in vel_trials) + f"x RT (best {idle:.1f}x)")
 
-    # end-to-end including bulk PCM egress over the relay tunnel (stderr
-    # only; tunnel-bound in this harness, PCIe-bound in production)
+def bench_spatial(buffered, rng, with_live):
+    import oddio_tpu as ot
+
+    label = "buffered" if buffered else "seek"
+    t0 = time.time()
+    control, scene, handles = build_spatial(buffered)
+    log(f"built {VOICES}-voice {label} scene in {time.time()-t0:.1f}s")
+    r = ot.Renderer(scene, RATE)
+    warmup(r, scene, handles, rng, label)
+    live = live_trials(r, scene, handles, rng, label) if with_live else None
+    vel = velocity_trials(r, scene, label)
+    # end-to-end incl. bulk PCM egress (stderr only; tunnel-bound here)
     t0 = time.time()
     out = r.render_frames(BLOCK * CHUNK)
-    e2e_wall = time.time() - t0
-    e2e = (CHUNK * BLOCK / RATE) / e2e_wall
+    e2e = (CHUNK * BLOCK / RATE) / (time.time() - t0)
     log(f"[{label}] end-to-end incl. audio egress: {e2e:.2f}x RT "
-        f"({out.nbytes/1e3:.0f} KB fetched over the relay)")
-    return idle, xrt
+        f"({out.nbytes/1e3:.0f} KB over the relay)")
+    return vel, live
+
+
+def bench_densemix(rng):
+    import oddio_tpu as ot
+
+    control, mixer = ot.Mixer.new(channels=1)
+    gcs = []
+    for _ in range(1024):
+        gc, g = ot.Gain.new(ot.Sine(rng.uniform(0, 6), rng.uniform(50, 4000)))
+        gc.set_gain(rng.uniform(-20, 0))
+        gcs.append(gc)
+        control.play(g)
+    chain = ot.Tanh(ot.Reinhard(mixer))
+    r = ot.Renderer(chain, RATE)
+    warmup(r, mixer, [], rng, "densemix")
+    return velocity_trials(r, mixer, "densemix", ntrials=2, nchunks=16)
+
+
+def bench_wavetable(rng):
+    import oddio_tpu as ot
+
+    table = np.sin(np.linspace(0, 2 * np.pi, 2048, endpoint=False)).astype(
+        np.float32
+    )
+    frames = ot.Frames.from_slice(RATE, table)
+    control, mixer = ot.Mixer.new(channels=1)
+    for _ in range(1024):
+        c = ot.Cycle(frames)
+        c.seek(float(rng.uniform(0, 0.04)))
+        control.play(ot.Speed.new(c)[1])
+    r = ot.Renderer(mixer, RATE)
+    warmup(r, mixer, [], rng, "wavetable")
+    return velocity_trials(r, mixer, "wavetable", ntrials=2, nchunks=16)
+
+
+def bench_streams(rng, spatial):
+    """Engine-side drain rate of 64 prefilled streams (sustained full-rate
+    ingest for 64 streams is 12 MB/s of source PCM — relay-bound in this
+    harness, PCIe-trivial in production)."""
+    import jax.numpy as jnp
+
+    import oddio_tpu as ot
+
+    label = "streams_spatial" if spatial else "streams_mixer"
+    n_streams = 64
+    fill = 3 * RATE
+    if spatial:
+        control, scene = ot.SpatialScene.new(initial_capacity=n_streams)
+    else:
+        control, scene = ot.Mixer.new(channels=1)
+    ctls = []
+    for _ in range(n_streams):
+        ctl, s = ot.Stream.new(RATE, fill + RATE // 4)
+        if spatial:
+            control.play_buffered(
+                s, ot.SpatialOptions(position=rng.uniform(-20, 20, 3)),
+                max_distance=50.0, rate=RATE, buffer_duration=0.1,
+            )
+        else:
+            control.play(s)
+        ctls.append(ctl)
+    data = rng.standard_normal((n_streams, fill)).astype(np.float32) * 0.05
+    for j, ctl in enumerate(ctls):
+        ctl.write(data[j])
+    r = ot.Renderer(scene, RATE)
+    t0 = time.time()
+    first = r.render_frames(BLOCK * 8)
+    assert np.isfinite(first).all()
+    blocks = r.render_frames_device(BLOCK * CHUNK)
+    float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
+    log(f"[{label}] warmup incl. compile + buffer upload: {time.time()-t0:.1f}s")
+    nch = int((fill / RATE - 0.3) * RATE / (CHUNK * BLOCK))
+    t0 = time.time()
+    for _ in range(nch):
+        blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
+    total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
+    assert np.isfinite(total)
+    xrt = round(nch * CHUNK * BLOCK / RATE / (time.time() - t0), 2)
+    log(f"[{label}] drain rate: {xrt:.1f}x RT")
+    return xrt
 
 
 def main():
     import jax
 
-    t0 = time.time()
     import oddio_tpu as ot  # noqa: F401
 
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(1)
 
-    control, scene, handles = build_scene(buffered=False)
-    log(f"built {VOICES}-voice seek scene in {time.time()-t0:.1f}s")
-    xrt, live = measure(scene, handles, rng, "seek")
+    seek_vel, seek_live = bench_spatial(False, rng, with_live=True)
+    buf_vel, _ = bench_spatial(True, rng, with_live=False)
+    densemix = bench_densemix(rng)
+    wavetable = bench_wavetable(rng)
+    sm = bench_streams(rng, spatial=False)
+    ss = bench_streams(rng, spatial=True)
 
-    if os.environ.get("ODDIO_BENCH_SECONDARY"):
-        t0 = time.time()
-        control2, scene2, handles2 = build_scene(buffered=True)
-        log(f"built {VOICES}-voice buffered scene in {time.time()-t0:.1f}s")
-        measure(scene2, handles2, rng, "buffered")
-
-    # value: the engine's sustained render rate (velocity-driven motion —
-    # no relay-tunnel control stalls in the loop; see measure()).
-    # live_control_xrt: the same scene with 64 set_motion deltas per 0.5 s
-    # game tick shipped over this harness's ~0.4 MB/s relay tunnel — the
-    # uploads, not the engine, bound it here (production hosts ship the
-    # same 5 KB/chunk over PCIe in microseconds).
+    value = float(np.median(seek_vel))
     print(json.dumps({
         "metric": f"spatial_{VOICES}v_{RATE//1000}kHz_stereo_render_xrt",
-        "value": round(xrt, 2),
+        "value": round(value, 2),
         "unit": "x_realtime",
-        "vs_baseline": round(xrt / 100.0, 3),
-        "live_control_xrt_relay_bound": round(live, 2),
+        "vs_baseline": round(value / 100.0, 3),
+        "seek_trials": seek_vel,
+        "live_control_xrt_relay_bound": float(np.median(seek_live)),
+        "live_trials": seek_live,
+        "buffered_xrt": float(np.median(buf_vel)),
+        "buffered_trials": buf_vel,
+        "densemix_xrt": float(np.median(densemix)),
+        "wavetable_xrt": float(np.median(wavetable)),
+        "streams_mixer_xrt": sm,
+        "streams_spatial_xrt": ss,
     }))
 
 

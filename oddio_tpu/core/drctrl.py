@@ -14,9 +14,17 @@ and control traffic never retraces the step.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 __all__ = ["DRCtrlMixin", "walk_ctrl_keys"]
+
+
+def _dr_children(node):
+    """Children as addressed in the DR state tree (faders expose both
+    banks even though the spec only carries one)."""
+    f = getattr(node, "dr_ctrl_children", None)
+    return f() if f is not None else node.children()
 
 
 def walk_ctrl_keys(proto):
@@ -27,11 +35,46 @@ def walk_ctrl_keys(proto):
     def walk(node, path):
         for f in getattr(node, "_dr_ctrl_fields", ()):
             keys.append((path, f))
-        for k, c in node.children().items():
+        for k, c in _dr_children(node).items():
             walk(c, path + (k,))
 
     walk(proto, ())
     return keys
+
+
+def walk_fade_paths(proto):
+    """Paths of fade-capable (Fader) nodes in the chain, outermost first."""
+    out = []
+
+    def walk(node, path):
+        if getattr(node, "dr_fade_capable", lambda: False)():
+            out.append(path)
+        for k, c in _dr_children(node).items():
+            walk(c, path + (k,))
+
+    walk(proto, ())
+    return out
+
+
+def _at_path(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _at_path_spec(node, path):
+    """Walk a SPEC tree by DR-state path (fader banks both map to .a)."""
+    for k in path:
+        node = _dr_children(node)[k]
+    return node
+
+
+def _set_path(tree, path, value):
+    if not path:
+        return value
+    t = dict(tree)
+    t[path[0]] = _set_path(t[path[0]], path[1:], value)
+    return t
 
 
 def _scatter(tree, path, field, idx, vals):
@@ -48,12 +91,50 @@ class DRCtrlMixin:
 
     #: per-block delta-channel capacity per controllable field
     k_ctrl = 64
+    #: per-block fade-start lanes per fader path
+    k_fade = 8
 
     def _init_ctrl(self, proto):
         self.ctrl_keys = walk_ctrl_keys(proto)
         self.pending_ctrl = {k: {} for k in self.ctrl_keys}
+        self.fade_paths = walk_fade_paths(proto)
+        #: path -> slot -> (spec, duration); last-wins per slot while a
+        #: fade is in flight (fader.rs:38-47's waiting command)
+        self.pending_fades = {p: {} for p in self.fade_paths}
+        V = self.capacity
+        #: deterministic host mirrors of each fader's device state — the
+        #: device never needs to be read to decide when a waiting fade may
+        #: start (progress advances by exactly count*inc per block)
+        self._fade_prog = {p: np.ones(V, np.float32) for p in self.fade_paths}
+        self._fade_inc = {p: np.zeros(V, np.float32) for p in self.fade_paths}
+        self._fade_fading = {p: np.zeros(V, bool) for p in self.fade_paths}
+        self._fade_flip = {p: np.zeros(V, bool) for p in self.fade_paths}
+        #: durations of mid-fade plays whose inc is resolved at the first
+        #: tick (the pool interval may be unknown at play time); -1 = none
+        self._fade_dur = {
+            p: np.full(V, -1.0, np.float32) for p in self.fade_paths
+        }
 
-    def _rebind_ctrl(self, spec, slot, gen):
+    def _ctrl_grow(self, old, new):
+        ext = new - old
+        for p in self.fade_paths:
+            self._fade_prog[p] = np.concatenate(
+                [self._fade_prog[p], np.ones(ext, np.float32)]
+            )
+            self._fade_inc[p] = np.concatenate(
+                [self._fade_inc[p], np.zeros(ext, np.float32)]
+            )
+            self._fade_fading[p] = np.concatenate(
+                [self._fade_fading[p], np.zeros(ext, bool)]
+            )
+            self._fade_flip[p] = np.concatenate(
+                [self._fade_flip[p], np.zeros(ext, bool)]
+            )
+            self._fade_dur[p] = np.concatenate(
+                [self._fade_dur[p], np.full(ext, -1.0, np.float32)]
+            )
+
+    def _rebind_ctrl(self, spec, slot, gen, prefix=()):
         """Point every control handle in ``spec``'s chain at this pool."""
 
         def walk(node, path):
@@ -63,13 +144,177 @@ class DRCtrlMixin:
             for k, c in node.children().items():
                 walk(c, path + (k,))
 
-        walk(spec, ())
+        walk(spec, prefix)
 
     def push_ctrl(self, path, field, slot, value):
         self.pending_ctrl[(path, field)][slot] = np.float32(value)
 
+    def push_fade(self, path, slot, gen, spec, duration):
+        """fade_to on a DR voice (fader.rs:86-93): queued per (fader,
+        slot), last-wins while a fade is in flight."""
+        if self.slot_gen[slot] != gen:
+            return
+        proto_inner = _at_path_spec(self.proto, path).a
+        if spec.archetype() != proto_inner.archetype():
+            raise ValueError(
+                "pooled fade targets must share the inner archetype"
+            )
+        stack = [spec]
+        while stack:  # Rust move semantics, recursively
+            s = stack.pop()
+            if s._moved:
+                raise RuntimeError(
+                    "fade target was already played (moved); construct a new one"
+                )
+            s._moved = True
+            stack.extend(s.children().values())
+        self.pending_fades[path][int(slot)] = (spec, float(duration), gen)
+
+    def _fade_claim_reset(self, slot):
+        """A reclaimed slot's queued fades and fader mirrors must not leak
+        onto the next tenant."""
+        for p in self.fade_paths:
+            self.pending_fades[p].pop(int(slot), None)
+
+    def _fade_mirror_on_play(self, slot, spec):
+        """Seed the fader mirrors from the played spec's host state."""
+        for p in self.fade_paths:
+            node = spec
+            ok = True
+            for k in p:
+                kids = node.children()
+                if k not in kids:
+                    ok = False
+                    break
+                node = kids[k]
+            if ok and node.b is not None:
+                self._fade_prog[p][slot] = np.float32(node.progress[()])
+                self._fade_fading[p][slot] = True
+                self._fade_dur[p][slot] = np.float32(node.duration[()])
+            else:
+                self._fade_prog[p][slot] = np.float32(1.0)
+                self._fade_fading[p][slot] = False
+                self._fade_dur[p][slot] = -1.0
+            self._fade_inc[p][slot] = np.float32(0.0)
+            self._fade_flip[p][slot] = False
+
+    def _fade_pending_any(self):
+        return any(self.pending_fades.values())
+
+    def _fade_tick(self, params, interval, count):
+        """Per-block fader bookkeeping, mirroring the device exactly:
+        release waiting fades on idle voices into padded delta lanes (when
+        ``params`` is not None), emulate the start-of-block completion
+        flips, and advance the progress mirrors by ``count`` frames."""
+        iv = np.float32(interval)
+        cf = np.float32(count)
+        for j, path in enumerate(self.fade_paths):
+            prog = self._fade_prog[path]
+            inc = self._fade_inc[path]
+            fading = self._fade_fading[path]
+            flip = self._fade_flip[path]
+            # resolve mid-fade plays' inc now that the interval is known
+            dur = self._fade_dur[path]
+            pend_dur = dur >= 0.0
+            if pend_dur.any():
+                inc[pend_dur] = iv / np.maximum(dur[pend_dur], iv)
+                dur[pend_dur] = -1.0
+            if params is not None:
+                idx = np.full(self.k_fade, self.capacity, np.int32)
+                incv = np.zeros(self.k_fade, np.float32)
+                rows = []
+                pend = self.pending_fades[path]
+                t = 0
+                for slot in sorted(pend):
+                    if t >= self.k_fade:
+                        break
+                    if pend[slot][2] != self.slot_gen[slot]:
+                        del pend[slot]  # voice died; command dropped
+                        continue
+                    if fading[slot] and prog[slot] < 1.0:
+                        continue  # waits until idle (fader.rs:38-47)
+                    spec, dur, _ = pend.pop(slot)
+                    # emulate the device's targeted-slot resolution of a
+                    # completed-but-unflipped fade (see _fade_apply)
+                    if fading[slot]:
+                        flip[slot] = ~flip[slot]
+                        fading[slot] = False
+                    inc_s = np.float32(iv / max(np.float32(dur), iv))
+                    # the incoming signal lands in the INACTIVE bank; its
+                    # control handles bind there permanently (banks never
+                    # exchange state — completion only flips the bit)
+                    bank = "a" if flip[slot] else "b"
+                    self._rebind_ctrl(
+                        spec, slot, int(self.slot_gen[slot]), path + (bank,)
+                    )
+                    idx[t] = slot
+                    incv[t] = inc_s
+                    rows.append(spec.dr_slot_row(interval))
+                    prog[slot] = 0.0
+                    inc[slot] = inc_s
+                    fading[slot] = True
+                    t += 1
+                proto_inner = _at_path_spec(self.proto, path).a
+                default = jax.tree.map(
+                    lambda x: np.asarray(x[0]), proto_inner.dr_state_init(1)
+                )
+                rows = rows + [default] * (self.k_fade - len(rows))
+                params[f"fade_idx{j}"] = idx
+                params[f"fade_inc{j}"] = incv
+                params[f"fade_row{j}"] = jax.tree.map(
+                    lambda *xs: np.stack(xs), *rows
+                )
+            # start-of-block completion flips for untargeted slots, then
+            # the end-of-block progress advance (matches dr_render)
+            done = fading & (prog >= 1.0)
+            np.logical_xor(flip, done, out=flip)
+            fading &= ~done
+            np.minimum(prog + cf * inc, np.float32(1.0), out=prog)
+
+    def _fade_apply(self, inner_state, params):
+        """Scatter queued fade starts into the fader nodes' state subtrees
+        (after plays/ctrl deltas; completion for a targeted slot resolves
+        first so a new fade never lands on an unflipped finished one)."""
+        if not self.fade_paths or "fade_idx0" not in params:
+            return inner_state
+        import jax.numpy as jnp
+
+        from ..parallel.context import localize_index
+
+        for j, path in enumerate(self.fade_paths):
+            sub = dict(_at_path(inner_state, path))
+            V = sub["prog"].shape[0]
+            lidx = localize_index(params[f"fade_idx{j}"], V)
+            tgt = jnp.zeros(V, bool).at[lidx].set(True, mode="drop")
+            res = tgt & sub["fading"] & (sub["prog"] >= 1.0)
+            flip = jnp.logical_xor(sub["flip"], res)
+            rows = params[f"fade_row{j}"]
+
+            def write_bank(bank_state, into_a):
+                wrote = tgt & (flip if into_a else ~flip)
+
+                def leaf(old, rv):
+                    upd = old.at[lidx].set(rv, mode="drop")
+                    m = wrote.reshape(wrote.shape + (1,) * (old.ndim - 1))
+                    return jnp.where(m, upd, old)
+
+                return jax.tree.map(leaf, bank_state, rows)
+
+            sub["a"] = write_bank(sub["a"], True)
+            sub["b"] = write_bank(sub["b"], False)
+            sub["flip"] = flip
+            sub["prog"] = sub["prog"].at[lidx].set(0.0, mode="drop")
+            sub["inc"] = sub["inc"].at[lidx].set(
+                params[f"fade_inc{j}"], mode="drop"
+            )
+            sub["fading"] = (sub["fading"] & ~res).at[lidx].set(
+                True, mode="drop"
+            )
+            inner_state = _set_path(inner_state, path, sub)
+        return inner_state
+
     def _ctrl_pending_any(self):
-        return any(self.pending_ctrl.values())
+        return any(self.pending_ctrl.values()) or self._fade_pending_any()
 
     def _ctrl_delta_params(self, params):
         """Pack one (idx, val) pair per controllable field (padded; overflow

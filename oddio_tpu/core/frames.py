@@ -48,6 +48,13 @@ def _row_pad(k):
     return (-k) % ARENA_ROW
 
 
+def guard_stride(length):
+    """Samples between consecutive channels' guarded regions of one sound
+    (a pure function of its length, so per-channel offsets never need to
+    ship: off_c = guard_off + c * guard_stride(len))."""
+    return 2 * ARENA_GUARD + length + _row_pad(length)
+
+
 class _Arena:
     """Concatenated device storage for all Frames with a given channel count.
 
@@ -142,10 +149,22 @@ class Frames:
         self._loop_off = None  # lazy looped region (Cycle DR kernel)
 
     def guard_off(self):
+        """Guarded-region offset of channel 0; multi-channel sounds lay
+        their channels at a constant, length-derivable stride (see
+        guard_stride) so one offset addresses them all."""
         if self._guard_off is None:
-            if self.channels != 1:
-                raise ValueError("guarded regions are mono-only")
-            self._guard_off = self.arena.add_guarded(self.data)
+            if self.channels == 1:
+                self._guard_off = self.arena.add_guarded(self.data)
+            else:
+                offs = [
+                    self.arena.add_guarded(np.ascontiguousarray(self.data[:, c]))
+                    for c in range(self.channels)
+                ]
+                stride = guard_stride(len(self))
+                assert all(
+                    offs[c] == offs[0] + c * stride for c in range(self.channels)
+                )
+                self._guard_off = offs[0]
         return self._guard_off
 
     def loop_off(self):
@@ -219,8 +238,9 @@ class FramesSignal(Signal):
         self.off[()] = frames.offset
         self.length[()] = len(frames)
         self.rate[()] = frames._rate
-        # guarded region for the DR resample kernel (mono sounds)
-        self.goff[()] = frames.guard_off() if frames.channels == 1 else 0
+        # guarded region for the DR resample kernel (channel c of a
+        # multi-channel sound sits at goff + c*guard_stride(length))
+        self.goff[()] = frames.guard_off()
         self._cb = ControlBlock(self)
         self.control = FramesSignalControl(self._cb)
 
@@ -293,10 +313,10 @@ class FramesSignal(Signal):
         return (pos >= 0) & (pos >= self.length.astype(np.float64))
 
     def _own_device_data(self):
-        d = {"arena": _arena(self.channels).device()}
-        if self.channels == 1:
-            d["garena"] = _arena(1).device_rows()
-        return d
+        return {
+            "arena": _arena(self.channels).device(),
+            "garena": _arena(self.channels).device_rows(),
+        }
 
     def render(self, dstate, ddata, params, n):
         tr, fr = exact_positions(
@@ -358,7 +378,7 @@ class _FramesDR:
     """Device-resident FramesSignal support, mixed into FramesSignal."""
 
     def dr_supported(self):
-        return self.channels == 1
+        return True
 
     def dr_state_init(self, V):
         import numpy as np
@@ -401,9 +421,7 @@ class _FramesDR:
     def dr_render(self, state, ddata, interval, n, count):
         import numpy as np
 
-        from ..ops._dev import device_advance, to_trunc_form
-
-        from ..ops.pallas_ring import RESAMPLE_NMAX
+        from ..ops._dev import chunked_frames, device_advance, to_trunc_form
 
         if isinstance(interval, (int, float, np.floating)):
             # the slot row's exact host split of the static pool interval
@@ -417,15 +435,50 @@ class _FramesDR:
             ds = jnp.where(jnp.abs(ds - 1.0) <= EPS32, 1.0, ds)
             ds_int, f_hi, f_lo = device_split_ds(ds)
 
-        if n <= RESAMPLE_NMAX and "garena" in ddata:
-            # row-window fetch + strided resample kernel; the guarded
-            # region's zero pads carry frames.rs:105-123's edge semantics
-            xg = state["goff"] + state["base"]
-            lo = state["goff"] - ARENA_GUARD
-            hi = state["goff"] + state["length"]
-            samples = _dr_resample(
-                ddata["garena"], xg, lo, hi, state["frac"],
-                ds_int, f_hi, f_lo, n,
+        C = self.channels
+        if "garena" in ddata:
+            # row-window fetch + strided resample kernel in <=512-frame
+            # chunks (any n, signal.rs:19); the guarded region's zero pads
+            # carry frames.rs:105-123's edge semantics.  Multi-channel
+            # sounds stack channels onto the kernel's row axis (each
+            # channel's guarded plane sits at goff + c*guard_stride(len))
+            if C == 1:
+                goff = state["goff"]
+                length = state["length"]
+                rep = lambda x: x
+            else:
+                stride = (
+                    2 * ARENA_GUARD + state["length"]
+                    + jnp.mod(-state["length"], ARENA_ROW)
+                )
+                goff = (
+                    state["goff"][:, None]
+                    + jnp.arange(C, dtype=jnp.int32) * stride[:, None]
+                ).reshape(-1)
+                rep = lambda x: jnp.repeat(x, C)
+                length = rep(state["length"])
+            lo = goff - ARENA_GUARD
+            hi = goff + length
+            dsf = (rep(ds_int), rep(f_hi), rep(f_lo))
+
+            def ev(cur, n_c):
+                b, o = cur
+                out = _dr_resample(
+                    ddata["garena"], goff + rep(b), lo, hi, rep(o), *dsf, n_c
+                )
+                return out if C == 1 else out.reshape(-1, C, n_c)
+
+            def adv(cur, n_c):
+                b, o = cur
+                neg = o < 0  # trunc-form -> floor-form before advancing
+                b2, o2 = device_advance(
+                    b - neg.astype(jnp.int32), jnp.where(neg, o + 1.0, o),
+                    jnp.int32(n_c), ds_int, f_hi, f_lo,
+                )
+                return b2, o2  # floor-form o2 in [0,1) is valid trunc-form
+
+            samples = chunked_frames(
+                ev, adv, (state["base"], state["frac"]), n
             )
         else:
             tr, fr = exact_positions(
@@ -435,7 +488,11 @@ class _FramesDR:
             arena = ddata["arena"]
             a = _arena_get(arena, state["off"][:, None], state["length"][:, None], s)
             b = _arena_get(arena, state["off"][:, None], state["length"][:, None], s + 1)
+            if arena.ndim > 1:
+                fr = fr[..., None]
             samples = lerp(a, b, fr)
+            if arena.ndim > 1:
+                samples = jnp.moveaxis(samples, -1, 1)  # (V, C, n)
         base2, frac2 = device_advance(
             state["base"], state["frac"], count, ds_int, f_hi, f_lo,
         )
@@ -477,19 +534,32 @@ class _FramesDR:
         return jnp.where(neg, base2 + 1, base2), jnp.where(neg, o0 - 1.0, o0)
 
     def dr_warp_render(self, state, ddata, t0, dt, n):
-        from ..ops._dev import device_split_ds
+        from ..ops._dev import chunked_frames, device_advance, device_split_ds
 
         V, E = t0.shape
         base2, o0 = self._dr_warp_cursor(state, t0, wrap=False)
         ds = dt * state["rate"][:, None]
         ds = jnp.where(jnp.abs(ds - 1.0) <= EPS32, 1.0, ds)
         ds_int, f_hi, f_lo = device_split_ds(ds)
-        xg = (state["goff"][:, None] + base2).reshape(-1)
+        dsf = (ds_int.reshape(-1), f_hi.reshape(-1), f_lo.reshape(-1))
+        goff = jnp.repeat(state["goff"], E)
         lo = jnp.repeat(state["goff"] - ARENA_GUARD, E)
         hi = jnp.repeat(state["goff"] + state["length"], E)
-        samples = _dr_resample(
-            ddata["garena"], xg, lo, hi, o0.reshape(-1),
-            ds_int.reshape(-1), f_hi.reshape(-1), f_lo.reshape(-1), n,
+
+        def ev(cur, n_c):
+            b, o = cur
+            return _dr_resample(ddata["garena"], goff + b, lo, hi, o, *dsf, n_c)
+
+        def adv(cur, n_c):
+            b, o = cur
+            neg = o < 0  # trunc-form -> floor-form before advancing
+            return device_advance(
+                b - neg.astype(jnp.int32), jnp.where(neg, o + 1.0, o),
+                jnp.int32(n_c), *dsf,
+            )
+
+        samples = chunked_frames(
+            ev, adv, (base2.reshape(-1), o0.reshape(-1)), n
         )
         return samples.reshape(V, E, n)
 

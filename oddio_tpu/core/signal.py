@@ -75,8 +75,12 @@ class ControlBlock:
     def set(self, field, value):
         if self._dr is not None:
             pool, slot, gen, path = self._dr
+            # the mirror is the spec's own (per-handle) host field, so it is
+            # always writable — like the reference's orphaned Arc'd atomics
+            # (gain.rs:130-139): set-after-death still updates what get()
+            # reads back.  Only the device delta is skipped when stale.
+            getattr(self.sig, field)[self.idx] = value  # handle mirror
             if pool.slot_gen[slot] == gen:
-                getattr(self.sig, field)[self.idx] = value  # handle mirror
                 pool.push_ctrl(path, field, slot, value)
             return
         if self.live():

@@ -39,6 +39,10 @@ class Pool:
 
     is_dr = False
 
+    #: set by ScenePack (see PoolDR._unpack_hook): the batched sig's device
+    #: leaves go stale while packed, so growth must pull the carry first
+    _unpack_hook = None
+
     def __init__(self, name, spec, capacity):
         self.name = name
         self.proto = spec  # structure donor for clone/grow (state is per-slot)
@@ -50,6 +54,8 @@ class Pool:
         self._free = list(range(capacity - 1, -1, -1))
 
     def grow(self):
+        if self._unpack_hook is not None:
+            self._unpack_hook()
         old = self.capacity
         new = old * 2
         self.sig.grow_batched(new)
@@ -103,6 +109,10 @@ class PoolDR(DRCtrlMixin):
 
     is_dr = True
 
+    #: set by ScenePack: called before any direct mutation of ``self.state``
+    #: outside the jitted step (see _DRPoolBase._unpack_hook)
+    _unpack_hook = None
+
     def __init__(self, name, spec, capacity, k_play=8, k_stop=64):
         self.name = name
         self.proto = spec
@@ -131,8 +141,11 @@ class PoolDR(DRCtrlMixin):
         return self.state
 
     def grow(self):
+        if self._unpack_hook is not None:
+            self._unpack_hook()
         old = self.capacity
         new = old * 2
+        self._ctrl_grow(old, new)
         self.dr_state()
         fresh = {
             "mask": jnp.zeros(old, bool),
@@ -165,6 +178,8 @@ class PoolDR(DRCtrlMixin):
             s._moved = True
             stack.extend(s.children().values())
         self._rebind_ctrl(spec, i, gen)
+        self._fade_claim_reset(i)
+        self._fade_mirror_on_play(i, spec)
         self.pending_plays.append((i, spec))
         self.mask_host[i] = True
         self.stopped_host[i] = False
@@ -196,6 +211,8 @@ class PoolDR(DRCtrlMixin):
         return rows
 
     def _apply_plays_eager(self, interval):
+        if self._unpack_hook is not None:
+            self._unpack_hook()
         self.dr_state()
         idx = jnp.asarray([i for i, _ in self.pending_plays], jnp.int32)
         rows = jax.tree.map(
@@ -274,6 +291,10 @@ class PoolDR(DRCtrlMixin):
             stop_idx = np.full(Ks, self.capacity, np.int32)
             stop_idx[: len(items)] = items
             params["stop_idx"] = stop_idx
+        # fader bookkeeping: release waiting fades into delta lanes (only
+        # on control-event blocks, keeping two step variants) + advance
+        # the deterministic progress mirrors every block
+        self._fade_tick(params if has else None, self._interval, n)
         return params
 
     def render(self, dstate, ddata, params, n):
@@ -293,6 +314,8 @@ class PoolDR(DRCtrlMixin):
             )
         # 1b. control-field deltas (set_gain/set_speed, gain.rs:103-108)
         S["inner"] = self._ctrl_apply(S["inner"], params)
+        # 1c. fade starts (fader.rs:86-93 swap-channel delivery)
+        S["inner"] = self._fade_apply(S["inner"], params)
         # 2. stop deltas (Mixed::stop, mixer.rs:33-36)
         if "stop_idx" in params:
             sidx = localize_index(params["stop_idx"], V)
@@ -302,14 +325,17 @@ class PoolDR(DRCtrlMixin):
         fin = self.proto.dr_is_finished(S["inner"])
         S["stopped"] = S["stopped"] | (S["mask"] & fin)
         S["mask"] = S["mask"] & ~S["stopped"]
-        # 4. render + masked sum (NaN-safe where)
+        # 4. render + masked sum (NaN-safe where); mono chains return
+        # (V, n), frame-generic ones (V, C, n) (frame.rs:67-79)
         count = jnp.full(V, n, jnp.int32)
         inner2, samples = self.proto.dr_render(
             S["inner"], ddata.get("inner", {}), self._interval, n, count
         )
         S["inner"] = inner2
+        if samples.ndim == 2:
+            samples = samples[:, None, :]
         out = jnp.sum(
-            jnp.where(S["mask"][:, None], samples, 0.0), axis=0, keepdims=True
+            jnp.where(S["mask"][:, None, None], samples, 0.0), axis=0
         )
         return S, out
 
@@ -337,7 +363,7 @@ class Mixer(Signal):
             raise ValueError(
                 f"signal has {spec.channels} channels, mixer expects {self.channels}"
             )
-        dr = self.channels == 1 and spec.dr_supported()
+        dr = spec.dr_supported()
         arch = (spec.archetype(), dr)
         pool = self._pools.get(arch)
         if pool is None:
@@ -496,6 +522,14 @@ class Mixer(Signal):
                 st["pending_plays"] = list(p.pending_plays)
                 st["pending_stops"] = set(p.pending_stops)
                 st["pending_ctrl"] = _copy.deepcopy(p.pending_ctrl)
+                st["pending_fades"] = {
+                    k: dict(v) for k, v in p.pending_fades.items()
+                }
+                st["fade_mirrors"] = {
+                    name: {k: np.copy(v) for k, v in getattr(p, name).items()}
+                    for name in ("_fade_prog", "_fade_inc", "_fade_fading",
+                                 "_fade_flip", "_fade_dur")
+                }
                 st["interval"] = p._interval
             else:
                 st["mask"] = p.mask.copy()
@@ -521,6 +555,12 @@ class Mixer(Signal):
                 p.pending_ctrl = _copy.deepcopy(
                     st.get("pending_ctrl", p.pending_ctrl)
                 )
+                p.pending_fades = {
+                    k: dict(v)
+                    for k, v in st.get("pending_fades", p.pending_fades).items()
+                }
+                for name, saved in st.get("fade_mirrors", {}).items():
+                    setattr(p, name, {k: np.copy(v) for k, v in saved.items()})
                 p._interval = st["interval"]
             else:
                 p.mask = st["mask"].copy()

@@ -128,20 +128,57 @@ def top12(x):
     return (xi & ~np.int32(0xFFF)).view(np.float32)
 
 
+#: frames per position-walk chunk: resample/select windows stay bounded and
+#: the 12-bit split products stay exact (t < 4096) for ANY block size
+WARP_CHUNK = 512
+
+
+def chunked_frames(eval_chunk, advance, cursor, n, chunk=WARP_CHUNK):
+    """Evaluate a per-frame position walk in <=chunk-frame pieces along the
+    last axis: ``eval_chunk(cursor, n_c) -> (..., n_c)`` renders one piece,
+    ``advance(cursor, n_c) -> cursor`` moves to the next chunk start with
+    the exact split arithmetic (ops/_dev.py), so chunked and unchunked
+    positions agree to ~1 ulp.  This is how every kernel-windowed op meets
+    the reference's any-output-length contract (signal.rs:19) without
+    unbounded gather windows."""
+    if n <= chunk:
+        return eval_chunk(cursor, n)
+    parts = []
+    for j0 in range(0, n, chunk):
+        n_c = min(chunk, n - j0)
+        parts.append(eval_chunk(cursor, n_c))
+        if j0 + n_c < n:
+            cursor = advance(cursor, n_c)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def device_top12(x):
+    """jnp twin of top12 (device-side mantissa split)."""
+    import jax
+
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(xi & ~jnp.int32(0xFFF), jnp.float32)
+
+
 def warp_shift(rate, r_hi, t):
-    """Near-exact sample shift ``t * rate`` for f32 seconds ``t`` (|t| < 1)
-    against a per-voice f32 ``rate`` pre-split as ``r_hi = top12(rate)``:
-    the dominant product is exact (12+12 mantissa bits), residuals carry
-    ~1e-5-sample error instead of the ~1e-3 of a bare f32 product.
-    Broadcasts ``t``'s trailing axes; returns (shift_int:int32, frac in
-    [0,1)) in floor form."""
+    """Near-exact sample shift ``t * rate`` for f32 seconds ``t`` against a
+    per-voice f32 ``rate`` pre-split as ``r_hi = top12(rate)``.
+
+    ``t`` splits on its mantissa (``t_a = top12(t)``, exact at ANY
+    magnitude), so all four partial products are exact 12x12-bit f32
+    products; only their summation rounds.  Error ~ulp(|t*rate|/4096):
+    ~1e-6 samples for |t| <= 1 s, ~1e-5 at 10 s (3.4 km of propagation
+    delay), degrading gently beyond — the earlier 4096th-based split lost
+    exactness outright past |t| = 1 s.  Broadcasts ``t``'s trailing axes;
+    returns (shift_int:int32, frac in [0,1)) in floor form."""
     extra = t.ndim - rate.ndim
     r = rate.reshape(rate.shape + (1,) * extra)
     rh = r_hi.reshape(r_hi.shape + (1,) * extra)
-    t_hi = jnp.floor(t * 4096.0) * jnp.float32(1.0 / 4096.0)
-    t_lo = t - t_hi
-    A = t_hi * rh  # exact
-    rest = t_hi * (r - rh) + t_lo * r
+    rl = r - rh  # exact (<= 12 residual mantissa bits)
+    ti = device_top12(t)
+    tl = t - ti  # exact
+    A = ti * rh  # exact
+    rest = ti * rl + tl * r  # exact + near-exact terms; sums round
     Af = jnp.floor(A)
     u = (A - Af) + rest
     uf = jnp.floor(u)

@@ -63,11 +63,7 @@ class _Wrapper(Signal):
     _dr_map = None
 
     def dr_supported(self):
-        return (
-            self._dr_map is not None
-            and self.channels == 1
-            and self.inner.dr_supported()
-        )
+        return self._dr_map is not None and self.inner.dr_supported()
 
     def dr_state_init(self, V):
         return {"inner": self.inner.dr_state_init(V)}
@@ -115,6 +111,16 @@ class MonoToStereo(_Wrapper):
         d2, block = self._inner_render(dstate, ddata, params, n)
         return d2, jnp.broadcast_to(block, (2, n))
 
+    def dr_supported(self):
+        return self.inner.dr_supported()
+
+    def dr_render(self, state, ddata, interval, n, count):
+        d2, samples = self.inner.dr_render(
+            state["inner"], ddata.get("inner", {}), interval, n, count
+        )
+        V = samples.shape[0]
+        return {"inner": d2}, jnp.broadcast_to(samples[:, None, :], (V, 2, n))
+
 
 class Downmix(_Wrapper):
     """downmix.rs — sum all channels to mono."""
@@ -126,3 +132,14 @@ class Downmix(_Wrapper):
     def render(self, dstate, ddata, params, n):
         d2, block = self._inner_render(dstate, ddata, params, n)
         return d2, jnp.sum(block, axis=0, keepdims=True)
+
+    def dr_supported(self):
+        return self.inner.dr_supported()
+
+    def dr_render(self, state, ddata, interval, n, count):
+        d2, samples = self.inner.dr_render(
+            state["inner"], ddata.get("inner", {}), interval, n, count
+        )
+        if samples.ndim == 3:
+            samples = jnp.sum(samples, axis=1)
+        return {"inner": d2}, samples

@@ -61,17 +61,24 @@ class Constant(Signal):
         return type(self).host_is_finished is Signal.host_is_finished
 
     def dr_supported(self):
-        return self.channels == 1 and self._dr_finish_default()
+        return self._dr_finish_default()
 
     def dr_state_init(self, V):
-        return {"value": np.zeros(V, np.float32)}
+        if self.channels == 1:
+            return {"value": np.zeros(V, np.float32)}
+        return {"value": np.zeros((V, self.channels), np.float32)}
 
     def dr_slot_row(self, interval):
-        return {"value": np.float32(self.value[0] if self.value.ndim else self.value)}
+        v = np.asarray(self.value, np.float32).reshape(self.channels)
+        return {"value": v[0] if self.channels == 1 else v}
 
     def dr_render(self, state, ddata, interval, n, count):
         V = state["value"].shape[0]
-        return state, jnp.broadcast_to(state["value"][:, None], (V, n))
+        if self.channels == 1:
+            return state, jnp.broadcast_to(state["value"][:, None], (V, n))
+        return state, jnp.broadcast_to(
+            state["value"][:, :, None], (V, self.channels, n)
+        )
 
     def dr_is_finished(self, state):
         return jnp.zeros(state["value"].shape[0], dtype=bool)

@@ -150,19 +150,30 @@ class Cycle(Signal):
 
     def dr_render(self, state, ddata, interval, n, count):
         from ..core.frames import _dr_resample
-        from ._dev import device_advance
-        from .pallas_ring import RESAMPLE_NMAX
+        from ._dev import chunked_frames, device_advance
 
         ds_int, f_hi, f_lo = self._dr_step(state, interval)
-        if n <= RESAMPLE_NMAX and "garena" in ddata:
-            # looped region: data replicated past the seam, so the in-block
-            # walk (and the seam lerp pair, cycle.rs:34-47) never wraps
-            xg = state["loff"] + state["base"]
+        if "garena" in ddata:
+            # looped region: data replicated past the seam, so each
+            # <=512-frame chunk's walk (and the seam lerp pair,
+            # cycle.rs:34-47) never wraps; cursors re-wrap between chunks
             lo = state["loff"] - 1
             hi = state["loff"] + state["length"] - 1
-            samples = _dr_resample(
-                ddata["garena"], xg, lo, hi, state["frac"],
-                ds_int, f_hi, f_lo, n,
+
+            def ev(cur, n_c):
+                b, o = cur
+                return _dr_resample(
+                    ddata["garena"], state["loff"] + b, lo, hi, o,
+                    ds_int, f_hi, f_lo, n_c,
+                )
+
+            def adv(cur, n_c):
+                b, o = cur
+                b2, o2 = device_advance(b, o, jnp.int32(n_c), ds_int, f_hi, f_lo)
+                return jnp.mod(b2, state["length"]), o2
+
+            samples = chunked_frames(
+                ev, adv, (state["base"], state["frac"]), n
             )
         else:
             tr, fr = exact_positions(state["frac"], ds_int, f_hi, f_lo, n)
@@ -221,18 +232,29 @@ class Cycle(Signal):
 
     def dr_warp_render(self, state, ddata, t0, dt, n):
         from ..core.frames import _dr_resample
-        from ._dev import device_split_ds
+        from ._dev import chunked_frames, device_advance, device_split_ds
 
         V, E = t0.shape
         base2, o0 = self._dr_warp_cursor(state, t0, wrap=True)
         ds = dt * state["rate"][:, None]
         ds_int, f_hi, f_lo = device_split_ds(ds)
-        xg = (state["loff"][:, None] + base2).reshape(-1)
-        lo = jnp.repeat(state["loff"] - 1, E)
-        hi = jnp.repeat(state["loff"] + state["length"] - 1, E)
-        samples = _dr_resample(
-            ddata["garena"], xg, lo, hi, o0.reshape(-1),
-            ds_int.reshape(-1), f_hi.reshape(-1), f_lo.reshape(-1), n,
+        dsf = (ds_int.reshape(-1), f_hi.reshape(-1), f_lo.reshape(-1))
+        loff = jnp.repeat(state["loff"], E)
+        length = jnp.repeat(state["length"], E)
+        lo = loff - 1
+        hi = loff + length - 1
+
+        def ev(cur, n_c):
+            b, o = cur
+            return _dr_resample(ddata["garena"], loff + b, lo, hi, o, *dsf, n_c)
+
+        def adv(cur, n_c):
+            b, o = cur
+            b2, o2 = device_advance(b, o, jnp.int32(n_c), *dsf)
+            return jnp.mod(b2, length), o2
+
+        samples = chunked_frames(
+            ev, adv, (base2.reshape(-1), o0.reshape(-1)), n
         )
         return samples.reshape(V, E, n)
 

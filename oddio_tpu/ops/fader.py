@@ -185,7 +185,11 @@ class Fader(Signal):
             self.fading[slot] = True
             breset.add(slot)
 
-        inc = (interval / self.duration).astype(np.float32)
+        # duration <= one interval (incl. 0) completes within the first
+        # frame, like the reference's per-frame progress.min(1.0)
+        # (fader.rs:52-63); clamping also keeps 0*inf out of the closed-form
+        # ramp below (progress0 + j*inc at j=0 would be NaN for inc=inf)
+        inc = (interval / np.maximum(self.duration, interval)).astype(np.float32)
         V = self.batch[0]
         breset_mask = np.zeros(V, dtype=bool)
         for s in breset:
@@ -240,7 +244,8 @@ class Fader(Signal):
         if self.b is None:
             return {"a": self.a.host_prepare(interval, n, count)}
 
-        inc = (interval / self.duration).astype(np.float32)
+        # see _host_prepare_pooled: sub-interval durations clamp to one frame
+        inc = (interval / np.maximum(self.duration, interval)).astype(np.float32)
         params = {
             "progress0": np.asarray(self.progress, np.float32),
             "inc": inc,
@@ -321,6 +326,99 @@ class Fader(Signal):
             d["a"] = sub
         return d
 
+    # -- device-resident mode ------------------------------------------------
+    # The DR fader keeps TWO same-archetype banks plus a per-voice
+    # ACTIVE-BANK BIT (``flip``): a fade writes the incoming signal into the
+    # per-voice INACTIVE bank, and completion (fader.rs:66-70) just flips
+    # the bit — no state ever moves between banks, so control handles bound
+    # into either bank stay valid across any number of fades.  Fade starts
+    # arrive as sparse pool deltas (core/drctrl.py::_fade_apply); the fade
+    # ramp itself (fader.rs:52-63) is the closed-form constant-power curve.
+
+    def dr_fade_capable(self):
+        return True
+
+    def dr_ctrl_children(self):
+        """Both banks' control fields are addressable in the DR state tree
+        (the incoming signal's handles bind to whichever bank it lands in)."""
+        return {"a": self.a, "b": self.a}
+
+    def dr_supported(self):
+        return (
+            not self._pool_mode
+            and self.a.dr_supported()
+            and (self.b is None or self.b.dr_supported())
+        )
+
+    def dr_state_init(self, V):
+        sub = self.a.dr_state_init(V)
+        return {
+            "prog": np.ones(V, np.float32),
+            "inc": np.zeros(V, np.float32),
+            "fading": np.zeros(V, bool),
+            "flip": np.zeros(V, bool),
+            "a": sub,
+            "b": jax.tree.map(np.copy, sub),
+        }
+
+    def dr_slot_row(self, interval):
+        fading = self.b is not None
+        iv = np.float32(interval)
+        if fading:
+            if self.b.archetype() != self.a.archetype():
+                raise ValueError(
+                    "pooled fade targets must share the inner archetype"
+                )
+            inc = np.float32(iv / max(np.float32(self.duration[()]), iv))
+            brow = self.b.dr_slot_row(interval)
+            prog = np.float32(self.progress[()])
+        else:
+            inc = np.float32(0.0)
+            brow = jax.tree.map(
+                lambda x: np.asarray(x[0]), self.a.dr_state_init(1)
+            )
+            prog = np.float32(1.0)
+        return {
+            "prog": prog, "inc": inc, "fading": bool(fading), "flip": False,
+            "a": self.a.dr_slot_row(interval), "b": brow,
+        }
+
+    def dr_render(self, state, ddata, interval, n, count):
+        # completion check first (fader.rs:66-70 deferred to block start,
+        # mirroring _host_prepare_pooled): the bit flips, nothing moves
+        done = state["fading"] & (state["prog"] >= 1.0)
+        flip = jnp.logical_xor(state["flip"], done)
+        fading = state["fading"] & ~done
+        dda = ddata.get("a", {})
+        a2, sa = self.a.dr_render(state["a"], dda, interval, n, count)
+        b2, sb = self.a.dr_render(state["b"], dda, interval, n, count)
+
+        def ex(m):  # per-voice mask against (V[, C], n) samples
+            return m.reshape(m.shape + (1,) * (sa.ndim - 1))
+
+        old = jnp.where(ex(flip), sb, sa)
+        new = jnp.where(ex(flip), sa, sb)
+        p = jnp.minimum(
+            state["prog"][:, None] + iota_f32(n) * state["inc"][:, None], 1.0
+        )
+        if sa.ndim == 3:
+            p = p[:, None, :]
+        f2 = ex(fading)
+        wa = jnp.where(f2, jnp.sqrt(1.0 - p), 1.0)
+        wb = jnp.where(f2, jnp.sqrt(p), 0.0)
+        prog2 = jnp.minimum(
+            state["prog"] + count.astype(jnp.float32) * state["inc"], 1.0
+        )
+        out_state = {
+            "prog": prog2, "inc": state["inc"], "fading": fading,
+            "flip": flip, "a": a2, "b": b2,
+        }
+        return out_state, old * wa + new * wb
+
+    def dr_is_finished(self, state):
+        # a fader never finishes on its own (fader.rs:74-77)
+        return jnp.zeros(state["prog"].shape, dtype=bool)
+
 
 class FaderControl:
     """fader.rs:81-93: crossfade to ``signal`` over ``duration`` seconds; if a
@@ -333,5 +431,12 @@ class FaderControl:
         fader = self._cb.sig
         if signal.channels != fader.channels:
             raise ValueError("fade target must match channel count")
+        if self._cb._dr is not None:
+            # device-resident voice: the fade rides the pool's sparse
+            # delta channel (core/drctrl.py::push_fade)
+            pool, slot, gen, path = self._cb._dr
+            if pool.slot_gen[slot] == gen:
+                pool.push_fade(path, slot, gen, signal, duration)
+            return
         if self._cb.live():
             fader.queue_fade(self._cb.idx, signal, duration)

@@ -83,7 +83,7 @@ class FixedGain(Signal):
     # -- device-resident mode ------------------------------------------------
 
     def dr_supported(self):
-        return self.channels == 1 and self.inner.dr_supported()
+        return self.inner.dr_supported()
 
     def dr_state_init(self, V):
         return {
@@ -101,7 +101,8 @@ class FixedGain(Signal):
         d2, samples = self.inner.dr_render(
             state["inner"], ddata.get("inner", {}), interval, n, count
         )
-        return {"gain": state["gain"], "inner": d2}, samples * state["gain"][:, None]
+        g = state["gain"].reshape((-1,) + (1,) * (samples.ndim - 1))
+        return {"gain": state["gain"], "inner": d2}, samples * g
 
     def dr_is_finished(self, state):
         return self.inner.dr_is_finished(state["inner"])
@@ -210,7 +211,7 @@ class Gain(Signal):
     _dr_ctrl_fields = ("shared",)
 
     def dr_supported(self):
-        return self.channels == 1 and self.inner.dr_supported()
+        return self.inner.dr_supported()
 
     def dr_state_init(self, V):
         return {
@@ -247,6 +248,8 @@ class Gain(Signal):
         # closed form of gain.rs:118-121 / smooth.rs:47-49
         pr = jnp.minimum(prog[:, None] + iota_f32(n) * inc[..., None], 1.0)
         gains = prev[:, None] + pr * (nxt - prev)[:, None]
+        if samples.ndim == 3:  # frame-generic chains (frame.rs:67-79)
+            gains = gains[:, None, :]
         prog2 = jnp.minimum(prog + count.astype(jnp.float32) * inc, 1.0)
         return {
             "shared": shared, "prev": prev, "next": nxt, "progress": prog2,

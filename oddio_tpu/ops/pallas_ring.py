@@ -1,33 +1,34 @@
 """Pallas TPU kernels for the spatial delay rings — the hot ops.
 
 XLA lowers *elementwise* per-voice gathers/scatters on TPU to near-serial
-loops (measured ~56 ms for one (4096, 1024)-index gather from (4096, 16384)),
-but handles *row-granular* gather/scatter on (N, 1024) page arrays natively
-(~1-3 ms for the whole pool).  So the delay rings are treated as pages:
+loops (measured ~56 ms for one (4096, 1024)-index gather from (4096, 16384));
+every kernel here is built so only row-granular or slab-shaped data moves.
 
-* ring buffers are (V, cap) with cap a multiple of the 1024-sample page;
-  wraparound is just page-index modulo — no fold/mirror zones needed.
-* **writes** (ring.rs:18-41): XLA gathers each voice's two affected pages
-  into a (V, 2048) strip, the ``strip_place`` kernel inserts the new samples
-  at the per-voice cursor offset, XLA scatters the pages back.
-* **reads** (ring.rs:51-79, spatial.rs:409-431): XLA gathers two pages per
-  (voice, ear); the ``strip_select`` kernel realigns and resamples.
+Two ring families share these kernels:
 
-Per-voice offsets inside the read kernels split into (a) a row-constant
-128-granule shift, realigned by a small loop of statically sliced VMEM
-windows multiplied by a selection mask (exact for row constants), and (b)
-everything finer — the low offset bits plus the per-element doppler walk —
-which rides Mosaic's per-element 128-lane dynamic gather (jnp.take_along_axis
-inside the kernel; see _gather3).  Read positions are reconstructed in-kernel
-from 4 scalars/(voice, ear) with the exact split-ds math (ops/_dev.py), so
-nothing per-frame streams from HBM.  Positions are near-linear
-(``pos_j ≈ const + j*ds``, ``ds = 1 ± v/c``), ``a_j = win[j + k_j]`` with
-``k_j`` bounded by 2K.  The write kernel still uses the masked static-shift
-levels (its insert offset is row-constant).
+* The DR buffered pool's FLAT layout (spatial.py::_BufferedPoolDR): rings
+  are (V, front + L + mirror + slack) rows; a shared write cursor makes
+  appends page-aligned slabs (``flat_append_aligned`` maps output blocks
+  straight onto the written pages via a scalar-prefetched index, so the
+  in-place append costs exactly the bytes written), and the mirror region
+  makes every read window contiguous for ``window_select``.
+* The host buffered pool's row-strip layout ((V*rows, 256)): per-voice
+  cursors differ, so writes gather row strips, ``strip_place`` inserts at
+  the per-voice offset, and XLA scatters rows back; ``strip_select`` adds
+  a masked 128-granule realign stage for the row-remainder offsets.
 
-``K`` bounds the per-block doppler walk (|ds-1|*n <= 2K); K=64 at 512-frame
-blocks covers radial velocities beyond ±40 m/s (clamped above — where the
-reference itself pops).
+Read positions are reconstructed in-kernel from 4 scalars/(voice, ear)
+with the exact split-ds math (ops/_dev.py), so nothing per-frame streams
+from HBM.  Positions are near-linear (``pos_j ≈ const + j*ds``,
+``ds = 1 ± v/c``), ``a_j = win[extra + j + k_j]`` with ``k_j`` bounded by
+2K; the per-element lookup rides Mosaic's 128-lane dynamic gather
+(jnp.take_along_axis inside the kernel; see _gather3).  ``strip_resample``
+extends the same pattern to wavetable/sampler reads at arbitrary stride.
+
+``K`` bounds the per-chunk doppler walk (|ds-1|*chunk <= 2K); K=64 at
+512-frame chunks covers radial velocities beyond ±40 m/s (clamped above —
+where the reference itself pops).  Blocks larger than a chunk re-baseline
+cursors between chunks (ops/_dev.py::chunked_frames).
 """
 
 from __future__ import annotations
@@ -126,6 +127,67 @@ def strip_place(strips, samples, extra, count=None, *, interpret=False,
         interpret=interpret,
     )(samples, strips, extra[:, None].astype(jnp.int32),
       count[:, None].astype(jnp.int32))
+
+
+# --- flat-ring aligned append --------------------------------------------------
+#
+# The DR buffered pool's shared write cursor advances by exactly n frames
+# per block whenever the inner rate equals the scene rate (the flagship
+# config), so with n a multiple of 512 every append is a 512-aligned
+# full-page slab.  XLA's dynamic_update_slice realizes that as a strided
+# read-modify-write over the whole pool (~1.2 ms at 4096 voices); this
+# kernel instead maps the OUTPUT blocks straight onto the written pages
+# via a scalar-prefetched page index — the ring is aliased in place and
+# never streamed, so the append costs exactly the bytes written.
+
+APPEND_PW = 512  # page width of the aligned append path
+
+
+def _append_kernel(pcol_ref, pmir_ref, samples_ref, ring_hbm, out_ref, *, PW):
+    del pcol_ref, pmir_ref, ring_hbm, PW
+    out_ref[...] = samples_ref[...]
+
+
+def flat_append_aligned(ring, samples, pcol, pmir, *, interpret=False,
+                        tile=None):
+    """Write ``samples`` (V, W) with W a multiple of APPEND_PW into
+    ``ring`` (V, rowlen) at column ``pcol*APPEND_PW`` (page-granular), and
+    an identical mirror-maintenance copy at page ``pmir`` (the caller
+    points it at the mirror twin or at a dump page).  In-place on the
+    donated ring; only the written pages move."""
+    V, rowlen = ring.shape
+    W = samples.shape[1]
+    npg = W // APPEND_PW
+    assert W % APPEND_PW == 0
+    if tile is None:
+        tile = _tile_for(V)
+    pcol = jnp.asarray(pcol, jnp.int32).reshape(1)
+    pmir = jnp.asarray(pmir, jnp.int32).reshape(1)
+
+    def ring_map(i, j, leg, pcol_ref, pmir_ref):
+        return (i, jnp.where(leg == 0, pcol_ref[0], pmir_ref[0]) + j)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(V // tile, npg, 2),
+        in_specs=[
+            pl.BlockSpec(
+                (tile, APPEND_PW), lambda i, j, leg, *_: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, APPEND_PW), ring_map, memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_append_kernel, PW=APPEND_PW),
+        out_shape=jax.ShapeDtypeStruct((V, rowlen), jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(pcol, pmir, samples, ring)
 
 
 # --- read: realign + doppler shift-select + lerp + gains + reduce --------------
@@ -306,6 +368,114 @@ def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K, emax,
     )
 
 
+# --- flat-window select (the DR buffered pool's read kernel) -------------------
+#
+# With the flat (V, rowlen) ring layout (mirror region makes every read
+# window contiguous), XLA hands the kernel one exact per-voice window
+# whose start is the shared-ear base cm - K: the per-ear lane offset is
+# just the inter-ear stagger (< ~40 lanes at 48 kHz), so positions reach
+# the whole lookup range through _gather3 directly — the 128-granule
+# masked realign loop of _select_kernel (the old row layout's remainder
+# handling, ~40% of its VPU work) vanishes.
+
+
+def _ear_pipeline_flat(strips, scal, extra, *, n, K, SB=SELECT_SB):
+    """a_j = strips[extra + j + kk_j] lerped with fr_j; extra (tile, 1) is
+    the ear's stagger within the window, in [0, SELECT_W - SB - 2K - 1)."""
+    tile = strips.shape[0]
+    parts = []
+    for sb in range(-(-n // SB)):
+        kk_sb, fr_sb = _positions_sb(scal, sb * SB, SB, K)
+        w1 = strips[:, sb * SB : sb * SB + SELECT_W]
+        m = extra + jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1) + kk_sb
+        a_sb = _gather3(w1, m)
+        b_sb = _gather3(w1, m + 1)
+        parts.append(a_sb + fr_sb * (b_sb - a_sb))
+    out = jnp.concatenate(parts, axis=-1)
+    return out[:, :n]
+
+
+def _select_flat_kernel(s_ref, sc0_ref, sc1_ref, g0_ref, g1_ref, mask_ref,
+                        e0_ref, e1_ref, out_ref, *, n, K):
+    i = pl.program_id(0)
+    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    m = mask_ref[...]
+    strips = s_ref[...]  # ONE window per voice, shared by both ears
+    rows = []
+    for sc_ref, g_ref, e_ref in (
+        (sc0_ref, g0_ref, e0_ref),
+        (sc1_ref, g1_ref, e1_ref),
+    ):
+        samp = _ear_pipeline_flat(strips, sc_ref[...], e_ref[...], n=n, K=K)
+        g = g_ref[...]
+        gains = g[:, 0:1] + jn * g[:, 1:2]
+        rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
+    contrib = jnp.concatenate(rows, axis=0)  # (2, n)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def select_window(n, emax2, K=64):
+    """Window width the flat select kernel needs for an n-frame block:
+    per 128-frame sub-block the lookup index spans extra (< emax2) + lane
+    (< SB) + doppler walk (<= 2K) + 1 (lerp), which must fit _gather3's
+    SELECT_W tables."""
+    assert emax2 + SELECT_SB + 2 * K + 1 <= SELECT_W, "ear stagger too wide"
+    nsb = -(-n // SELECT_SB)
+    return (nsb - 1) * SELECT_SB + SELECT_W
+
+
+def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
+                  interpret=False, tile=None):
+    """Fractional per-ear reads + gain ramps + masked mix from flat
+    per-voice windows.
+
+    windows (V, S): contiguous per-voice read windows starting at the
+    shared base ``cm - K`` (S >= select_window(...)); extra (V, 2): each
+    ear's start stagger within the window; scal (V, 2, 4) packed cursor
+    scalars (pack_select_scalars); gain0/d_gain (V, 2); maskf (V,).
+    Returns the mixed (2, n) block (ring.rs:51-79, spatial.rs:409-431)."""
+    V, S = windows.shape
+    if tile is None:
+        tile = _tile_for(V)
+    gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
+
+    def ts(*shape):
+        return pl.BlockSpec(
+            shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pl.GridSpec(
+        grid=(V // tile,),
+        in_specs=[
+            ts(tile, S),
+            ts(tile, 4), ts(tile, 4),
+            ts(tile, 2), ts(tile, 2),
+            ts(tile, 1),
+            ts(tile, 1), ts(tile, 1),
+        ],
+        out_specs=pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    e = extra.astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_select_flat_kernel, n=n, K=K),
+        out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        windows,
+        scal[:, 0], scal[:, 1],
+        gain[:, 0], gain[:, 1],
+        maskf[:, None],
+        e[:, 0:1], e[:, 1:2],
+    )
+
+
 # --- wavetable / sampler resample ---------------------------------------------
 #
 # FramesSignal/Cycle playback at arbitrary rate ratios is a *strided* read:
@@ -410,370 +580,3 @@ def strip_resample(strips, scal, extra, *, n, interpret=False, tile=None):
         interpret=interpret,
     )(strips, scal, extra[:, None].astype(jnp.int32))
 
-
-# --- fully fused ring step ----------------------------------------------------
-
-
-def _step_kernel(samples_ref, wpage_ref, extra_w_ref, rpage_ref, extra_r_ref,
-                 kk_ref, fr_ref, gain_ref, mask_ref, pages_in, pages_out,
-                 out_ref, *, tile, P, n, n_inner, K):
-    """One pass per voice tile: place the new source block into its two ring
-    pages, then resample both ears from the updated pages — the whole ring
-    streams HBM->VMEM->HBM exactly once per block."""
-    i = pl.program_id(0)
-    S = 2 * PAGE
-    pages = pages_in[...].reshape(tile, P, PAGE)
-
-    # -- write: build the 2-page strip, place samples, scatter back
-    wpage = wpage_ref[...]  # (tile, 1)
-    wp1 = jnp.where(wpage + 1 >= P, wpage + 1 - P, wpage + 1)
-    strip_lo = jnp.zeros((tile, PAGE), jnp.float32)
-    strip_hi = jnp.zeros((tile, PAGE), jnp.float32)
-    for p in range(P):
-        pg = pages[:, p, :]
-        strip_lo = strip_lo + pg * (wpage == p).astype(jnp.float32)
-        strip_hi = strip_hi + pg * (wp1 == p).astype(jnp.float32)
-    strip = jnp.concatenate([strip_lo, strip_hi], axis=-1)  # (tile, S)
-
-    extra = extra_w_ref[...]  # (tile, 1)
-    q = extra // 128
-    rem = extra - q * 128
-    a = rem // 16
-    b = rem - a * 16
-    src = samples_ref[...]
-    s0 = jnp.concatenate(
-        [src, jnp.zeros((tile, S - n_inner), jnp.float32)], axis=-1
-    )
-    s1 = jnp.zeros_like(s0)
-    for k in range(8):
-        s1 = s1 + _shift_right(s0, 128 * k, S) * (q == k)
-    s2 = jnp.zeros_like(s1)
-    for k in range(8):
-        s2 = s2 + _shift_right(s1, 16 * k, S) * (a == k)
-    s3 = jnp.zeros_like(s2)
-    for k in range(16):
-        s3 = s3 + _shift_right(s2, k, S) * (b == k)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, S), 1)
-    keep = (lane >= extra) & (lane < extra + n_inner)
-    strip = jnp.where(keep, s3, strip)
-
-    new_pages = []
-    for p in range(P):
-        sel0 = (wpage == p).astype(jnp.float32)
-        sel1 = (wp1 == p).astype(jnp.float32)
-        old = pages[:, p, :]
-        pg = (
-            old * (1.0 - sel0) * (1.0 - sel1)
-            + strip[:, :PAGE] * sel0
-            + strip[:, PAGE:] * sel1
-        )
-        new_pages.append(pg)
-    pages2 = jnp.stack(new_pages, axis=1)  # (tile, P, PAGE)
-    pages_out[...] = pages2.reshape(tile * P, PAGE)
-
-    # -- read: per-ear 2-page strips from the UPDATED pages
-    rpage = rpage_ref[...]  # (tile, 2, 1)
-    rp1 = jnp.where(rpage + 1 >= P, rpage + 1 - P, rpage + 1)
-    rlo = jnp.zeros((tile, 2, PAGE), jnp.float32)
-    rhi = jnp.zeros((tile, 2, PAGE), jnp.float32)
-    for p in range(P):
-        pg = new_pages[p][:, None, :]
-        rlo = rlo + pg * (rpage == p).astype(jnp.float32)
-        rhi = rhi + pg * (rp1 == p).astype(jnp.float32)
-    rstrips = jnp.concatenate([rlo, rhi], axis=-1)  # (tile, 2, S)
-
-    # -- realign + banded one-hot matmul resample (this fused variant
-    # keeps the original E-matmul design; the default path's _select_kernel
-    # moved to the per-element dynamic gather)
-    extra_r = extra_r_ref[...]
-    b7 = extra_r >> 7
-    b4 = (extra_r >> 4) & 7
-    b1 = extra_r & 15
-    tile2 = tile * 2
-    SB = SELECT_SB if n % SELECT_SB == 0 else n
-    kk = kk_ref[...]
-    fr = fr_ref[...]
-    Wf = SB + 2 * K + 2
-    parts = []
-    for sb in range(n // SB):
-        W4 = Wf + 15
-        W7 = W4 + 112
-        w1 = jnp.zeros((tile, 2, W7), jnp.float32)
-        for h in range(1023 // 128 + 1):
-            off = sb * SB + 128 * h
-            w1 = w1 + rstrips[:, :, off : off + W7] * (b7 == h).astype(jnp.float32)
-        w2 = jnp.zeros((tile, 2, W4), jnp.float32)
-        for h in range(8):
-            w2 = w2 + w1[:, :, 16 * h : 16 * h + W4] * (b4 == h).astype(jnp.float32)
-        w3 = jnp.zeros((tile, 2, Wf), jnp.float32)
-        for h in range(16):
-            w3 = w3 + w2[:, :, h : h + Wf] * (b1 == h).astype(jnp.float32)
-        w3r = w3.reshape(tile2, Wf)
-        kk_sb = kk[:, :, sb * SB : (sb + 1) * SB].reshape(tile2, SB)
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SB, Wf), 2)
-        j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SB, Wf), 1)
-        E = (m_iota == j_iota + kk_sb[:, :, None]).astype(jnp.float32)
-        dn = (((2,), (1,)), ((0,), (0,)))
-        a_sb = jax.lax.dot_general(E, w3r, dn, preferred_element_type=jnp.float32)
-        w3b = jnp.concatenate(
-            [w3r[:, 1:], jnp.zeros((tile2, 1), jnp.float32)], axis=-1
-        )
-        b_sb = jax.lax.dot_general(E, w3b, dn, preferred_element_type=jnp.float32)
-        fr_sb = fr[:, :, sb * SB : (sb + 1) * SB].reshape(tile2, SB)
-        parts.append((a_sb + fr_sb * (b_sb - a_sb)).reshape(tile, 2, SB))
-    s = jnp.concatenate(parts, axis=-1)
-
-    jn = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2).astype(jnp.float32)
-    g = gain_ref[...]
-    gains = g[:, :, 0:1] + jn * g[:, :, 1:2]
-    contrib = jnp.sum(s * gains * mask_ref[...][:, :, None], axis=0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    out_ref[...] += contrib
-
-
-def ring_step(pages, samples, wpage, extra_w, rpage, extra_r, kk, fr, gain0,
-              d_gain, maskf, *, P, K, interpret=False):
-    """Fused delay-ring step: write the block + resample both ears + masked
-    voice reduction, streaming the page array through VMEM exactly once.
-
-    pages (V*P, PAGE); samples (V, n_inner); wpage/extra_w (V,); rpage/
-    extra_r (V, 2); kk (V, 2, n); fr (V, 2, n); gain0/d_gain (V, 2);
-    maskf (V,).  Returns (pages', out (2, n))."""
-    VP, _ = pages.shape
-    V = VP // P
-    n = kk.shape[2]
-    n_inner = samples.shape[1]
-    tile = _tile_for(V)
-    gain = jnp.stack([gain0, d_gain], axis=-1)
-    grid_spec = pl.GridSpec(
-        grid=(V // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, n_inner), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 2, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile * P, PAGE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tile * P, PAGE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-    )
-    return pl.pallas_call(
-        functools.partial(
-            _step_kernel, tile=tile, P=P, n=n, n_inner=n_inner, K=K
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((VP, PAGE), jnp.float32),
-            jax.ShapeDtypeStruct((2, n), jnp.float32),
-        ),
-        grid_spec=grid_spec,
-        input_output_aliases={9: 0},
-        interpret=interpret,
-    )(samples, wpage.astype(jnp.int32)[:, None], extra_w.astype(jnp.int32)[:, None],
-      rpage.astype(jnp.int32)[:, :, None], extra_r.astype(jnp.int32)[:, :, None],
-      kk, fr, gain, maskf[:, None], pages)
-
-
-# --- self-DMA ring step (experimental; ROADMAP item 1) -------------------------
-#
-# Replaces the XLA page gather/scatter entirely: the kernel DMAs each voice's
-# touched pages itself.  The ring gains one MIRROR page per voice
-# (row P := row 0) so write strips and read windows are always contiguous —
-# one 2*PAGE DMA each.  Aligned 1-D HBM slices into native 1-D VMEM scratch
-# measured ~0.12 us/DMA on the v5e.
-
-
-def _dma_kernel(wpage_ref, rpage_ref, samples_ref, extra_w_ref, sc0_ref,
-                sc1_ref, g0_ref, g1_ref, mask_ref, e0_ref,
-                e1_ref, ring_in, ring_out, out_ref, *scr, tile, P, n, n_inner, K):
-    S = 2 * PAGE
-    rowlen = (P + 1) * PAGE
-    sems = scr[-1]  # DMA sems (tile, 8)
-    wb = scr[:tile]                 # write strips, 1-D (S,)
-    rb0 = scr[tile : 2 * tile]      # ear-0 read strips
-    rb1 = scr[2 * tile : 3 * tile]  # ear-1 read strips
-    i = pl.program_id(0)
-
-    def wdma(r, out):
-        v = i * tile + r
-        off = pl.multiple_of(v * rowlen + wpage_ref[v] * PAGE, PAGE)
-        hbm = (ring_out if out else ring_in).at[pl.ds(off, S)]
-        sem = sems.at[r, 1 if out else 0]
-        if out:
-            return pltpu.make_async_copy(wb[r], hbm, sem)
-        return pltpu.make_async_copy(hbm, wb[r], sem)
-
-    def mirror_dma(r, kind):
-        # kind 0: wrote row 0 -> refresh mirror row P
-        # kind 1: wrote mirror row P -> refresh row 0
-        v = i * tile + r
-        base = v * rowlen
-        if kind == 0:
-            src = wb[r].at[pl.ds(0, PAGE)]
-            dst = ring_out.at[pl.ds(pl.multiple_of(base + P * PAGE, PAGE), PAGE)]
-        else:
-            src = wb[r].at[pl.ds(PAGE, PAGE)]
-            dst = ring_out.at[pl.ds(pl.multiple_of(base, PAGE), PAGE)]
-        return pltpu.make_async_copy(src, dst, sems.at[r, 2 + kind])
-
-    def rdma(r, e):
-        v = i * tile + r
-        rp = rpage_ref[v * 2 + e]
-        off = pl.multiple_of(v * rowlen + rp * PAGE, PAGE)
-        buf = (rb0 if e == 0 else rb1)[r]
-        return pltpu.make_async_copy(
-            ring_out.at[pl.ds(off, S)], buf, sems.at[r, 4 + e]
-        )
-
-    # pipeline: write-in all rows; per row place + write-out; read after the
-    # row's write-out lands (read pages can include the written ones)
-    for r in range(tile):
-        wdma(r, out=False).start()
-
-    # place all rows (vectorized at full occupancy once strips are in)
-    for r in range(tile):
-        wdma(r, out=False).wait()
-    strips = jnp.concatenate(
-        [wb[r][...].reshape(1, S) for r in range(tile)], axis=0
-    )
-    extra = extra_w_ref[...]
-    q = extra // 128
-    rem = extra - q * 128
-    a_ = rem // 16
-    b_ = rem - a_ * 16
-    src = samples_ref[...]
-    s0 = jnp.concatenate(
-        [src, jnp.zeros((tile, S - n_inner), jnp.float32)], axis=-1
-    )
-    s1 = jnp.zeros_like(s0)
-    for k in range(8):
-        s1 = s1 + _shift_right(s0, 128 * k, S) * (q == k)
-    s2 = jnp.zeros_like(s1)
-    for k in range(8):
-        s2 = s2 + _shift_right(s1, 16 * k, S) * (a_ == k)
-    s3 = jnp.zeros_like(s2)
-    for k in range(16):
-        s3 = s3 + _shift_right(s2, k, S) * (b_ == k)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile, S), 1)
-    keep = (lane >= extra) & (lane < extra + n_inner)
-    placed = jnp.where(keep, s3, strips)
-
-    for r in range(tile):
-        wb[r][...] = placed[r]
-        wdma(r, out=True).start()
-    for r in range(tile):
-        v = i * tile + r
-        wdma(r, out=True).wait()
-
-        @pl.when(wpage_ref[v] == 0)
-        def _():
-            mirror_dma(r, 0).start()
-            mirror_dma(r, 0).wait()
-
-        @pl.when(wpage_ref[v] + 1 == P)
-        def _():
-            mirror_dma(r, 1).start()
-            mirror_dma(r, 1).wait()
-
-        rdma(r, 0).start()
-        rdma(r, 1).start()
-
-    for r in range(tile):
-        rdma(r, 0).wait()
-        rdma(r, 1).wait()
-    strips0 = jnp.concatenate(
-        [rb0[r][...].reshape(1, S) for r in range(tile)], axis=0
-    )
-    strips1 = jnp.concatenate(
-        [rb1[r][...].reshape(1, S) for r in range(tile)], axis=0
-    )
-
-    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
-    m = mask_ref[...]
-    rows = []
-    for strips_e, sc_ref, g_ref, e_ref in (
-        (strips0, sc0_ref, g0_ref, e0_ref),
-        (strips1, sc1_ref, g1_ref, e1_ref),
-    ):
-        samp = _ear_pipeline(strips_e, sc_ref[...], e_ref[...], n=n, K=K)
-        g = g_ref[...]
-        gains = g[:, 0:1] + jn * g[:, 1:2]
-        rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
-    contrib = jnp.concatenate(rows, axis=0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    out_ref[...] += contrib
-
-
-def ring_step_dma(ring, samples, wpage, extra_w, rpage, extra_r, scal,
-                  gain0, d_gain, maskf, *, P, K, n, interpret=False):
-    """Fused ring step with in-kernel page DMAs.  ``ring`` is (V, (P+1)*PAGE)
-    flat rows with the mirror invariant row[P] == row[0].  ``scal`` is the
-    (V, 2, 4) packed cursor-scalar array (pack_select_scalars).
-    Returns (ring', out (2, n))."""
-    V = ring.shape[0]
-    rowlen = (P + 1) * PAGE
-    n_inner = samples.shape[1]
-    tile = _tile_for(V)
-    gain = jnp.stack([gain0, d_gain], axis=-1)
-
-    def ts(*shape):
-        return pl.BlockSpec(
-            shape, lambda i, *_: (i,) + (0,) * (len(shape) - 1),
-            memory_space=pltpu.VMEM,
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(V // tile,),
-        in_specs=[
-            ts(tile, n_inner),
-            ts(tile, 1),
-            ts(tile, 4), ts(tile, 4),
-            ts(tile, 2), ts(tile, 2),
-            ts(tile, 1),
-            ts(tile, 1), ts(tile, 1),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((2, n), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[pltpu.VMEM((2 * PAGE,), jnp.float32) for _ in range(3 * _tile_for(V))]
-        + [pltpu.SemaphoreType.DMA((_tile_for(V), 8))],
-    )
-    e = extra_r.astype(jnp.int32)
-    flat, out = pl.pallas_call(
-        functools.partial(
-            _dma_kernel, tile=tile, P=P, n=n, n_inner=n_inner, K=K
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((V * rowlen,), jnp.float32),
-            jax.ShapeDtypeStruct((2, n), jnp.float32),
-        ),
-        grid_spec=grid_spec,
-        input_output_aliases={11: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(
-        wpage.astype(jnp.int32), rpage.astype(jnp.int32).reshape(-1),
-        samples, extra_w.astype(jnp.int32)[:, None],
-        scal[:, 0], scal[:, 1],
-        gain[:, 0], gain[:, 1], maskf[:, None],
-        e[:, 0:1], e[:, 1:2],
-        ring.reshape(-1),
-    )
-    return flat.reshape(V, rowlen), out

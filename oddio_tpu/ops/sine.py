@@ -16,7 +16,13 @@ import jax.numpy as jnp
 
 from ..core.hostmath import TAU32, f32, full, rust_rem
 from ..core.signal import Signal
-from ._dev import exact_positions, sin_turns, split_ds
+from ._dev import (
+    chunked_frames,
+    device_advance,
+    exact_positions,
+    sin_turns,
+    split_ds,
+)
 
 __all__ = ["Sine"]
 
@@ -237,8 +243,18 @@ class Sine(Signal):
         c0 = c0 - jnp.floor(c0)
         dc = dt * fcyc[:, None]  # warped cycles per frame (V, E)
         dc_int, f_hi, f_lo = device_split_ds(dc)
-        _, frac = exact_positions(c0, dc_int, f_hi, f_lo, n)
-        return sin_turns(frac)
+
+        def ev(c0_c, n_c):
+            _, frac = exact_positions(c0_c, dc_int, f_hi, f_lo, n_c)
+            return sin_turns(frac)
+
+        def adv(c0_c, n_c):
+            _, f2 = device_advance(
+                jnp.zeros_like(dc_int), c0_c, jnp.int32(n_c), dc_int, f_hi, f_lo
+            )
+            return f2
+
+        return chunked_frames(ev, adv, c0, n)
 
     def dr_advance(self, state, seconds):
         inv_tau = np.float32(1.0 / np.float64(TAU32))

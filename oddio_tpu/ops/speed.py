@@ -63,7 +63,7 @@ class Speed(Signal):
     _dr_ctrl_fields = ("speed",)
 
     def dr_supported(self):
-        return self.channels == 1 and self.inner.dr_supported()
+        return self.inner.dr_supported()
 
     def dr_state_init(self, V):
         return {

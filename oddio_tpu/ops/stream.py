@@ -42,10 +42,12 @@ class Stream(Signal):
         values bound per-block transfer for huge pools)."""
         super().__init__()
         self.size = int(size)
-        # internal ring modulus, row-padded so mono pools can read through
-        # the row-window resample kernel; capacity checks (free/write) use
-        # the logical ``size``, so buffering semantics are unchanged
-        self.size_pad = -(-(self.size + 1) // 256) * 256
+        # internal ring modulus, row-padded so pools can read through the
+        # row-window resample kernel AND ingest through the strip-place
+        # kernel (one spare row keeps a wrapping write inside its rotated
+        # row strip); capacity checks (free/write) use the logical
+        # ``size``, so buffering semantics are unchanged
+        self.size_pad = -(-(self.size + 1) // 256) * 256 + 256
         self.max_write = int(max_write_per_block or size)
         self.channels = int(channels)
         self._alloc_host(())
@@ -198,12 +200,45 @@ class Stream(Signal):
         return self.stopping & (self.t == self.buflen.astype(np.float32))
 
     def _write_one(self, ring, params):
-        """Scatter one voice's newly shipped chunk (Receiver::update)."""
+        """Scatter one voice's newly shipped chunk (Receiver::update) —
+        standalone streams only; pools ingest via _write_pool."""
         size = self.size_pad
         j = jnp.arange(self.max_write)
         idx = jnp.mod(params["wpos"] + j, size)
         idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
         return ring.at[:, idx].set(params["chunk"], mode="drop")
+
+    def _write_pool(self, ring, params):
+        """Pool-level ingest: each (voice, channel) row's shipped chunk is
+        placed at its write cursor through the row-strip kernel — row
+        gather + strip_place + row scatter, no elementwise scatter on the
+        ingest path (stream.rs:24-69's Receiver::update, batched)."""
+        import jax
+
+        from ..core.frames import ARENA_ROW
+        from .pallas_ring import strip_place
+
+        V, C, size = ring.shape
+        ROWB = ARENA_ROW
+        rpv = size // ROWB
+        mw = self.max_write
+        view = ring.reshape(V * C * rpv, ROWB)
+        n_rows = min((ROWB - 1 + mw - 1) // ROWB + 1, rpv)
+        wrow = params["wpos"] // ROWB
+        extra = params["wpos"] - wrow * ROWB
+        vcbase = jnp.arange(V * C, dtype=jnp.int32) * rpv
+        wr = jnp.repeat(wrow, C)
+        idx = (
+            vcbase[:, None] + jnp.mod(wr[:, None] + jnp.arange(n_rows), rpv)
+        ).reshape(-1)
+        strips = jnp.take(view, idx, axis=0).reshape(V * C, n_rows * ROWB)
+        strips = strip_place(
+            strips, params["chunk"].reshape(V * C, mw),
+            jnp.repeat(extra, C), jnp.repeat(params["wcount"], C),
+            interpret=jax.default_backend() != "tpu",
+        )
+        view = view.at[idx].set(strips.reshape(-1, ROWB))
+        return view.reshape(V, C, size)
 
     def render(self, dstate, ddata, params, n):
         ring = dstate["ring"]  # (C, size_pad) unbatched (vmapped in pools)
@@ -238,6 +273,12 @@ class Stream(Signal):
         from ._dev import device_split_ds, exact_positions
 
         size = self.size_pad
+        if "chunk" in params:
+            dstate = {"ring": self._write_pool(dstate["ring"], params)}
+            params = {
+                k: v for k, v in params.items()
+                if k not in ("chunk", "wcount", "wpos")
+            }
         DS = int(RESAMPLE_DSMAX)
         S_req = max(
             ((256 + max(n - 128, 0) * DS) // 128) * 128 + RESAMPLE_W,
@@ -256,8 +297,6 @@ class Stream(Signal):
 
         ring = dstate["ring"]  # (V, 1, size_pad)
         V = ring.shape[0]
-        if "chunk" in params:
-            ring = jax.vmap(self._write_one)(ring, params)
         # zero the first unwritten cell so the boundary lerp pair reads a
         # true zero instead of stale data (get_pair's b at k == len)
         cell = jnp.mod(params["start"] + params["len"], size)

@@ -47,6 +47,12 @@ class ScenePack:
             for pool in getattr(sc, "_all_pools", lambda: [])():
                 if hasattr(pool, "force_deltas"):
                     pool.force_deltas = True
+                if hasattr(pool, "_unpack_hook"):
+                    # any out-of-graph pool-state mutation (grow, eager
+                    # plays) must first pull the pack's carried device state
+                    # back into the scenes, or it would mutate a stale
+                    # mirror and the next restack would drop the progress
+                    pool._unpack_hook = self._unpack
         self.rate = int(rate)
         self.interval = np.float32(1.0) / np.float32(self.rate)
         self.mesh = mesh
@@ -161,3 +167,13 @@ class ScenePack:
             scene.device_store(jax.tree.map(lambda x: jnp.asarray(x[si]), unstacked))
             if hasattr(scene, "sync"):
                 scene.sync()
+
+    def _unpack(self):
+        """Push the authoritative carried state back into the scenes and
+        drop the stack; the next render_block restacks from the (now
+        current) per-scene pools.  Fired by pool grow()/eager-play hooks so
+        out-of-graph mutations never operate on stale mirrors."""
+        if self._dstate is None:
+            return
+        self.sync()
+        self._dstate = None

@@ -47,14 +47,16 @@ from .core.hostmath import (
     v3_norm,
 )
 from .core.signal import Signal
-from .ops._dev import device_split_ds, exact_positions, split_ds
+from .ops._dev import device_advance, device_split_ds, exact_positions, split_ds
 from .ops.pallas_ring import (
+    APPEND_PW,
     PAGE,
+    flat_append_aligned,
     pack_select_scalars,
-    ring_step,
-    ring_step_dma,
+    select_window,
     strip_place,
     strip_select,
+    window_select,
 )
 
 __all__ = [
@@ -141,6 +143,10 @@ class _VoicePool:
     """Shared voice bookkeeping for both spatial pool kinds: the motion swap
     channels, smoothing state, lingering reclamation, and slot lifecycle."""
 
+    #: set by ScenePack (see _DRPoolBase._unpack_hook): host pools' device
+    #: leaves (rings, inner _dev state) also go stale while packed
+    _unpack_hook = None
+
     def __init__(self, name, spec, capacity):
         self.name = name
         self.proto = spec
@@ -170,6 +176,8 @@ class _VoicePool:
     ).split()
 
     def grow(self):
+        if self._unpack_hook is not None:
+            self._unpack_hook()
         old = self.capacity
         new = old * 2
         self.sig.grow_batched(new)
@@ -276,10 +284,10 @@ class _VoicePool:
 class _BufferedPool(_VoicePool):
     """Voices played via play_buffered whose chains keep host-fed state
     (Streams, custom signals): per-voice delay rings on device, geometry on
-    the host.  The ring uses the pool-uniform modulus and the same row-strip
-    Pallas write/read kernels as the device-resident pool (elementwise
-    gathers are ~serial on TPU; see ops/pallas_ring.py) — only the cursor
-    math lives host-side here."""
+    the host.  Per-voice write cursors differ here (no shared-phase trick),
+    so the ring keeps the row-strip layout and the strip_place/strip_select
+    kernel pair (elementwise gathers are ~serial on TPU; see
+    ops/pallas_ring.py) — only the cursor math lives host-side."""
 
     def __init__(self, name, spec, capacity, rate, ring_len):
         self.rate = int(rate)
@@ -341,20 +349,16 @@ class _BufferedPool(_VoicePool):
         L = self.ring_len
         capf = np.float32(L)
 
-        # Ring::write bookkeeping (ring.rs:18-41), uniform modulus
+        # Ring::write bookkeeping (ring.rs:18-41), uniform modulus.  The
+        # UNWRAPPED end keeps n_write correct when a block advances by >=
+        # the ring modulus (elapsed > max_delay is legal for large n; a
+        # wrapped end == start would alias to "no write"); L is a pow2
+        # integer and w + adv < 2L, so the mod is exact.
         w = self.write
-        end = rust_rem((w + elapsed * ratef).astype(np.float32), capf)
+        w_un = (w + elapsed * ratef).astype(np.float32)
+        end = rust_rem(w_un, capf)
         start_idx = np.ceil(w).astype(np.int64)
-        end_idx = np.ceil(end).astype(np.int64)
-        n_write = np.where(
-            end_idx > start_idx, end_idx - start_idx, (L - start_idx) + end_idx
-        ).astype(np.int32)
-        # end_idx == start_idx can only mean a zero-length write in valid use
-        # (elapsed*rate < cap <= L always, since cap = ceil(max_delay*rate)+1
-        # and elapsed <= max_delay per spatial.rs:403); the reference's
-        # split-write branch (ring.rs:33-38) would write the whole buffer for
-        # elapsed == 0, a degenerate case we treat as zero frames instead.
-        n_write = np.where(end_idx == start_idx, 0, n_write)
+        n_write = (np.ceil(w_un).astype(np.int64) - start_idx).astype(np.int32)
         self.write = end.astype(np.float32)
         # static per (block size, interval): upper bound on any voice's write
         self._n_inner = int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
@@ -572,6 +576,13 @@ class _DRPoolBase(DRCtrlMixin):
 
     is_dr = True
 
+    #: set by ScenePack: called before any direct mutation of ``self.state``
+    #: outside the jitted step (grow, eager plays).  While packed, the
+    #: authoritative state is the pack's stacked ``_dstate``; mutating the
+    #: per-scene ``pool.state`` without first pulling the carry back would
+    #: silently discard device-side progress (see parallel/sharded.py).
+    _unpack_hook = None
+
     #: per-voice geometry/lifecycle columns common to every DR pool kind
     GEOM_KEYS = (
         "mask", "stopped", "finished_for", "radius", "motion_pos",
@@ -634,8 +645,11 @@ class _DRPoolBase(DRCtrlMixin):
 
     def grow(self):
         """set-realloc analogue (set.rs:57-63): double capacity in place."""
+        if self._unpack_hook is not None:
+            self._unpack_hook()
         old = self.capacity
         new = old * 2
+        self._ctrl_grow(old, new)
         self.dr_state()
         fresh = self._fresh_state(old)
         self.state = self._concat_state(self.state, fresh, old, new)
@@ -662,6 +676,8 @@ class _DRPoolBase(DRCtrlMixin):
             s._moved = True
             stack.extend(s.children().values())
         self._rebind_ctrl(spec, i, gen)
+        self._fade_claim_reset(i)
+        self._fade_mirror_on_play(i, spec)
         return i, gen
 
     def _geom_row(self, options):
@@ -724,6 +740,8 @@ class _DRPoolBase(DRCtrlMixin):
     def _apply_plays_eager(self):
         """Apply all pending plays directly to device state (one-off scatters
         outside the jitted step; the bulk-setup path)."""
+        if self._unpack_hook is not None:
+            self._unpack_hook()
         self.dr_state()
         idx = jnp.asarray([i for i, _ in self.pending_plays], jnp.int32)
         rows = jax.tree.map(
@@ -845,6 +863,8 @@ class _DRPoolBase(DRCtrlMixin):
 
         # 1b. control-field deltas (set_gain/set_speed/..., gain.rs:103-108)
         S["inner"] = self._ctrl_apply(S["inner"], params)
+        # 1c. fade starts (fader.rs:86-93 swap-channel delivery)
+        S["inner"] = self._fade_apply(S["inner"], params)
 
         # 2. motion refresh (swap-channel drain + smoothing, spatial.rs:216-227)
         if "mot_idx" in params:
@@ -916,7 +936,6 @@ class _SeekPoolDR(_DRPoolBase):
 
     def host_prepare(self, prev_rot, rot, interval, n, force=False):
         # rotation values arrive in-graph from the scene's "_rot" state leaf
-        assert n <= 640, "block too large for the warp-resample window"
         self._elapsed = float(np.float32(f32(interval) * np.float32(n)))
         return self._delta_params({}, force)
 
@@ -959,6 +978,17 @@ class _BufferedPoolDR(_DRPoolBase):
     TPU-native equivalent of oddio's bounded spsc/swap channels, with the
     same bounded-capacity backpressure (overflow carries to the next block).
 
+    Ring storage is FLAT per voice: ``(V, F + L + M + SLACK)`` with a
+    mirror region (cols ``[F+L, F+L+M)`` replicate cols ``[F, F+M)``).
+    Because the pool shares one write cursor, the per-block append is two
+    ``dynamic_update_slice`` slabs (primary + mirror maintenance) — no
+    gathers, no scatter, updated in place on the donated buffer.  Reads
+    slice one exact contiguous window per voice (a per-voice
+    ``dynamic_slice`` gather; the mirror makes wraparound invisible) and
+    feed the ``window_select`` kernel, whose per-ear lane offset is only
+    the inter-ear stagger — the row-remainder realign stage of the earlier
+    row-strip layout (~40% of its VPU work, see ROADMAP.md) is gone.
+
     Requires the inner chain to be device-resident capable (static after
     play: Sine/Constant/FramesSignal/Cycle/FixedGain). Handle state
     (is_finished) is observed at sync points (every render_frames, or
@@ -967,9 +997,20 @@ class _BufferedPoolDR(_DRPoolBase):
 
     ROW_KEYS = _DRPoolBase.GEOM_KEYS + ("max_delay", "phase")
 
-    #: bounds the per-block doppler walk handled by the shift-select read
-    #: kernel: |ds-1|*n <= 2K (K=64 covers > ±40 m/s radial at 512@48k)
+    #: bounds the per-READ-CHUNK doppler walk handled by the select kernel:
+    #: |ds-1|*R_CHUNK <= 2K (K=64 covers > ±40 m/s radial at 512@48k)
     K_DOPPLER = 64
+    #: frames per read chunk (blocks of any size run as ceil(n/R_CHUNK)
+    #: window-gather + select passes, cursors advanced near-exactly between
+    #: chunks — the Signal::sample contract takes any n, signal.rs:19)
+    R_CHUNK = 512
+    #: columns per write chunk (and the front-pad width; any n_inner writes
+    #: as ceil(n_inner/W_CHUNK) slab pairs)
+    W_CHUNK = 1024
+    #: mirror width: must cover the widest read window (select_window of a
+    #: full R_CHUNK = 768) — wrapped reads land entirely in the mirror
+    M_PAD = 1024
+
     def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=8):
         self._init_base(name, spec, capacity, k_motion, k_play)
         self.rate = int(rate)
@@ -979,39 +1020,24 @@ class _BufferedPoolDR(_DRPoolBase):
         #: uniform ring modulus for the pool (>= every voice's required
         #: capacity; a longer history is audio-identical, the per-voice
         #: max_delay column still clamps reads like spatial.rs:414-415).
-        #: A multiple of PAGE >= 2*PAGE so wraparound is page-index modulo.
         self.cap_pool = int(cap_pool)
         assert self.cap_pool % PAGE == 0 and self.cap_pool >= 2 * PAGE
         self.ring_len = self.cap_pool
         self.interval_inner = float(np.float32(1.0) / np.float32(rate))
-        #: per-ear start offsets within the shared read window (see _emax)
-        self.emax = _emax(rate)
+        #: inter-ear read stagger bound in samples (|d_L - d_R| <= 0.215 m,
+        #: spatial.rs:571-598); the select kernel reaches it without realign
+        self.emax2 = int(np.ceil(0.215 / float(SPEED_OF_SOUND) * rate)) + 2
+        select_window(self.R_CHUNK, self.emax2, self.K_DOPPLER)
         self._n_inner = 1
-        #: single-pass ring kernel (streams the whole ring through VMEM);
-        #: the default 3-op path (page gather -> place -> select) measured
-        #: slightly faster at 4096 voices x 16 pages
-        self.use_fused_kernel = False
-        #: experimental self-DMA kernel (ROADMAP item 1): the kernel fetches
-        #: touched pages itself; ring rows gain a mirror page.  Set before
-        #: the first render.
-        self.use_dma_kernel = False
 
     # -- state ---------------------------------------------------------------
 
-    #: row granularity of the default DR ring layout (gathers/scatters are
-    #: row-count bound on this stack, so rows trade per-row overhead against
-    #: over-fetch; see ROADMAP.md)
-    ROW = 256
+    @property
+    def rowlen(self):
+        return self.W_CHUNK + self.ring_len + self.M_PAD + self.W_CHUNK
 
     def _ring_shape(self, V):
-        P = self.ring_len // PAGE
-        if self.use_dma_kernel:
-            return (V, (P + 1) * PAGE)  # +1: mirror page (row P == row 0)
-        if self.use_fused_kernel:
-            return (V * P, PAGE)
-        # row-major native layout: scatters update donated state in place
-        # (reshaping per block defeats XLA's in-place scatter)
-        return (V * (self.ring_len // self.ROW), self.ROW)
+        return (V, self.rowlen)
 
     def _extra_zero(self, V):
         return {
@@ -1019,17 +1045,6 @@ class _BufferedPoolDR(_DRPoolBase):
             "max_delay": jnp.zeros(V, jnp.float32),
             "phase": jnp.zeros(V, jnp.float32),
         }
-
-    def _concat_state(self, st, fresh, old, new):
-        # the ring's row-major layouts interleave voice and page/row axes;
-        # concatenate it voice-major and re-fold
-        old_ring = st.pop("ring").reshape((old, -1))
-        fresh_ring = fresh.pop("ring").reshape((old, -1))
-        out = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), st, fresh)
-        out["ring"] = jnp.concatenate([old_ring, fresh_ring]).reshape(
-            self._ring_shape(new)
-        )
-        return out
 
     # -- control side ----------------------------------------------------------
 
@@ -1068,15 +1083,7 @@ class _BufferedPoolDR(_DRPoolBase):
 
     def _clear_rows(self, S, idx):
         """Zero the delay rings of newly played slots (padding lanes drop)."""
-        if self.use_dma_kernel:
-            S["ring"] = S["ring"].at[idx].set(0.0, mode="drop")
-        else:
-            VP = S["ring"].shape[0]
-            V = S["mask"].shape[0]
-            rpv = VP // V  # rows per voice (any row layout)
-            row_idx = jnp.where(idx < V, idx, VP)
-            row_idx = (row_idx[:, None] * rpv + jnp.arange(rpv)).reshape(-1)
-            S["ring"] = S["ring"].at[row_idx].set(0.0, mode="drop")
+        S["ring"] = S["ring"].at[idx].set(0.0, mode="drop")
 
     # -- per block ---------------------------------------------------------------
 
@@ -1086,11 +1093,6 @@ class _BufferedPoolDR(_DRPoolBase):
         self._n_inner = (
             int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
         )
-        # read-window widths bound the block size (see pallas_ring.py:
-        # (ceil(n/128)-1)*128 + 128*(H7-1) + SELECT_W must fit the gathered
-        # strip; the DMA path's 2-page strip is the tightest at n <= 640)
-        assert self._n_inner <= PAGE + 1
-        assert n <= 640, "block too large for the delay-ring read window"
         # shared ring cursor bookkeeping (ring.rs:18-41), host-authoritative:
         # all voices write at the pool cursor's phase (the zeroed band at
         # play supplies the pre-delay history), so these are four scalars
@@ -1099,19 +1101,43 @@ class _BufferedPoolDR(_DRPoolBase):
         capf = np.float32(cap)
         adv = np.float32(np.float32(self._elapsed) * np.float32(self.rate))
         w0 = np.float32(self._w_host)
-        end = np.float32(np.mod(np.float32(w0 + adv), capf))
+        # UNWRAPPED advance: blocks may exceed the ring modulus (elapsed >
+        # max_delay is legal for large n), where a wrapped end == start
+        # would alias to "no write"; cap is a pow2 integer and w0 + adv <
+        # 2*cap, so the mod below is exact and ceil(end) stays consistent
+        # with the unwrapped count across blocks
+        w_un = np.float32(w0 + adv)
+        end = np.float32(np.mod(w_un, capf))
         start_i = int(np.ceil(w0))
-        end_i = int(np.ceil(end))
-        n_write = end_i - start_i if end_i > start_i else (cap - start_i) + end_i
-        if end_i == start_i:
-            n_write = 0
+        n_write = int(np.ceil(w_un)) - start_i
         self._w_host = end
+        # aligned fast path: when the shared cursor advances by whole
+        # APPEND_PW pages (inner rate == scene rate, n a multiple of 512 —
+        # the flagship config) and the slab does not wrap, the append is a
+        # write-only page-mapped kernel instead of a read-modify-write DUS
+        PW = APPEND_PW
+        self._w_aligned = (
+            n_write
+            if (
+                0 < n_write <= self._n_inner
+                and n_write % PW == 0
+                and start_i % PW == 0
+                and start_i + n_write <= cap
+            )
+            else 0
+        )
         params = {
             "w": end,
             "nw": np.int32(n_write),
             "wstart": np.int32(start_i),
         }
-        return self._delta_params(params, force)
+        params = self._delta_params(params, force)
+        # fader bookkeeping rides the inner timebase (faders advance by the
+        # ring-write frame count, like every inner node)
+        self._fade_tick(
+            params if self._has_play else None, self.interval_inner, n_write
+        )
+        return params
 
     def render(self, dstate, ddata, params, n):
         from .ops.geometry import ear_states
@@ -1129,21 +1155,59 @@ class _BufferedPoolDR(_DRPoolBase):
         cap = self.cap_pool
         capf = np.float32(cap)
         w_end = params["w"]
-        n_write = jnp.full((V,), params["nw"], jnp.int32)
+        # dead/unplayed slots do not advance their inner cursors (their ring
+        # writes are garbage masked out at the read anyway); without this an
+        # idle slot's int32 sample cursor would grow every block and wrap
+        # after ~12 h at 48 kHz, corrupting lingering is_finished readbacks
+        n_write = jnp.where(mask, jnp.int32(params["nw"]), 0)
         start_i = params["wstart"]
 
-        # 6. inner source render; page-strip append (ring.rs:18-41).  All
+        # 6. inner source render; flat slab append (ring.rs:18-41).  All
         # n_inner frames are written every block — the <=1-frame overlap past
         # n_write is recomputed identically next block (deterministic
-        # sources), so audio is exact while writes stay page-granular.
+        # sources), so audio is exact while writes stay slab-shaped.
         inner2, samples = self.proto.dr_render(
             S["inner"], ddata.get("inner", {}), self.interval_inner, n_inner, n_write
         )
         S["inner"] = inner2
         interp = jax.default_backend() != "tpu"
-        P = cap // PAGE
+        FP = self.W_CHUNK  # front pad (absorbs wrapped mirror writes)
+        M = self.M_PAD
+        ring = S["ring"]
+        if self._w_aligned:
+            # page-aligned slab: write-only kernel, ring aliased in place
+            nw = self._w_aligned
+            pcol = (FP + start_i) // APPEND_PW
+            pmir = (
+                FP + jnp.where(start_i < M, start_i + cap, cap + M)
+            ) // APPEND_PW
+            ring = flat_append_aligned(
+                ring, samples[:, :nw], pcol, pmir, interpret=interp
+            )
+        else:
+            # general path: each <=W_CHUNK-wide sub-slab lands as TWO
+            # dynamic_update_slices: the primary at its ring column, plus
+            # one mirror-maintenance copy (into the mirror when the slab
+            # touches [0, M), onto the canonical home when it wrapped past
+            # L, or into the dump slack otherwise) — the traced select
+            # keeps all blocks on one jitted program
+            for k in range(0, n_inner, self.W_CHUNK):
+                chunk = samples[:, k : k + self.W_CHUNK]
+                width = chunk.shape[1]
+                ck = jnp.mod(start_i + k, cap)
+                ring = jax.lax.dynamic_update_slice(ring, chunk, (0, FP + ck))
+                c2 = FP + jnp.where(
+                    ck + width > cap, ck - cap,
+                    jnp.where(ck < M, ck + cap, cap + M),
+                )
+                ring = jax.lax.dynamic_update_slice(ring, chunk, (0, c2))
+        S["ring"] = ring
 
-        # 7. per-ear fractional reads with gain ramps (spatial.rs:409-431)
+        # 7. per-ear fractional reads with gain ramps (spatial.rs:409-431):
+        # ONE contiguous window per voice per <=R_CHUNK-frame chunk (the two
+        # ears' read starts differ by at most the inter-ear distance,
+        # |d_L - d_R| <= 0.215 m), cursors advanced near-exactly between
+        # chunks so any block size renders on the same kernels
         K = self.K_DOPPLER
         p_off, p_gain = ear_states(prev_pos, S["radius"])
         n_off, n_gain = ear_states(next_pos, S["radius"])
@@ -1156,89 +1220,41 @@ class _BufferedPoolDR(_DRPoolBase):
         obase = jnp.floor(offset0)
         ds = dt_e * ratef
         ds_int, f_hi, f_lo = device_split_ds(ds)
-        # the kernel reconstructs a_j = win[j + kk_j] with kk_j =
-        # whole_j - j + K in [0, 2K] from the packed cursor scalars (exact
-        # split-ds math in-kernel)
-        scal = pack_select_scalars(offset0 - obase, ds_int, f_hi, f_lo)
         maskf = mask.astype(jnp.float32)
-        if self.use_dma_kernel or self.use_fused_kernel:
-            wpage = jnp.full((V,), start_i // PAGE, jnp.int32)
-            extra_w = jnp.full((V,), start_i - (start_i // PAGE) * PAGE, jnp.int32)
-            rstart = jnp.mod(obase.astype(jnp.int32) - K, cap)
-            rpage = rstart // PAGE
-            extra_r = rstart - rpage * PAGE
-            if self.use_dma_kernel:
-                ring2, out = ring_step_dma(
-                    S["ring"], samples, wpage, extra_w, rpage, extra_r, scal,
-                    p_gain, d_gain, maskf, P=P, K=K, n=n, interpret=interp,
+        DMAX = self.emax2
+        base = obase.astype(jnp.int32)
+        frac = offset0 - obase
+        parts = []
+        for j0 in range(0, n, self.R_CHUNK):
+            n_c = min(self.R_CHUNK, n - j0)
+            ob = jnp.mod(base, cap)
+            dlr = jnp.mod(ob[:, 0] - ob[:, 1], cap)
+            l_ahead = dlr <= DMAX
+            cm = jnp.where(l_ahead, ob[:, 1], ob[:, 0])
+            dstart = jnp.stack(
+                [jnp.where(l_ahead, dlr, 0), jnp.where(l_ahead, 0, cap - dlr)],
+                axis=-1,
+            )
+            dstart = jnp.clip(dstart, 0, DMAX)
+            rstart = jnp.mod(cm - K, cap) + FP
+            SREAD = select_window(n_c, self.emax2, K)
+            windows = jax.vmap(
+                lambda row, s: jax.lax.dynamic_slice(row, (s,), (SREAD,))
+            )(ring, rstart)
+            # the kernel reconstructs a_j = win[extra + j + kk_j] with
+            # kk_j = whole_j - j + K in [0, 2K] from the packed cursor
+            # scalars (exact split-ds math in-kernel)
+            scal = pack_select_scalars(frac, ds_int, f_hi, f_lo)
+            g0_c = p_gain + np.float32(j0) * d_gain
+            parts.append(window_select(
+                windows, scal, g0_c, d_gain, maskf, dstart, n=n_c, K=K,
+                interpret=interp,
+            ))
+            if j0 + n_c < n:
+                base, frac = device_advance(
+                    base, frac, jnp.int32(n_c), ds_int, f_hi, f_lo
                 )
-            else:
-                # single-pass variant: write + resample with the ring
-                # streaming through VMEM exactly once
-                whole, fr = exact_positions(
-                    offset0 - obase, ds_int, f_hi, f_lo, n
-                )
-                kk = jnp.clip(
-                    whole - jnp.arange(n, dtype=jnp.int32)[None, None, :] + K,
-                    0, 2 * K,
-                )
-                ring2, out = ring_step(
-                    S["ring"], samples, wpage, extra_w, rpage, extra_r, kk,
-                    fr, p_gain, d_gain, maskf, P=P, K=K, interpret=interp,
-                )
-            S["ring"] = ring2
-            return S, out
-
-        # default path: 256-sample row granularity.  Write: gather the rows
-        # covering [start, start + n_inner), place, scatter back.  Read: ONE
-        # shared window per voice (the two ears' start positions differ by
-        # at most the inter-ear distance, |d_L - d_R| <= 0.215 m).
-        ROW = self.ROW
-        P4 = cap // ROW
-        view = S["ring"]  # native (V*P4, ROW) layout
-        vbase4 = jnp.arange(V, dtype=jnp.int32) * P4
-        # write rows are identical across voices (shared cursor); the
-        # row-granular gather/place/scatter measured fastest on this layout
-        # (middle-axis slab updates defeat XLA's in-place scatter)
-        wrow = start_i // ROW
-        extra_w = start_i - wrow * ROW
-        n_rows_w = (ROW - 1 + n_inner - 1) // ROW + 1
-        idx_w = (
-            vbase4[:, None] + jnp.mod(wrow + jnp.arange(n_rows_w), P4)[None, :]
-        ).reshape(-1)
-        wstrips = jnp.take(view, idx_w, axis=0).reshape(V, n_rows_w * ROW)
-        wstrips = strip_place(
-            wstrips, samples, jnp.full((V,), extra_w, jnp.int32),
-            interpret=interp,
-        )
-        view = view.at[idx_w].set(wstrips.reshape(-1, ROW))
-        S["ring"] = view
-
-        ob = obase.astype(jnp.int32)  # (V, 2)
-        dlr = jnp.mod(ob[:, 0] - ob[:, 1], cap)
-        DMAX = self.emax - ROW
-        l_ahead = dlr <= DMAX
-        cm = jnp.where(l_ahead, ob[:, 1], ob[:, 0])
-        dstart = jnp.stack(
-            [jnp.where(l_ahead, dlr, 0), jnp.where(l_ahead, 0, cap - dlr)],
-            axis=-1,
-        )
-        dstart = jnp.clip(dstart, 0, DMAX)
-        rstart = jnp.mod(cm - K, cap)
-        row0 = rstart // ROW
-        extra_r = (rstart - row0 * ROW)[:, None] + dstart  # (V, 2) < emax
-        H7 = (self.emax - 1 + 2 * K) // 128 + 1
-        nsb = -(-n // 128)
-        need = (nsb - 1) * 128 + 128 * (H7 - 1) + 384
-        n_rows_r = -(-need // ROW)
-        idx_r = (
-            vbase4[:, None] + jnp.mod(row0[:, None] + jnp.arange(n_rows_r), P4)
-        ).reshape(-1)
-        rstrips = jnp.take(view, idx_r, axis=0).reshape(V, n_rows_r * ROW)
-        out = strip_select(
-            rstrips, scal, p_gain, d_gain, maskf, extra_r, n=n, K=K,
-            emax=self.emax, interpret=interp,
-        )
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         return S, out
 
 
@@ -1349,6 +1365,14 @@ class SpatialScene(Signal):
                 st["pending_plays"] = _copy.deepcopy(p.pending_plays)
                 st["pending_motion"] = _copy.deepcopy(p.pending_motion)
                 st["pending_ctrl"] = _copy.deepcopy(p.pending_ctrl)
+                st["pending_fades"] = {
+                    k: dict(v) for k, v in p.pending_fades.items()
+                }
+                st["fade_mirrors"] = {
+                    name: {k: np.copy(v) for k, v in getattr(p, name).items()}
+                    for name in ("_fade_prog", "_fade_inc", "_fade_fading",
+                                 "_fade_flip", "_fade_dur")
+                }
                 if hasattr(p, "_w_host"):
                     st["w_host"] = float(p._w_host)
             else:
@@ -1379,6 +1403,12 @@ class SpatialScene(Signal):
                 p.pending_ctrl = _copy.deepcopy(
                     st.get("pending_ctrl", p.pending_ctrl)
                 )
+                p.pending_fades = {
+                    k: dict(v)
+                    for k, v in st.get("pending_fades", p.pending_fades).items()
+                }
+                for name, saved in st.get("fade_mirrors", {}).items():
+                    setattr(p, name, {k: np.copy(v) for k, v in saved.items()})
                 if "w_host" in st:
                     p._w_host = np.float32(st["w_host"])
             else:
@@ -1407,6 +1437,7 @@ class SpatialScene(Signal):
                 getattr(p, "_elapsed", 0.0),
                 getattr(p, "_has_play", False),
                 getattr(p, "_has_mot", False),
+                getattr(p, "_w_aligned", 0),
             )
             for p in self._all_pools()
         )

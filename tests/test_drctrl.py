@@ -220,3 +220,66 @@ def test_frames_control_readout_in_dr_pool():
     assert not fc.is_finished()
     r.render_frames(1024)
     assert fc.is_finished()
+
+
+class _HostFrames(ot.FramesSignal):
+    """Forces the host pool for comparison."""
+
+    def dr_supported(self):
+        return False
+
+
+def test_stereo_dr_mixer_pool_matches_host():
+    """Frame-generic DR chains (frame.rs:67-79, stream.rs:6): stereo
+    FramesSignal (per-channel guarded planes at a derivable stride) under
+    Gain in a DR mixer pool matches the host pool, including a smoothed
+    set_gain mid-flight."""
+    rng = np.random.default_rng(9)
+    data = (rng.standard_normal((3000, 2)) * 0.3).astype(np.float32)
+    snd = ot.Frames.from_slice(8000, data)
+
+    def build(cls):
+        mc, mixer = ot.Mixer.new(channels=2)
+        gcs = []
+        for i in range(5):
+            gc, g = ot.Gain.new(cls(snd, -0.01 * i))
+            gcs.append(gc)
+            mc.play(g)
+        return mixer, gcs
+
+    outs = []
+    for cls in (ot.FramesSignal, _HostFrames):
+        mixer, gcs = build(cls)
+        pool = next(iter(mixer._pools.values()))
+        assert pool.is_dr == (cls is ot.FramesSignal)
+        r = ot.Renderer(mixer, 8000)
+        blocks = [r.render_frames(512)]
+        gcs[0].set_gain(-6.0)
+        blocks.append(r.render_frames(1024))
+        outs.append(np.concatenate(blocks))
+    # tolerance: the host pool re-derives block starts from the f64 cursor
+    # (frames.rs:198 accumulates the f32 interval), giving fractional
+    # positions ~1e-4 samples off the DR path's snapped exact-unit step;
+    # on white noise (slope ~0.4/sample) that is ~1e-4 amplitude.  A
+    # channel-routing bug would be O(1).
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-3)
+
+
+def test_stereo_dr_constant_and_channel_adapters():
+    """Stereo Constant, MonoToStereo and Downmix run device-resident in
+    mixer pools."""
+    mc, mixer = ot.Mixer.new(channels=2)
+    mc.play(ot.Constant((0.25, -0.5)))
+    mc.play(ot.MonoToStereo(ot.Sine(0.0, 100.0)))
+    assert all(p.is_dr for p in mixer._pools.values())
+    out = ot.Renderer(mixer, 8000).render_block(256)
+    t = np.arange(256) / 8000
+    exp = np.sin(2 * np.pi * 100.0 * t)
+    np.testing.assert_allclose(out[:, 0], 0.25 + exp, atol=1e-4)
+    np.testing.assert_allclose(out[:, 1], -0.5 + exp, atol=1e-4)
+
+    mc2, mono = ot.Mixer.new(channels=1)
+    mc2.play(ot.Downmix(ot.Constant((0.25, -0.5))))
+    assert all(p.is_dr for p in mono._pools.values())
+    out2 = ot.Renderer(mono, 8000).render_block(64)
+    np.testing.assert_allclose(out2[:, 0], -0.25, atol=1e-6)

@@ -204,3 +204,45 @@ def test_golden_spatial_flyby(buffered, exact):
     err = max(errs)
     bound = 1e-5 if exact else 1e-3
     assert err <= bound, (err, errs)
+
+
+@pytest.mark.parametrize("buffered", [False, True])
+def test_golden_spatial_flyby_large_blocks(buffered):
+    """The flyby scene rendered in 1664-frame blocks (3 internal 512-frame
+    chunks + a 128-frame tail): the reference's walk runs once per *block*
+    whatever its size (signal.rs:19), so the oracle driven at the same
+    block size must match — this pins the chunked cursor re-baselining,
+    not just the static-geometry case."""
+    RATE, BLOCK, NBLK = 8000, 1664, 4
+    tt = np.arange(RATE, dtype=F) / F(RATE)
+    boop = np.sin(tt * F(500 * 2 * np.pi), dtype=F)
+
+    control, scene = ot.SpatialScene.new()
+    opts = ot.SpatialOptions(position=[-20.0, 5.0, 0.0], velocity=[30.0, 0.0, 0.0])
+    sig = ot.FramesSignal(ot.Frames.from_slice(RATE, boop), 0.0)
+    if buffered:
+        h = control.play_buffered(sig, opts, max_distance=60.0, rate=RATE,
+                                  buffer_duration=0.1)
+    else:
+        h = control.play(sig, opts)
+    r = ot.Renderer(scene, RATE)
+
+    oscene = ref.OSpatialScene(exact=True)
+    osig = ref.OFramesSignal(ref.OFrames(RATE, boop), 0.0, exact=True)
+    if buffered:
+        ov = oscene.play_buffered(osig, [-20.0, 5.0, 0.0], [30.0, 0.0, 0.0], 0.1,
+                                  max_distance=60.0, rate=RATE, buffer_duration=0.1)
+    else:
+        ov = oscene.play(osig, [-20.0, 5.0, 0.0], [30.0, 0.0, 0.0], 0.1)
+
+    errs = []
+    for i in range(NBLK):
+        if i == 2:
+            h.set_motion([5.0, 2.0, -3.0], [5.0, 0.0, 0.0], False)
+            ov.set_motion([5.0, 2.0, -3.0], [5.0, 0.0, 0.0], False)
+        eng = r.render_block(BLOCK)
+        buf = np.zeros((BLOCK, 2), F)
+        ref.oddio_run(oscene, RATE, buf)
+        errs.append(np.abs(eng - buf).max())
+    err = max(errs)
+    assert err <= 1e-5, (err, errs)

@@ -58,6 +58,54 @@ def test_scenepack_matches_single_device(mesh_shape):
     np.testing.assert_allclose(got, expected, atol=2e-6)
 
 
+def test_scenepack_grow_and_eager_plays_mid_pack():
+    """Plays past pool capacity (growth) and bulk plays (> k_play, the
+    eager-apply path) landing BETWEEN packed blocks must not reset carried
+    device state: the pack pulls the authoritative carry back through the
+    unpack hook before any out-of-graph pool mutation (set.rs:57-63 realloc
+    preserves live voices)."""
+    need_devices(8)
+    S = 2
+
+    def play_wave(control, rng, k):
+        hs = []
+        for _ in range(k):
+            hs.append(control.play(
+                ot.Sine(rng.uniform(0, 6), rng.uniform(100, 1000)),
+                ot.SpatialOptions(position=rng.uniform(-20, 20, 3),
+                                  velocity=rng.uniform(-3, 3, 3)),
+            ))
+        return hs
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        control, scene = ot.SpatialScene.new(initial_capacity=16)
+        play_wave(control, rng, 8)
+        return control, scene, rng
+
+    # reference: unsharded per-scene renderers with the same play schedule
+    expected = []
+    for seed in range(S):
+        control, scene, rng = build(seed)
+        r = ot.Renderer(scene, 8000)
+        blocks = [r.render_block(512) for _ in range(2)]
+        # 12 > k_play forces the eager-apply path; 8+12 > 16 forces growth
+        play_wave(control, rng, 12)
+        blocks += [r.render_block(512) for _ in range(3)]
+        expected.append(np.concatenate(blocks))
+    expected = np.stack(expected)
+
+    built = [build(seed) for seed in range(S)]
+    pack = ScenePack([b[1] for b in built], 8000, make_mesh(2, 4))
+    got = [pack.render_block(512) for _ in range(2)]
+    for control, _, rng in built:
+        play_wave(control, rng, 12)
+    got += [pack.render_block(512) for _ in range(3)]
+    got = np.concatenate(got, axis=1)
+
+    np.testing.assert_allclose(got, expected, atol=2e-6)
+
+
 def test_mixer_pack():
     need_devices(8)
     S = 2

@@ -243,26 +243,35 @@ def test_filters_wrap_scene():
     assert np.abs(out).max() > 0.4
 
 
-def test_dma_kernel_matches_default():
-    """The experimental self-DMA ring kernel is bit-identical to the page
-    gather path (both run in interpret mode on CPU)."""
-    def build(dma):
-        rng = np.random.default_rng(5)
-        control, scene = ot.SpatialScene.new()
-        for _ in range(12):
-            control.play_buffered(
-                ot.Sine(rng.uniform(0, 6), rng.uniform(100, 2000)),
-                ot.SpatialOptions(position=rng.uniform(-20, 20, 3),
-                                  velocity=rng.uniform(-3, 3, 3)),
-                max_distance=40.0, rate=8000, buffer_duration=0.1,
-            )
-        for p in scene._buffered_pools.values():
-            p.use_dma_kernel = dma
-        return scene
+def _static_dr_scene(buffered, V=12):
+    rng = np.random.default_rng(5)
+    control, scene = ot.SpatialScene.new()
+    for _ in range(V):
+        sig = ot.Sine(rng.uniform(0, 6), rng.uniform(100, 2000))
+        opts = ot.SpatialOptions(position=rng.uniform(-20, 20, 3))
+        if buffered:
+            # buffer deep enough that a whole 2048-frame block's look-back
+            # stays unclamped (spatial.rs:414-415 clamps reads at
+            # -max_delay, which legitimately makes audio depend on block
+            # size once elapsed + distance/c exceeds it)
+            control.play_buffered(sig, opts, max_distance=40.0, rate=8000,
+                                  buffer_duration=0.4)
+        else:
+            control.play(sig, opts)
+    return scene
 
-    a = ot.Renderer(build(False), 8000).render_frames(512 * 5)
-    b = ot.Renderer(build(True), 8000).render_frames(512 * 5)
-    np.testing.assert_array_equal(a, b)
+
+@pytest.mark.parametrize("buffered", [False, True])
+def test_large_blocks_match_chunked(buffered):
+    """Blocks beyond the kernel window (n > 640) render via internal
+    <=512-frame chunking (signal.rs:19 takes any output length).  With
+    static geometry the per-block walk is the identity, so one 2048-frame
+    block must equal four 512-frame blocks (up to the ~1-ulp cursor
+    re-baseline between chunks)."""
+    a = ot.Renderer(_static_dr_scene(buffered), 8000).render_block(2048)
+    r = ot.Renderer(_static_dr_scene(buffered), 8000)
+    b = np.concatenate([r.render_block(512) for _ in range(4)])
+    np.testing.assert_allclose(a, b, atol=2e-5)
 
 
 class _HostSeekSine(ot.Sine):

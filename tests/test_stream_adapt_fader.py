@@ -242,8 +242,10 @@ def test_fader_inside_mixer_pool():
 
 
 def test_fader_pool_no_retrace_and_waiting():
-    """Pooled fades never change the traced structure (zero recompiles);
-    a fade_to during a fade waits and last-wins (fader.rs:38-47)."""
+    """Pooled fades stay within the pool's two step variants (idle +
+    control-delta — the same pair any play/set_gain uses), so a live mix
+    with fades never sees a fresh compile; a fade_to during a fade waits
+    and last-wins (fader.rs:38-47)."""
     mc, mixer = ot.Mixer.new(channels=1)
     controls = []
     for i in range(3):
@@ -252,6 +254,12 @@ def test_fader_pool_no_retrace_and_waiting():
         mc.play(f)
     r = ot.Renderer(mixer, 8000)
     r.render_block(256)
+    # warm the control-delta variant too (a fade is a delta event on the
+    # device-resident pool, like a play or a set_gain)
+    controls[1].fade_to(ot.Constant(1.0), 0.01)
+    r.render_block(256)
+    for _ in range(4):
+        r.render_block(256)  # drain the warmup fade
     warm = set(r._steps.keys())
     controls[0].fade_to(ot.Constant(0.0), 0.05)
     r.render_block(256)
@@ -346,3 +354,87 @@ def test_pooled_fader_checkpoint_keeps_pending_fade():
     for _ in range(4):  # 0.05 s fade completes
         out = r2.render_block(256)
     np.testing.assert_allclose(out, 5.0, atol=1e-5)
+
+
+class _HostPoolFader(ot.Fader):
+    """Forces the host pooled-fader path for comparison."""
+
+    def dr_supported(self):
+        return False
+
+
+def test_fader_dr_pool_matches_host_pool():
+    """The device-resident pooled fader (flip-bit twin banks + sparse fade
+    deltas, fader.rs:38-70,86-93) reproduces the host pooled fader across
+    fade start, waiting-command replacement, completion and a follow-up
+    fade; only Sine's device phase accumulator (48-bit vs f64) separates
+    them numerically."""
+    def run(cls):
+        rng = np.random.default_rng(11)
+        mc, mixer = ot.Mixer.new(channels=1)
+        fcs, gcs = [], []
+        for i in range(6):
+            gc, g = ot.Gain.new(ot.Sine(rng.uniform(0, 6), rng.uniform(100, 900)))
+            fc, f = cls.new(g)
+            fcs.append(fc)
+            gcs.append(gc)
+            mc.play(f)
+        r = ot.Renderer(mixer, 8000)
+        out = [r.render_frames(512)]
+        for j, fc in enumerate(fcs[:4]):
+            fc.fade_to(
+                ot.Gain.new(ot.Sine(0.1 * j, 200.0 + 50 * j))[1], 0.08
+            )
+        out.append(r.render_frames(1024))
+        fcs[0].fade_to(ot.Gain.new(ot.Sine(0.3, 720.0))[1], 0.03)  # waits
+        fcs[0].fade_to(ot.Gain.new(ot.Sine(0.4, 760.0))[1], 0.03)  # replaces
+        gcs[1].set_gain(-6.0)  # control write into the ORIGINAL (a) bank
+        out.append(r.render_frames(2048))
+        return np.concatenate(out)
+
+    a = run(_HostPoolFader)
+    b = run(ot.Fader)
+    err = np.abs(a - b).max()
+    assert err < 2e-6, err
+
+
+def test_fader_dr_incoming_handle_routing():
+    """Control handles owned by a fade TARGET keep working after the fade
+    completes (the reference's Arc'd atomics travel with the signal,
+    gain.rs:58-93): the flip-bit design binds them permanently to the bank
+    the signal landed in."""
+    mc, mixer = ot.Mixer.new(channels=1)
+    fc, f = ot.Fader.new(ot.Gain.new(ot.Constant(1.0))[1])
+    mc.play(f)
+    r = ot.Renderer(mixer, 8000)
+    r.render_block(256)
+    gc2, g2 = ot.Gain.new(ot.Constant(1.0))
+    gc2.set_gain(-6.0)  # smoothed toward -6 dB from the first block on
+    fc.fade_to(g2, 0.01)
+    r.render_frames(2048)  # fade (80) + full smoothing ramp (800 frames)
+    out1 = float(r.render_block(64).mean())
+    gc2.set_gain(0.0)  # post-swap write must reach the live voice
+    r.render_frames(1024)  # another full smoothing ramp
+    out2 = float(r.render_block(64).mean())
+    np.testing.assert_allclose(out1, 10 ** (-6.0 / 20.0), atol=1e-6)
+    np.testing.assert_allclose(out2, 1.0, atol=1e-6)
+
+
+def test_fader_dr_checkpoint_pending_fade():
+    """A snapshot taken between fade_to() and the next block must keep the
+    queued fade (the reference's channels hold it in memory)."""
+    from oddio_tpu.utils.checkpoint import restore, snapshot
+
+    mc, mixer = ot.Mixer.new(channels=1)
+    fc, f = ot.Fader.new(ot.Constant(1.0))
+    mc.play(f)
+    r = ot.Renderer(mixer, 8000)
+    r.render_block(256)
+    fc.fade_to(ot.Constant(3.0), 0.02)
+    snap = snapshot(r)
+    r.render_frames(512)
+    expect = np.asarray(r.render_block(64))
+    r2 = restore(snap)
+    r2.render_frames(512)
+    got = np.asarray(r2.render_block(64))
+    np.testing.assert_allclose(got, expect, atol=1e-6)
