@@ -114,6 +114,19 @@ class DRCtrlMixin:
         self._fade_dur = {
             p: np.full(V, -1.0, np.float32) for p in self.fade_paths
         }
+        #: downsampling-bound bookkeeping: live slots' spec chains (their
+        #: control mirrors stay current — ControlBlock.set always writes
+        #: the spec's own field) feed host_ds_bound; recomputed lazily on
+        #: plays / speed-class control writes so the sampler kernels can
+        #: fall back to the exact whole-arena gather past RESAMPLE_DSMAX
+        self._slot_specs = {}
+        self._extra_specs = {}  # (slot, fade path) -> incoming fade spec
+        self._ds_fields = {
+            k for k in self.ctrl_keys
+            if k[1] in getattr(_at_path_spec(proto, k[0]), "_dr_ds_fields", ())
+        }
+        self._ds_dirty = True
+        self._ds_small = True
 
     def _ctrl_grow(self, old, new):
         ext = new - old
@@ -148,6 +161,8 @@ class DRCtrlMixin:
 
     def push_ctrl(self, path, field, slot, value):
         self.pending_ctrl[(path, field)][slot] = np.float32(value)
+        if (path, field) in self._ds_fields:
+            self._ds_dirty = True
 
     def push_fade(self, path, slot, gen, spec, duration):
         """fade_to on a DR voice (fader.rs:86-93): queued per (fader,
@@ -175,6 +190,45 @@ class DRCtrlMixin:
         onto the next tenant."""
         for p in self.fade_paths:
             self.pending_fades[p].pop(int(slot), None)
+            self._extra_specs.pop((int(slot), p), None)
+
+    def _track_spec(self, slot, spec):
+        """Retain a played spec for ds-bound queries (its control mirrors
+        stay live through the handles)."""
+        self._slot_specs[int(slot)] = spec
+        self._ds_dirty = True
+
+    def _ds_bound_small(self, interval):
+        """True when every live voice's per-frame source step fits the
+        windowed resample kernels; recomputed only after plays or
+        speed-class control writes."""
+        if self._ds_dirty or getattr(self, "_ds_interval", None) != interval:
+            from ..ops.pallas_ring import RESAMPLE_DSMAX
+
+            b = 0.0
+            for slot, spec in self._slot_specs.items():
+                if self.mask_host[slot]:
+                    b = max(b, spec.host_ds_bound(interval))
+            for (slot, _p), spec in self._extra_specs.items():
+                if self.mask_host[slot]:
+                    b = max(b, spec.host_ds_bound(interval))
+            self._ds_small = bool(b <= RESAMPLE_DSMAX)
+            self._ds_dirty = False
+            self._ds_interval = interval
+        return self._ds_small
+
+    def _ds_flag_sync(self, interval):
+        """Resolve the pool's kernel-vs-gather read-path flag and stamp it
+        onto every node of the proto chain (the samplers read it at trace
+        time; it is part of the pool archetype, so flipping retraces)."""
+        small = self._ds_bound_small(float(interval))
+        if getattr(self.proto, "_pool_ds_small", True) != small:
+            stack = [self.proto]
+            while stack:
+                node = stack.pop()
+                node._pool_ds_small = small
+                stack.extend(_dr_children(node).values())
+        return small
 
     def _fade_mirror_on_play(self, slot, spec):
         """Seed the fader mirrors from the played spec's host state."""
@@ -250,6 +304,8 @@ class DRCtrlMixin:
                     idx[t] = slot
                     incv[t] = inc_s
                     rows.append(spec.dr_slot_row(interval))
+                    self._extra_specs[(slot, path)] = spec
+                    self._ds_dirty = True
                     prog[slot] = 0.0
                     inc[slot] = inc_s
                     fading[slot] = True

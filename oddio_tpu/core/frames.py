@@ -304,6 +304,9 @@ class FramesSignal(Signal):
         """frames.rs:204-206: t >= (len - 1) / rate."""
         return self.t >= (self.length.astype(np.float64) - 1.0) / self.rate
 
+    def host_ds_bound(self, interval):
+        return float(np.max(np.float32(interval) * self.rate.astype(np.float32)))
+
     # control-side views (frames.rs:229-248)
     def _playback_position(self):
         return np.trunc(self.t * self.rate) / self.rate
@@ -436,7 +439,7 @@ class _FramesDR:
             ds_int, f_hi, f_lo = device_split_ds(ds)
 
         C = self.channels
-        if "garena" in ddata:
+        if "garena" in ddata and getattr(self, "_pool_ds_small", True):
             # row-window fetch + strided resample kernel in <=512-frame
             # chunks (any n, signal.rs:19); the guarded region's zero pads
             # carry frames.rs:105-123's edge semantics.  Multi-channel
@@ -541,6 +544,17 @@ class _FramesDR:
         ds = dt * state["rate"][:, None]
         ds = jnp.where(jnp.abs(ds - 1.0) <= EPS32, 1.0, ds)
         ds_int, f_hi, f_lo = device_split_ds(ds)
+        if not getattr(self, "_pool_ds_small", True):
+            # heavy downsampling: exact whole-arena gather (frames.rs:176-201
+            # resamples at any ratio; aliasing and all)
+            tr, fr = exact_positions(o0, ds_int, f_hi, f_lo, n, signed=True)
+            s = base2[:, :, None] + tr
+            arena = ddata["arena"]
+            off = state["off"][:, None, None]
+            length = state["length"][:, None, None]
+            a = _arena_get(arena, off, length, s)
+            b = _arena_get(arena, off, length, s + 1)
+            return lerp(a, b, fr)
         dsf = (ds_int.reshape(-1), f_hi.reshape(-1), f_lo.reshape(-1))
         goff = jnp.repeat(state["goff"], E)
         lo = jnp.repeat(state["goff"] - ARENA_GUARD, E)

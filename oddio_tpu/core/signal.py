@@ -306,8 +306,25 @@ class Signal:
 
     #: host-field names a control handle may write while the signal lives in
     #: a device-resident pool; each maps to a same-named leaf of this node's
-    #: dr state, updated via sparse per-block deltas (core/drctrl.py)
+    #: dr state, updated via sparse control deltas (core/drctrl.py)
     _dr_ctrl_fields = ()
+
+    #: subset of _dr_ctrl_fields whose writes change how fast a sampler in
+    #: the chain steps through its source (speed.rs); DR pools watching
+    #: these re-derive their downsampling bound (host_ds_bound)
+    _dr_ds_fields = ()
+
+    def host_ds_bound(self, interval):
+        """Upper bound on the per-frame source step (samples/frame) any
+        sampler in this chain reads at, given ``interval`` seconds/frame
+        and the chain's CURRENT control mirrors.  DR pools use it to pick
+        the windowed resample kernel (ds <= RESAMPLE_DSMAX) or the exact
+        whole-arena gather for heavier downsampling
+        (frames.rs:176-201 resamples at any ratio)."""
+        return max(
+            (c.host_ds_bound(interval) for c in self.children().values()),
+            default=0.0,
+        )
 
     def dr_supported(self):
         return False

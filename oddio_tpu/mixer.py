@@ -180,6 +180,7 @@ class PoolDR(DRCtrlMixin):
         self._rebind_ctrl(spec, i, gen)
         self._fade_claim_reset(i)
         self._fade_mirror_on_play(i, spec)
+        self._track_spec(i, spec)
         self.pending_plays.append((i, spec))
         self.mask_host[i] = True
         self.stopped_host[i] = False
@@ -252,6 +253,7 @@ class PoolDR(DRCtrlMixin):
     def host_prepare(self, interval, n, force=False):
         self._interval = float(np.float32(interval))
         self._prep_count = getattr(self, "_prep_count", 0) + 1
+        self._ds_small = self._ds_flag_sync(self._interval)
         params = {}
         if len(self.pending_plays) > self.k_play:
             self._apply_plays_eager(self._interval)
@@ -391,6 +393,7 @@ class Mixer(Signal):
                 getattr(p, "_interval", None),
                 getattr(p, "_has_play", False),
                 getattr(p, "_has_stop", False),
+                getattr(p, "_ds_small", True),
             )
             for p in self._pools.values()
         )

@@ -48,6 +48,9 @@ class Cycle(Signal):
     def _arch_extra(self):
         return (self.channels,)
 
+    def host_ds_bound(self, interval):
+        return float(np.max(np.float32(interval) * self.rate.astype(np.float32)))
+
     def _params_from_cursor(self, cursor, interval):
         # cycle.rs:27-30: ds = interval * rate() as f32; base = cursor as usize
         ds = (f32(interval) * self.rate.astype(np.float32)).astype(np.float32)
@@ -153,7 +156,7 @@ class Cycle(Signal):
         from ._dev import chunked_frames, device_advance
 
         ds_int, f_hi, f_lo = self._dr_step(state, interval)
-        if "garena" in ddata:
+        if "garena" in ddata and getattr(self, "_pool_ds_small", True):
             # looped region: data replicated past the seam, so each
             # <=512-frame chunk's walk (and the seam lerp pair,
             # cycle.rs:34-47) never wraps; cursors re-wrap between chunks
@@ -238,6 +241,16 @@ class Cycle(Signal):
         base2, o0 = self._dr_warp_cursor(state, t0, wrap=True)
         ds = dt * state["rate"][:, None]
         ds_int, f_hi, f_lo = device_split_ds(ds)
+        if not getattr(self, "_pool_ds_small", True):
+            # heavy downsampling: exact mod-length arena gather
+            tr, fr = exact_positions(o0, ds_int, f_hi, f_lo, n)
+            length = state["length"][:, None, None]
+            x = jnp.mod(base2[:, :, None] + tr, length)
+            arena = ddata["arena"]
+            off = state["off"][:, None, None]
+            a = jnp.take(arena, off + x, axis=0, mode="clip")
+            b = jnp.take(arena, off + jnp.mod(x + 1, length), axis=0, mode="clip")
+            return lerp(a, b, fr)
         dsf = (ds_int.reshape(-1), f_hi.reshape(-1), f_lo.reshape(-1))
         loff = jnp.repeat(state["loff"], E)
         length = jnp.repeat(state["length"], E)

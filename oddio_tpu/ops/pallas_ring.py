@@ -379,24 +379,24 @@ def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K, emax,
 # handling, ~40% of its VPU work) vanishes.
 
 
-def _ear_pipeline_flat(strips, scal, extra, *, n, K, SB=SELECT_SB):
+def _ear_pipeline_flat(strips, scal, extra, *, n, K, W, SB=SELECT_SB):
     """a_j = strips[extra + j + kk_j] lerped with fr_j; extra (tile, 1) is
-    the ear's stagger within the window, in [0, SELECT_W - SB - 2K - 1)."""
+    the ear's stagger within the window, in [0, W - SB - 2K - 1)."""
     tile = strips.shape[0]
     parts = []
     for sb in range(-(-n // SB)):
         kk_sb, fr_sb = _positions_sb(scal, sb * SB, SB, K)
-        w1 = strips[:, sb * SB : sb * SB + SELECT_W]
+        w1 = strips[:, sb * SB : sb * SB + W]
         m = extra + jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1) + kk_sb
-        a_sb = _gather3(w1, m)
-        b_sb = _gather3(w1, m + 1)
+        a_sb = _gatherW(w1, m, W)
+        b_sb = _gatherW(w1, m + 1, W)
         parts.append(a_sb + fr_sb * (b_sb - a_sb))
     out = jnp.concatenate(parts, axis=-1)
     return out[:, :n]
 
 
 def _select_flat_kernel(s_ref, sc0_ref, sc1_ref, g0_ref, g1_ref, mask_ref,
-                        e0_ref, e1_ref, out_ref, *, n, K):
+                        e0_ref, e1_ref, out_ref, *, n, K, W):
     i = pl.program_id(0)
     jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     m = mask_ref[...]
@@ -406,7 +406,9 @@ def _select_flat_kernel(s_ref, sc0_ref, sc1_ref, g0_ref, g1_ref, mask_ref,
         (sc0_ref, g0_ref, e0_ref),
         (sc1_ref, g1_ref, e1_ref),
     ):
-        samp = _ear_pipeline_flat(strips, sc_ref[...], e_ref[...], n=n, K=K)
+        samp = _ear_pipeline_flat(
+            strips, sc_ref[...], e_ref[...], n=n, K=K, W=W
+        )
         g = g_ref[...]
         gains = g[:, 0:1] + jn * g[:, 1:2]
         rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
@@ -419,27 +421,32 @@ def _select_flat_kernel(s_ref, sc0_ref, sc1_ref, g0_ref, g1_ref, mask_ref,
     out_ref[...] += contrib
 
 
+def select_tables(emax2, K=64):
+    """Lookup-table width (a multiple of 128) the flat select kernel needs:
+    per 128-frame sub-block the index spans extra (< emax2) + lane (< SB) +
+    doppler walk (<= 2K) + 1 (lerp)."""
+    return -(-(emax2 + SELECT_SB + 2 * K + 1) // 128) * 128
+
+
 def select_window(n, emax2, K=64):
-    """Window width the flat select kernel needs for an n-frame block:
-    per 128-frame sub-block the lookup index spans extra (< emax2) + lane
-    (< SB) + doppler walk (<= 2K) + 1 (lerp), which must fit _gather3's
-    SELECT_W tables."""
-    assert emax2 + SELECT_SB + 2 * K + 1 <= SELECT_W, "ear stagger too wide"
+    """Total per-voice window width for an n-frame block."""
     nsb = -(-n // SELECT_SB)
-    return (nsb - 1) * SELECT_SB + SELECT_W
+    return (nsb - 1) * SELECT_SB + select_tables(emax2, K)
 
 
 def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
-                  interpret=False, tile=None):
+                  emax2=None, interpret=False, tile=None):
     """Fractional per-ear reads + gain ramps + masked mix from flat
     per-voice windows.
 
     windows (V, S): contiguous per-voice read windows starting at the
-    shared base ``cm - K`` (S >= select_window(...)); extra (V, 2): each
-    ear's start stagger within the window; scal (V, 2, 4) packed cursor
-    scalars (pack_select_scalars); gain0/d_gain (V, 2); maskf (V,).
-    Returns the mixed (2, n) block (ring.rs:51-79, spatial.rs:409-431)."""
+    shared base ``cm - K`` row-quantized (S >= select_window(...)); extra
+    (V, 2): each ear's start stagger within the window (< emax2, default
+    SELECT_W - SB - 2K - 1); scal (V, 2, 4) packed cursor scalars
+    (pack_select_scalars); gain0/d_gain (V, 2); maskf (V,).  Returns the
+    mixed (2, n) block (ring.rs:51-79, spatial.rs:409-431)."""
     V, S = windows.shape
+    W = SELECT_W if emax2 is None else select_tables(emax2, K)
     if tile is None:
         tile = _tile_for(V)
     gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
@@ -463,12 +470,145 @@ def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
     )
     e = extra.astype(jnp.int32)
     return pl.pallas_call(
-        functools.partial(_select_flat_kernel, n=n, K=K),
+        functools.partial(_select_flat_kernel, n=n, K=K, W=W),
         out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         windows,
+        scal[:, 0], scal[:, 1],
+        gain[:, 0], gain[:, 1],
+        maskf[:, None],
+        e[:, 0:1], e[:, 1:2],
+    )
+
+
+# --- DMA window select (TPU fast path of the DR buffered read) -----------------
+#
+# XLA inserts a full-carry copy whenever a scan body both row-GATHERS from
+# and writes to the ring buffer (~1 ms at 4096 voices; tools/r3_probe*.py).
+# This kernel replaces the gather: it DMAs each voice's read window itself
+# (one aligned 2-page slice per voice, ~0.12 us issue each), then realigns
+# once per window (8 masked 128-granule levels) and runs the per-ear
+# select.  The ring is a plain (read-only) operand — no gather HLO exists,
+# so the write kernel stays in place.
+
+
+def _dma_select_kernel(rwin_ref, ring_ref, rrem_ref, sc0_ref, sc1_ref,
+                       g0_ref, g1_ref, mask_ref, e0_ref, e1_ref, out_ref,
+                       *scratch, tile, n, K, W, WR, rowlen):
+    sems = scratch[-1]
+    bufs = scratch[:-1]
+    i = pl.program_id(0)
+
+    def dma(r):
+        v = i * tile + r
+        off = pl.multiple_of(v * rowlen + rwin_ref[v] * 1024, 1024)
+        return pltpu.make_async_copy(
+            ring_ref.at[pl.ds(off, 2048)], bufs[r], sems.at[r]
+        )
+
+    for r in range(tile):
+        dma(r).start()
+    for r in range(tile):
+        dma(r).wait()
+    win = jnp.concatenate(
+        [bufs[r][...].reshape(1, 2048) for r in range(tile)], axis=0
+    )
+
+    # one whole-window realign per voice (shared by both ears and every
+    # sub-block): the window was fetched 1024-aligned, so the coarse
+    # remainder is rrem>>7 in [0, 8)
+    rr = rrem_ref[...]  # (tile, 1)
+    b7 = rr >> 7
+    w2 = jnp.zeros((tile, WR), jnp.float32)
+    for h in range(8):
+        w2 = w2 + win[:, 128 * h : 128 * h + WR] * (b7 == h).astype(
+            jnp.float32
+        )
+
+    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    m = mask_ref[...]
+    ex7 = rr & 127
+    rows = []
+    for sc_ref, g_ref, e_ref in (
+        (sc0_ref, g0_ref, e0_ref),
+        (sc1_ref, g1_ref, e1_ref),
+    ):
+        samp = _ear_pipeline_flat(
+            w2, sc_ref[...], ex7 + e_ref[...], n=n, K=K, W=W
+        )
+        g = g_ref[...]
+        gains = g[:, 0:1] + jn * g[:, 1:2]
+        rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
+    contrib = jnp.concatenate(rows, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def dma_window_select(ring, rstart, scal, gain0, d_gain, maskf, extra, *,
+                      n, K, emax2, interpret=False, tile=None):
+    """Fractional per-ear reads + gain ramps + masked mix, with the kernel
+    fetching each voice's window itself.
+
+    ring (V, rowlen) with rowlen a multiple of 1024; rstart (V,): each
+    voice's window base column (cm - K quantization included by the
+    caller as FP offset); extra (V, 2): per-ear stagger (< emax2) on top
+    of rstart; other args as window_select.  Requires
+    select_window(n, 127 + emax2, K) + 896 <= 2048 (one 2-KiB-page fetch
+    per voice)."""
+    V, rowlen = ring.shape
+    assert rowlen % 1024 == 0
+    if tile is None:
+        tile = _tile_for(V)
+    W = select_tables(128 - 1 + emax2, K)
+    WR = select_window(n, 128 - 1 + emax2, K)
+    assert 128 * 7 + WR <= 2048, "window too wide for the 2-page fetch"
+    rwin = (rstart // 1024).astype(jnp.int32)
+    rrem = (rstart - rwin * 1024).astype(jnp.int32)
+    gain = jnp.stack([gain0, d_gain], axis=-1)
+
+    def ts(*shape):
+        return pl.BlockSpec(
+            shape, lambda i, *_: (i,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(V // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            ts(tile, 1),
+            ts(tile, 4), ts(tile, 4),
+            ts(tile, 2), ts(tile, 2),
+            ts(tile, 1),
+            ts(tile, 1), ts(tile, 1),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, n), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((2048,), jnp.float32) for _ in range(tile)]
+        + [pltpu.SemaphoreType.DMA((tile,))],
+    )
+    e = extra.astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _dma_select_kernel, tile=tile, n=n, K=K, W=W, WR=WR,
+            rowlen=rowlen,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        rwin,
+        ring.reshape(-1),
+        rrem[:, None],
         scal[:, 0], scal[:, 1],
         gain[:, 0], gain[:, 1],
         maskf[:, None],

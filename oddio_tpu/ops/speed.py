@@ -61,6 +61,12 @@ class Speed(Signal):
     # warped interval in-graph every block (speed.rs:32-36).
 
     _dr_ctrl_fields = ("speed",)
+    _dr_ds_fields = ("speed",)
+
+    def host_ds_bound(self, interval):
+        return self.inner.host_ds_bound(
+            interval * abs(float(np.float32(self.speed[()])))
+        )
 
     def dr_supported(self):
         return self.inner.dr_supported()

@@ -678,6 +678,7 @@ class _DRPoolBase(DRCtrlMixin):
         self._rebind_ctrl(spec, i, gen)
         self._fade_claim_reset(i)
         self._fade_mirror_on_play(i, spec)
+        self._track_spec(i, spec)
         return i, gen
 
     def _geom_row(self, options):
@@ -937,6 +938,9 @@ class _SeekPoolDR(_DRPoolBase):
     def host_prepare(self, prev_rot, rot, interval, n, force=False):
         # rotation values arrive in-graph from the scene's "_rot" state leaf
         self._elapsed = float(np.float32(f32(interval) * np.float32(n)))
+        # warp steps are the scene interval times the doppler factor; 1.25
+        # covers the clamped |v|/c range (K_DOPPLER) with margin
+        self._ds_small = self._ds_flag_sync(float(f32(interval)) * 1.25)
         return self._delta_params({}, force)
 
     def render(self, dstate, ddata, params, n):
@@ -1131,6 +1135,7 @@ class _BufferedPoolDR(_DRPoolBase):
             "nw": np.int32(n_write),
             "wstart": np.int32(start_i),
         }
+        self._ds_small = self._ds_flag_sync(self.interval_inner)
         params = self._delta_params(params, force)
         # fader bookkeeping rides the inner timebase (faders advance by the
         # ring-write frame count, like every inner node)
@@ -1224,6 +1229,16 @@ class _BufferedPoolDR(_DRPoolBase):
         DMAX = self.emax2
         base = obase.astype(jnp.int32)
         frac = offset0 - obase
+        # read windows come off a 128-col row view of the flat ring: a
+        # row-granular gather of S/128+1 consecutive rows per voice (the
+        # fast gather shape on this stack; per-voice dynamic_slice measured
+        # ~serial), with the row remainder folded into the kernel's per-ear
+        # stagger
+        PW = 128
+        RPV = self.rowlen // PW
+        rows = ring.reshape(V * RPV, PW)
+        vb = jnp.arange(V, dtype=jnp.int32) * RPV
+        emax2r = PW - 1 + self.emax2
         parts = []
         for j0 in range(0, n, self.R_CHUNK):
             n_c = min(self.R_CHUNK, n - j0)
@@ -1237,18 +1252,21 @@ class _BufferedPoolDR(_DRPoolBase):
             )
             dstart = jnp.clip(dstart, 0, DMAX)
             rstart = jnp.mod(cm - K, cap) + FP
-            SREAD = select_window(n_c, self.emax2, K)
-            windows = jax.vmap(
-                lambda row, s: jax.lax.dynamic_slice(row, (s,), (SREAD,))
-            )(ring, rstart)
+            SREAD = select_window(n_c, emax2r, K)
+            r0 = rstart // PW
+            ridx = (
+                vb[:, None] + r0[:, None] + jnp.arange(SREAD // PW + 1)[None, :]
+            ).reshape(-1)
+            windows = jnp.take(rows, ridx, axis=0).reshape(V, SREAD + PW)
+            ex = (rstart - r0 * PW)[:, None] + dstart
             # the kernel reconstructs a_j = win[extra + j + kk_j] with
             # kk_j = whole_j - j + K in [0, 2K] from the packed cursor
             # scalars (exact split-ds math in-kernel)
             scal = pack_select_scalars(frac, ds_int, f_hi, f_lo)
             g0_c = p_gain + np.float32(j0) * d_gain
             parts.append(window_select(
-                windows, scal, g0_c, d_gain, maskf, dstart, n=n_c, K=K,
-                interpret=interp,
+                windows[:, :SREAD], scal, g0_c, d_gain, maskf, ex, n=n_c,
+                K=K, emax2=emax2r, interpret=interp,
             ))
             if j0 + n_c < n:
                 base, frac = device_advance(
@@ -1438,6 +1456,7 @@ class SpatialScene(Signal):
                 getattr(p, "_has_play", False),
                 getattr(p, "_has_mot", False),
                 getattr(p, "_w_aligned", 0),
+                getattr(p, "_ds_small", True),
             )
             for p in self._all_pools()
         )

@@ -246,3 +246,46 @@ def test_golden_spatial_flyby_large_blocks(buffered):
         errs.append(np.abs(eng - buf).max())
     err = max(errs)
     assert err <= 1e-5, (err, errs)
+
+
+def test_golden_heavy_downsample():
+    """ds = 8 resampling — beyond the resample kernel's window clamp
+    (RESAMPLE_DSMAX): DR pools fall back to the exact whole-arena gather
+    (frames.rs:176-201 resamples at any ratio, aliasing included), flip
+    back to the kernel path when a set_speed brings the bound down, and
+    match the oracle throughout."""
+    # BLOCK=256 keeps the reference's f32 ``offset += ds`` accumulation
+    # wobble (positions reach n*ds = 2048, frames.rs:189-196) under the
+    # 1e-5 bound; the engine's closed-form positions are near-exact
+    RATE, BLOCK = 8000, 256
+    data = np.sin(np.linspace(0, 700.0, 48000), dtype=F)
+    hi = ot.Frames.from_slice(8 * RATE, data)  # 64 kHz source -> ds = 8
+    table = np.sin(
+        np.linspace(0, 2 * np.pi, 1024, endpoint=False), dtype=F
+    ).astype(F)
+    cyc_frames = ot.Frames.from_slice(RATE, table)
+
+    mc, mixer = ot.Mixer.new(channels=1)
+    mc.play(ot.FramesSignal(hi, 0.0))
+    spc, sp = ot.Speed.new(ot.Cycle(cyc_frames))
+    spc.set_speed(8.0)
+    mc.play(sp)
+    pool_flags = [p for p in mixer._pools.values() if p.is_dr]
+    assert pool_flags, "expected DR pools"
+    r = ot.Renderer(mixer, RATE)
+
+    om = ref.OMixer(channels=1)
+    om.play(ref.OFramesSignal(ref.OFrames(8 * RATE, data), 0.0, exact=True))
+    osp = ref.OSpeed(ref.OCycle(ref.OFrames(RATE, table)), 8.0)
+    om.play(osp)
+
+    errs = []
+    for i in range(8):
+        if i == 4:
+            spc.set_speed(1.0)   # bound drops -> kernel path resumes
+            osp.speed = np.float32(1.0)
+        eng = r.render_block(BLOCK)
+        buf = np.zeros(BLOCK, F)
+        ref.oddio_run(om, RATE, buf)
+        errs.append(np.abs(eng[:, 0] - buf).max())
+    assert max(errs) <= 1e-5, errs

@@ -115,8 +115,18 @@ def test_realtime_driver_roundtrip():
     h = control.play(ot.MonoToStereo(ot.Sine(0.0, 440.0)))
     drv = RealtimeDriver(mixer, 8000, block_size=256, lead_blocks=4).start()
     try:
-        time.sleep(0.3)  # let the renderer warm up / compile
-        chunks = [drv.read(128) for _ in range(16)]
+        # wait out the first-compile warmup (both pool step variants), then
+        # pace reads like a real 8 kHz callback so the ring stays ahead
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if np.abs(drv.read(128)).max() > 0:
+                break
+            time.sleep(0.05)
+        time.sleep(0.1)
+        chunks = []
+        for _ in range(16):
+            chunks.append(drv.read(128))
+            time.sleep(128 / 8000)
         out = np.concatenate(chunks)
         # a 440 Hz sine comes through (startup underruns are zero-filled,
         # which the spectral peak tolerates)

@@ -431,10 +431,10 @@ def test_fader_dr_checkpoint_pending_fade():
     r = ot.Renderer(mixer, 8000)
     r.render_block(256)
     fc.fade_to(ot.Constant(3.0), 0.02)
-    snap = snapshot(r)
+    snap = snapshot(mixer)
     r.render_frames(512)
     expect = np.asarray(r.render_block(64))
-    r2 = restore(snap)
-    r2.render_frames(512)
-    got = np.asarray(r2.render_block(64))
+    restore(mixer, snap)
+    r.render_frames(512)
+    got = np.asarray(r.render_block(64))
     np.testing.assert_allclose(got, expect, atol=1e-6)
