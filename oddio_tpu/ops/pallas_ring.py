@@ -483,6 +483,65 @@ def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
     )
 
 
+# --- rows-native aligned append ------------------------------------------------
+#
+# (V, RPV, 128) ring arrays are PHYSICALLY linear on TPU (the (8, 128)
+# tile groups 8 consecutive rows of one voice), so row views and flat
+# views are free bitcasts — unlike (V, rowlen), whose tile groups 8
+# VOICES and whose row-view reshape is a full relayout.  This kernel
+# appends a page slab to every voice with ONE strided DMA per voice-tile
+# (dst stride = a voice's row count), leaving the ring in the layout the
+# read-side row gather consumes with no reshape.
+
+
+def _rows_append_kernel(rows_ref, slab_ref, ring_any, out_ref, sem, *, tile,
+                        nr):
+    i = pl.program_id(0)
+    leg = pl.program_id(1)
+    r0 = rows_ref[leg]
+    dst = out_ref.at[pl.ds(i * tile, tile), pl.ds(r0, nr), :]
+    copy = pltpu.make_async_copy(slab_ref, dst, sem)
+    copy.start()
+    copy.wait()
+
+
+def rows_append_dma(ring3, slab, r0, rmir0, *, interpret=False, tile=None):
+    """Write ``slab`` (V, W) with W a multiple of 128 into every voice of
+    ``ring3`` (V, RPV, 128) at row ``r0`` (plus a mirror-maintenance copy
+    at ``rmir0``; point it at the mirror twin or a dump row).  In place on
+    the donated ring; one strided DMA per (voice-tile, leg)."""
+    V, RPV, _ = ring3.shape
+    W = slab.shape[1]
+    nr = W // 128
+    if tile is None:
+        tile = 512
+        while V % tile:
+            tile //= 2
+    rows = jnp.stack(
+        [jnp.asarray(r0, jnp.int32), jnp.asarray(rmir0, jnp.int32)]
+    )
+    return pl.pallas_call(
+        functools.partial(_rows_append_kernel, tile=tile, nr=nr),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(V // tile, 2),
+            in_specs=[
+                pl.BlockSpec(
+                    (tile, nr, 128), lambda i, leg, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        ),
+        out_shape=jax.ShapeDtypeStruct((V, RPV, 128), jnp.float32),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(rows, slab.reshape(V, nr, 128), ring3)
+
+
 # --- DMA window select (TPU fast path of the DR buffered read) -----------------
 #
 # XLA inserts a full-carry copy whenever a scan body both row-GATHERS from
