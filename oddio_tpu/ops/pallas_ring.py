@@ -131,14 +131,19 @@ def strip_place(strips, samples, extra, count=None, *, interpret=False,
 
 # --- flat-ring aligned append --------------------------------------------------
 #
+# SUPERSEDED by rows_append_dma for production (the flat (V, rowlen)
+# layout it writes needs a physically-relayouting reshape before the
+# row-gather read — ~300 MB/block at 4096 voices; ROADMAP.md probe
+# notes).  Retained for the probe suite that documents that measurement
+# trail (tools/r3_probe*.py).
+#
 # The DR buffered pool's shared write cursor advances by exactly n frames
 # per block whenever the inner rate equals the scene rate (the flagship
 # config), so with n a multiple of 512 every append is a 512-aligned
-# full-page slab.  XLA's dynamic_update_slice realizes that as a strided
-# read-modify-write over the whole pool (~1.2 ms at 4096 voices); this
-# kernel instead maps the OUTPUT blocks straight onto the written pages
-# via a scalar-prefetched page index — the ring is aliased in place and
-# never streamed, so the append costs exactly the bytes written.
+# full-page slab.  This kernel maps the OUTPUT blocks straight onto the
+# written pages via a scalar-prefetched page index — the ring is aliased
+# in place and never streamed, so the append costs exactly the bytes
+# written (measured 0.06 ms at 4096 voices).
 
 APPEND_PW = 512  # page width of the aligned append path
 
@@ -381,7 +386,9 @@ def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K, emax,
 
 def _ear_pipeline_flat(strips, scal, extra, *, n, K, W, SB=SELECT_SB):
     """a_j = strips[extra + j + kk_j] lerped with fr_j; extra (tile, 1) is
-    the ear's stagger within the window, in [0, W - SB - 2K - 1)."""
+    the ear's stagger within the window, in [0, W - SB - 2K - 1).  SB must
+    be 128: Mosaic's dynamic_gather requires index shapes to match its
+    128-lane tables (a 256-frame sub-block fails to lower)."""
     tile = strips.shape[0]
     parts = []
     for sb in range(-(-n // SB)):
@@ -421,17 +428,17 @@ def _select_flat_kernel(s_ref, sc0_ref, sc1_ref, g0_ref, g1_ref, mask_ref,
     out_ref[...] += contrib
 
 
-def select_tables(emax2, K=64):
+def select_tables(emax2, K=64, SB=SELECT_SB):
     """Lookup-table width (a multiple of 128) the flat select kernel needs:
-    per 128-frame sub-block the index spans extra (< emax2) + lane (< SB) +
-    doppler walk (<= 2K) + 1 (lerp)."""
-    return -(-(emax2 + SELECT_SB + 2 * K + 1) // 128) * 128
+    per sub-block the index spans extra (< emax2) + lane (< SB) + doppler
+    walk (<= 2K) + 1 (lerp)."""
+    return -(-(emax2 + SB + 2 * K + 1) // 128) * 128
 
 
-def select_window(n, emax2, K=64):
+def select_window(n, emax2, K=64, SB=SELECT_SB):
     """Total per-voice window width for an n-frame block."""
-    nsb = -(-n // SELECT_SB)
-    return (nsb - 1) * SELECT_SB + select_tables(emax2, K)
+    nsb = -(-n // SB)
+    return (nsb - 1) * SB + select_tables(emax2, K, SB)
 
 
 def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
@@ -542,15 +549,17 @@ def rows_append_dma(ring3, slab, r0, rmir0, *, interpret=False, tile=None):
     )(rows, slab.reshape(V, nr, 128), ring3)
 
 
-# --- DMA window select (TPU fast path of the DR buffered read) -----------------
+# --- DMA window select ---------------------------------------------------------
 #
-# XLA inserts a full-carry copy whenever a scan body both row-GATHERS from
-# and writes to the ring buffer (~1 ms at 4096 voices; tools/r3_probe*.py).
-# This kernel replaces the gather: it DMAs each voice's read window itself
-# (one aligned 2-page slice per voice, ~0.12 us issue each), then realigns
-# once per window (8 masked 128-granule levels) and runs the per-ear
-# select.  The ring is a plain (read-only) operand — no gather HLO exists,
-# so the write kernel stays in place.
+# MEASURED SLOWER than the row-gather + window_select pair (1.30 vs
+# 0.45 ms at 4096 voices: per-voice DMA issue cost binds) and not used in
+# production; retained for the probe suite (tools/r3_probe10.py) that
+# documents why per-voice window DMAs lose to row gathers on this stack.
+#
+# The kernel DMAs each voice's read window itself (one aligned 2-page
+# slice per voice), realigns once per window (8 masked 128-granule
+# levels) and runs the per-ear select; the ring is a plain read-only
+# operand, so no gather HLO exists in the step.
 
 
 def _dma_select_kernel(rwin_ref, ring_ref, rrem_ref, sc0_ref, sc1_ref,

@@ -49,10 +49,9 @@ from .core.hostmath import (
 from .core.signal import Signal
 from .ops._dev import device_advance, device_split_ds, exact_positions, split_ds
 from .ops.pallas_ring import (
-    APPEND_PW,
     PAGE,
-    flat_append_aligned,
     pack_select_scalars,
+    rows_append_dma,
     select_window,
     strip_place,
     strip_select,
@@ -982,16 +981,18 @@ class _BufferedPoolDR(_DRPoolBase):
     TPU-native equivalent of oddio's bounded spsc/swap channels, with the
     same bounded-capacity backpressure (overflow carries to the next block).
 
-    Ring storage is FLAT per voice: ``(V, F + L + M + SLACK)`` with a
-    mirror region (cols ``[F+L, F+L+M)`` replicate cols ``[F, F+M)``).
-    Because the pool shares one write cursor, the per-block append is two
-    ``dynamic_update_slice`` slabs (primary + mirror maintenance) — no
-    gathers, no scatter, updated in place on the donated buffer.  Reads
-    slice one exact contiguous window per voice (a per-voice
-    ``dynamic_slice`` gather; the mirror makes wraparound invisible) and
-    feed the ``window_select`` kernel, whose per-ear lane offset is only
-    the inter-ear stagger — the row-remainder realign stage of the earlier
-    row-strip layout (~40% of its VPU work, see ROADMAP.md) is gone.
+    Ring storage is ROWS-NATIVE per voice: ``(V, RPV, 128)`` covering the
+    flat per-voice span ``F + L + M + SLACK`` (front pad, ring, mirror —
+    cols ``[F+L, F+L+M)`` replicate ``[F, F+M)`` — and dump slack).  With
+    a 128-lane minor dim this layout is PHYSICALLY linear on TPU (row and
+    flat views are free bitcasts), which matters twice: reads are a plain
+    row gather feeding ``window_select``, and the whole step stays
+    in-place inside scans — the earlier ``(V, rowlen)`` layout's
+    row-view reshape was a full ~300 MB relayout every block
+    (ROADMAP.md probe notes).  Because the pool shares one write cursor,
+    the per-block append is ONE strided DMA per voice tile
+    (``rows_append_dma``: primary + mirror-maintenance legs), costing
+    exactly the bytes written.
 
     Requires the inner chain to be device-resident capable (static after
     play: Sine/Constant/FramesSignal/Cycle/FixedGain). Handle state
@@ -1041,7 +1042,7 @@ class _BufferedPoolDR(_DRPoolBase):
         return self.W_CHUNK + self.ring_len + self.M_PAD + self.W_CHUNK
 
     def _ring_shape(self, V):
-        return (V, self.rowlen)
+        return (V, self.rowlen // 128, 128)
 
     def _extra_zero(self, V):
         return {
@@ -1116,16 +1117,15 @@ class _BufferedPoolDR(_DRPoolBase):
         n_write = int(np.ceil(w_un)) - start_i
         self._w_host = end
         # aligned fast path: when the shared cursor advances by whole
-        # APPEND_PW pages (inner rate == scene rate, n a multiple of 512 —
-        # the flagship config) and the slab does not wrap, the append is a
-        # write-only page-mapped kernel instead of a read-modify-write DUS
-        PW = APPEND_PW
+        # 128-lane rows (inner rate == scene rate, n a multiple of 128 —
+        # the flagship config) and the slab does not wrap, the append is
+        # one strided DMA per voice tile instead of a read-modify-write
         self._w_aligned = (
             n_write
             if (
                 0 < n_write <= self._n_inner
-                and n_write % PW == 0
-                and start_i % PW == 0
+                and n_write % 128 == 0
+                and start_i % 128 == 0
                 and start_i + n_write <= cap
             )
             else 0
@@ -1178,34 +1178,38 @@ class _BufferedPoolDR(_DRPoolBase):
         interp = jax.default_backend() != "tpu"
         FP = self.W_CHUNK  # front pad (absorbs wrapped mirror writes)
         M = self.M_PAD
-        ring = S["ring"]
+        ring = S["ring"]  # (V, RPV, 128), physically linear
         if self._w_aligned:
-            # page-aligned slab: write-only kernel, ring aliased in place
+            # row-aligned slab: one strided DMA per voice tile (primary +
+            # mirror-maintenance legs), ring aliased in place
             nw = self._w_aligned
-            pcol = (FP + start_i) // APPEND_PW
-            pmir = (
+            r0 = (FP + start_i) // 128
+            rm = (
                 FP + jnp.where(start_i < M, start_i + cap, cap + M)
-            ) // APPEND_PW
-            ring = flat_append_aligned(
-                ring, samples[:, :nw], pcol, pmir, interpret=interp
+            ) // 128
+            ring = rows_append_dma(
+                ring, samples[:, :nw], r0, rm, interpret=interp
             )
         else:
-            # general path: each <=W_CHUNK-wide sub-slab lands as TWO
-            # dynamic_update_slices: the primary at its ring column, plus
-            # one mirror-maintenance copy (into the mirror when the slab
-            # touches [0, M), onto the canonical home when it wrapped past
-            # L, or into the dump slack otherwise) — the traced select
-            # keeps all blocks on one jitted program
+            # general (unaligned/wrapping) path, exotic block configs only:
+            # each <=W_CHUNK-wide sub-slab lands as TWO
+            # dynamic_update_slices on a flat view (a relayout round trip
+            # on TPU — see the class docstring; correctness path, not the
+            # flagship one).  The mirror-maintenance copy goes into the
+            # mirror when the slab touches [0, M), onto the canonical home
+            # when it wrapped past L, or into the dump slack otherwise.
+            flat = ring.reshape(V, self.rowlen)
             for k in range(0, n_inner, self.W_CHUNK):
                 chunk = samples[:, k : k + self.W_CHUNK]
                 width = chunk.shape[1]
                 ck = jnp.mod(start_i + k, cap)
-                ring = jax.lax.dynamic_update_slice(ring, chunk, (0, FP + ck))
+                flat = jax.lax.dynamic_update_slice(flat, chunk, (0, FP + ck))
                 c2 = FP + jnp.where(
                     ck + width > cap, ck - cap,
                     jnp.where(ck < M, ck + cap, cap + M),
                 )
-                ring = jax.lax.dynamic_update_slice(ring, chunk, (0, c2))
+                flat = jax.lax.dynamic_update_slice(flat, chunk, (0, c2))
+            ring = flat.reshape(self._ring_shape(V))
         S["ring"] = ring
 
         # 7. per-ear fractional reads with gain ramps (spatial.rs:409-431):

@@ -374,3 +374,69 @@ def test_mixer_dr_growth_and_finish():
     r.render_block(256)
     assert all(h.is_stopped() for h in handles)
     assert len(pool._free) == pool.capacity
+
+
+def test_rows_append_dma_kernel():
+    """The rows-native append writes primary + mirror legs in place
+    (ops/pallas_ring.py; ring.rs:18-41 write extents)."""
+    import jax.numpy as jnp
+
+    from oddio_tpu.ops.pallas_ring import rows_append_dma
+
+    rng = np.random.default_rng(0)
+    V, RPV = 16, 40
+    ring = rng.standard_normal((V, RPV, 128)).astype(np.float32)
+    slab = rng.standard_normal((V, 512)).astype(np.float32)
+    out = np.asarray(
+        rows_append_dma(jnp.asarray(ring), jnp.asarray(slab), 12, 30,
+                        interpret=True)
+    )
+    exp = ring.copy()
+    exp[:, 12:16] = slab.reshape(V, 4, 128)
+    exp[:, 30:34] = slab.reshape(V, 4, 128)
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_window_select_kernel_matches_positions():
+    """window_select reconstructs a_j = win[extra + j + kk_j] with the
+    exact split-ds positions (ring.rs:51-79 read + spatial.rs:409-431
+    gains), for both the default and widened table widths."""
+    import jax.numpy as jnp
+
+    from oddio_tpu.ops._dev import device_split_ds, exact_positions
+    from oddio_tpu.ops.pallas_ring import (
+        pack_select_scalars, select_window, window_select,
+    )
+
+    rng = np.random.default_rng(1)
+    V, N, K = 16, 256, 64
+    for emax2 in (36, 163):
+        S = select_window(N, emax2, K)
+        win = rng.standard_normal((V, S)).astype(np.float32)
+        ds = rng.uniform(0.99, 1.01, (V, 2)).astype(np.float32)
+        ofrac = rng.uniform(0, 1, (V, 2)).astype(np.float32)
+        ds_int, f_hi, f_lo = device_split_ds(jnp.asarray(ds))
+        scal = pack_select_scalars(jnp.asarray(ofrac), ds_int, f_hi, f_lo)
+        extra = rng.integers(0, emax2, (V, 2)).astype(np.int32)
+        gain0 = rng.uniform(0, 1, (V, 2)).astype(np.float32)
+        d_gain = rng.uniform(-1e-3, 1e-3, (V, 2)).astype(np.float32)
+        maskf = (rng.uniform(0, 1, V) > 0.3).astype(np.float32)
+        got = np.asarray(window_select(
+            jnp.asarray(win), scal, jnp.asarray(gain0), jnp.asarray(d_gain),
+            jnp.asarray(maskf), jnp.asarray(extra), n=N, K=K, emax2=emax2,
+            interpret=True,
+        ))
+        whole, fr = exact_positions(jnp.asarray(ofrac), ds_int, f_hi, f_lo, N)
+        whole = np.asarray(whole)
+        fr = np.asarray(fr)
+        j = np.arange(N)
+        ref = np.zeros((2, N), np.float32)
+        for e in range(2):
+            kk = np.clip(whole[:, e] - j[None, :] + K, 0, 2 * K)
+            m = extra[:, e : e + 1] + j[None, :] + kk
+            a = np.take_along_axis(win, m, axis=1)
+            b = np.take_along_axis(win, m + 1, axis=1)
+            s = a + fr[:, e] * (b - a)
+            g = gain0[:, e : e + 1] + j[None, :] * d_gain[:, e : e + 1]
+            ref[e] = (s * g * maskf[:, None]).sum(0)
+        np.testing.assert_allclose(got, ref, atol=1e-5)

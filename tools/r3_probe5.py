@@ -171,10 +171,3 @@ if __name__ == "__main__":
         "noop", "write_kernel", "write_dus", "gather", "select", "read",
         "step", "step_dus",
     ])
-
-
-def extra(variants):
-    """step_ro: read BEFORE write (wrong audio, right shape) — if the extra
-    ~1 ms in `step` is a copy-insertion artifact of write-then-read, this
-    variant should cost ~write+read."""
-    pass
