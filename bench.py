@@ -141,7 +141,7 @@ def bench_spatial(buffered, rng, with_live):
     r = ot.Renderer(scene, RATE)
     warmup(r, scene, handles, rng, label)
     live = live_trials(r, scene, handles, rng, label) if with_live else None
-    vel = velocity_trials(r, scene, label)
+    vel = velocity_trials(r, scene, label, ntrials=5)
     # end-to-end incl. bulk PCM egress (stderr only; tunnel-bound here)
     t0 = time.time()
     out = r.render_frames(BLOCK * CHUNK)
@@ -194,7 +194,7 @@ def bench_streams(rng, spatial):
 
     label = "streams_spatial" if spatial else "streams_mixer"
     n_streams = 64
-    fill = 3 * RATE
+    fill = 6 * RATE
     if spatial:
         control, scene = ot.SpatialScene.new(initial_capacity=n_streams)
     else:
@@ -221,12 +221,16 @@ def bench_streams(rng, spatial):
     float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     log(f"[{label}] warmup incl. compile + buffer upload: {time.time()-t0:.1f}s")
     nch = int((fill / RATE - 0.3) * RATE / (CHUNK * BLOCK))
+    # one untimed chunk fills the dispatch pipeline (the relay's ~30 ms
+    # round trip would otherwise be a fixed tax on a short drain)
+    blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
+    float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     t0 = time.time()
-    for _ in range(nch):
+    for _ in range(nch - 1):
         blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
     total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     assert np.isfinite(total)
-    xrt = round(nch * CHUNK * BLOCK / RATE / (time.time() - t0), 2)
+    xrt = round((nch - 1) * CHUNK * BLOCK / RATE / (time.time() - t0), 2)
     log(f"[{label}] drain rate: {xrt:.1f}x RT")
     return xrt
 

@@ -126,13 +126,26 @@ class Stream(Signal):
     def _mark_dirty(self, idx):
         self._dirty.add(0 if self.batch == () else int(idx))
 
+    # ring device state is ROWS-NATIVE (C*R, 128): the 128-lane minor dim
+    # is the TPU's physically linear layout, so the pool-level row views
+    # below are free bitcasts (a (C, size) minor-dim layout would relayout
+    # the whole ring on every view and sublane-pad C=1 eightfold)
+
+    @property
+    def _rows(self):
+        return self.size_pad // 128
+
     def _own_device_init(self):
         return {
-            "ring": jnp.zeros(self.batch + (self.channels, self.size_pad), jnp.float32)
+            "ring": jnp.zeros(
+                self.batch + (self.channels * self._rows, 128), jnp.float32
+            )
         }
 
     def _own_slot_init(self, i):
-        return {"ring": np.zeros((self.channels, self.size_pad), np.float32)}
+        return {
+            "ring": np.zeros((self.channels * self._rows, 128), np.float32)
+        }
 
     def host_prepare(self, interval, n, count=None):
         interval = np.broadcast_to(f32(interval), self.batch).astype(np.float32)
@@ -201,12 +214,16 @@ class Stream(Signal):
 
     def _write_one(self, ring, params):
         """Scatter one voice's newly shipped chunk (Receiver::update) —
-        standalone streams only; pools ingest via _write_pool."""
+        standalone streams and huge one-shot pool writes only; sustained
+        pool ingest rides _write_pool.  ``ring`` is the rows-native state;
+        the flat round trip is confined to this rare path."""
         size = self.size_pad
+        flat = ring.reshape(self.channels, size)
         j = jnp.arange(self.max_write)
         idx = jnp.mod(params["wpos"] + j, size)
         idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
-        return ring.at[:, idx].set(params["chunk"], mode="drop")
+        flat = flat.at[:, idx].set(params["chunk"], mode="drop")
+        return flat.reshape(ring.shape)
 
     def _write_pool(self, ring, params):
         """Pool-level ingest: each (voice, channel) row's shipped chunk is
@@ -215,12 +232,12 @@ class Stream(Signal):
         ingest path (stream.rs:24-69's Receiver::update, batched)."""
         import jax
 
-        from ..core.frames import ARENA_ROW
         from .pallas_ring import strip_place
 
-        V, C, size = ring.shape
-        ROWB = ARENA_ROW
-        rpv = size // ROWB
+        V = ring.shape[0]
+        C = self.channels
+        ROWB = 128
+        rpv = self._rows
         mw = self.max_write
         view = ring.reshape(V * C * rpv, ROWB)
         n_rows = min((ROWB - 1 + mw - 1) // ROWB + 1, rpv)
@@ -238,13 +255,14 @@ class Stream(Signal):
             interpret=jax.default_backend() != "tpu",
         )
         view = view.at[idx].set(strips.reshape(-1, ROWB))
-        return view.reshape(V, C, size)
+        return view.reshape(ring.shape)
 
     def render(self, dstate, ddata, params, n):
-        ring = dstate["ring"]  # (C, size_pad) unbatched (vmapped in pools)
+        ring = dstate["ring"]  # (C*R, 128) unbatched (vmapped in pools)
         size = self.size_pad
         if "chunk" in params:
             ring = self._write_one(ring, params)
+        flat = ring.reshape(self.channels, size)
         # consumer: lerp read with zero padding (stream.rs:37-61)
         s = params["t"] + params["ds"] * iota_f32(n)
         x0 = jnp.trunc(s).astype(jnp.int32)
@@ -252,7 +270,7 @@ class Stream(Signal):
         def get(k):
             valid = (k >= 0) & (k < params["len"])
             kk = jnp.mod(params["start"] + jnp.clip(k, 0, size - 1), size)
-            return jnp.where(valid[None, :], ring[:, kk], 0.0)
+            return jnp.where(valid[None, :], flat[:, kk], 0.0)
 
         a = get(x0)
         b = get(x0 + 1)
@@ -267,14 +285,20 @@ class Stream(Signal):
         rings smaller than the read window."""
         import jax
 
-        from ..core.frames import ARENA_ROW
         from .pallas_ring import RESAMPLE_DSMAX, RESAMPLE_NMAX, RESAMPLE_W, \
             pack_select_scalars, strip_resample
         from ._dev import device_split_ds, exact_positions
 
         size = self.size_pad
         if "chunk" in params:
-            dstate = {"ring": self._write_pool(dstate["ring"], params)}
+            if self.max_write <= 8192:
+                ring = self._write_pool(dstate["ring"], params)
+            else:
+                # huge one-shot writes (bulk prefill): the strip would not
+                # fit a VMEM block; the per-voice scatter runs once and is
+                # off the sustained-ingest path
+                ring = jax.vmap(self._write_one)(dstate["ring"], params)
+            dstate = {"ring": ring}
             params = {
                 k: v for k, v in params.items()
                 if k not in ("chunk", "wcount", "wpos")
@@ -295,24 +319,25 @@ class Stream(Signal):
                 dstate, params
             )
 
-        ring = dstate["ring"]  # (V, 1, size_pad)
+        ring = dstate["ring"]  # (V, R, 128) rows-native (mono)
         V = ring.shape[0]
+        ROWB = 128
+        rpv = self._rows
+        view = ring.reshape(V * rpv, ROWB)
         # zero the first unwritten cell so the boundary lerp pair reads a
         # true zero instead of stale data (get_pair's b at k == len)
         cell = jnp.mod(params["start"] + params["len"], size)
-        ring = ring.at[jnp.arange(V), :, cell].set(0.0)
-
-        rpv = size // ARENA_ROW
-        view = ring.reshape(V * rpv, ARENA_ROW)
-        ds_int, f_hi, f_lo = device_split_ds(params["ds"])
-        row0 = params["start"] // ARENA_ROW
-        extra = params["start"] - row0 * ARENA_ROW
-        n_rows = -(-S_req // ARENA_ROW)
         vbase = jnp.arange(V, dtype=jnp.int32) * rpv
+        view = view.at[vbase + cell // ROWB, cell % ROWB].set(0.0)
+
+        ds_int, f_hi, f_lo = device_split_ds(params["ds"])
+        row0 = params["start"] // ROWB
+        extra = params["start"] - row0 * ROWB
+        n_rows = -(-S_req // ROWB) + 1
         idx = (
             vbase[:, None] + jnp.mod(row0[:, None] + jnp.arange(n_rows), rpv)
         ).reshape(-1)
-        strips = jnp.take(view, idx, axis=0).reshape(V, n_rows * ARENA_ROW)
+        strips = jnp.take(view, idx, axis=0).reshape(V, n_rows * ROWB)
         scal = pack_select_scalars(params["t"], ds_int, f_hi, f_lo)
         samp = strip_resample(
             strips, scal, extra, n=n,
@@ -321,7 +346,7 @@ class Stream(Signal):
         # zero past the buffered extent (stream.rs:41-49 underrun padding)
         whole, _ = exact_positions(params["t"], ds_int, f_hi, f_lo, n)
         samp = jnp.where(whole < params["len"][:, None], samp, 0.0)
-        return {"ring": view.reshape(V, 1, size)}, samp[:, None, :]
+        return {"ring": view.reshape(ring.shape)}, samp[:, None, :]
 
 
 class StreamControl:

@@ -84,7 +84,7 @@ K_DOPPLER = 64
 
 #: row granularity of the strip ring layout (gathers/scatters are row-count
 #: bound on this stack, so rows trade per-row overhead against over-fetch)
-RING_ROW = 256
+RING_ROW = 128
 
 
 def _emax(rate):
@@ -1256,12 +1256,14 @@ class _BufferedPoolDR(_DRPoolBase):
             )
             dstart = jnp.clip(dstart, 0, DMAX)
             rstart = jnp.mod(cm - K, cap) + FP
+            # the gathered window is row-aligned (the row remainder rides
+            # the kernel stagger), so exactly SREAD/PW rows cover it
             SREAD = select_window(n_c, emax2r, K)
             r0 = rstart // PW
             ridx = (
-                vb[:, None] + r0[:, None] + jnp.arange(SREAD // PW + 1)[None, :]
+                vb[:, None] + r0[:, None] + jnp.arange(SREAD // PW)[None, :]
             ).reshape(-1)
-            windows = jnp.take(rows, ridx, axis=0).reshape(V, SREAD + PW)
+            windows = jnp.take(rows, ridx, axis=0).reshape(V, SREAD)
             ex = (rstart - r0 * PW)[:, None] + dstart
             # the kernel reconstructs a_j = win[extra + j + kk_j] with
             # kk_j = whole_j - j + K in [0, 2K] from the packed cursor
@@ -1269,7 +1271,7 @@ class _BufferedPoolDR(_DRPoolBase):
             scal = pack_select_scalars(frac, ds_int, f_hi, f_lo)
             g0_c = p_gain + np.float32(j0) * d_gain
             parts.append(window_select(
-                windows[:, :SREAD], scal, g0_c, d_gain, maskf, ex, n=n_c,
+                windows, scal, g0_c, d_gain, maskf, ex, n=n_c,
                 K=K, emax2=emax2r, interpret=interp,
             ))
             if j0 + n_c < n:

@@ -59,7 +59,7 @@ def main(variants):
         rm = (F + jnp.where(c < M, c + L, L + M)) // 128
         return rows_append_dma(ring, s512, r0, rm)
 
-    def read(ring, it):
+    def read(ring, it, tile=None):
         rows = ring.reshape(V * RPV, PW)
         st = jnp.mod(rstart + it, L) + F
         r0 = st // PW
@@ -70,13 +70,16 @@ def main(variants):
         w = jnp.take(rows, ridx, axis=0).reshape(V, SREAD + PW)
         ex = (st - r0 * PW)[:, None] + extra2
         return window_select(w[:, :SREAD], scal, gain0, d_gain, maskf, ex,
-                             n=N, K=K, emax2=E2)[0, 0]
+                             n=N, K=K, emax2=E2, tile=tile)[0, 0]
 
     bodies = {
         "noop": lambda ring, it: (ring, it.astype(jnp.float32)),
         "read": lambda ring, it: (ring, read(ring, it)),
+        "read64": lambda ring, it: (ring, read(ring, it, tile=64)),
+        "read16": lambda ring, it: (ring, read(ring, it, tile=16)),
         "write": lambda ring, it: (write(ring, it), it.astype(jnp.float32)),
         "step": lambda ring, it: (lambda r: (r, read(r, it)))(write(ring, it)),
+        "step64": lambda ring, it: (lambda r: (r, read(r, it, tile=64)))(write(ring, it)),
     }
 
     def scan_of(body):
