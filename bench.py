@@ -16,6 +16,7 @@ Prints ONE JSON line with the flagship metric plus named secondary paths
                         the only path for streams/arbitrary sources)
   densemix_xrt          1024 gain-controlled voices -> Reinhard -> Tanh
   wavetable_xrt         1024 Cycle+Speed wavetable voices
+  agc_xrt               256 Adapt (per-frame EMA scan) voices
   streams_mixer_xrt     64 prefilled Stream voices in a Mixer (drain)
   streams_spatial_xrt   64 prefilled Stream voices spatialized (drain)
 
@@ -167,6 +168,23 @@ def bench_densemix(rng):
     return velocity_trials(r, mixer, "densemix", ntrials=2, nchunks=16)
 
 
+def bench_agc(rng):
+    """256 Adapt-wrapped voices: the per-frame lax.scan EMA (adapt.rs:69-88)
+    is genuinely sequential over the frame axis — this line makes its cost
+    regression-visible (VERDICT r2 weak #7)."""
+    import oddio_tpu as ot
+
+    control, mixer = ot.Mixer.new(channels=1)
+    for _ in range(256):
+        control.play(ot.Adapt(
+            ot.Sine(rng.uniform(0, 6), rng.uniform(50, 2000)),
+            0.1, ot.AdaptOptions(tau=0.1, max_gain=4.0),
+        ))
+    r = ot.Renderer(mixer, RATE)
+    warmup(r, mixer, [], rng, "agc")
+    return velocity_trials(r, mixer, "agc", ntrials=2, nchunks=16)
+
+
 def bench_wavetable(rng):
     import oddio_tpu as ot
 
@@ -247,6 +265,7 @@ def main():
     buf_vel, _ = bench_spatial(True, rng, with_live=False)
     densemix = bench_densemix(rng)
     wavetable = bench_wavetable(rng)
+    agc = bench_agc(rng)
     sm = bench_streams(rng, spatial=False)
     ss = bench_streams(rng, spatial=True)
 
@@ -263,6 +282,7 @@ def main():
         "buffered_trials": buf_vel,
         "densemix_xrt": float(np.median(densemix)),
         "wavetable_xrt": float(np.median(wavetable)),
+        "agc_xrt": float(np.median(agc)),
         "streams_mixer_xrt": sm,
         "streams_spatial_xrt": ss,
     }))

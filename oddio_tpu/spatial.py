@@ -1009,11 +1009,12 @@ class _BufferedPoolDR(_DRPoolBase):
     #: window-gather + select passes, cursors advanced near-exactly between
     #: chunks — the Signal::sample contract takes any n, signal.rs:19)
     R_CHUNK = 512
-    #: columns per write chunk (and the front-pad width; any n_inner writes
-    #: as ceil(n_inner/W_CHUNK) slab pairs)
+    #: columns per general-path write chunk (and the front-pad width; any
+    #: n_inner writes as ceil(n_inner/W_CHUNK) slab pairs)
     W_CHUNK = 1024
     #: mirror width: must cover the widest read window (select_window of a
-    #: full R_CHUNK = 768) — wrapped reads land entirely in the mirror
+    #: full R_CHUNK at the 128-row stagger = 896) — wrapped reads land
+    #: entirely in the mirror
     M_PAD = 1024
 
     def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=8):

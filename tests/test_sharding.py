@@ -187,3 +187,42 @@ def test_scenepack_sampler_seek_voices():
     pack = ScenePack([build(k) for k in range(2)], 8000, make_mesh(2, 4))
     got = np.concatenate([pack.render_block(512) for _ in range(3)], axis=1)
     np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_scenepack_dr_fades_under_mesh():
+    """Fade deltas (flip-bit DR fader) localize correctly under the
+    (scene, voice) mesh: a packed mixer with mid-run fade_to matches
+    per-scene single-device renderers."""
+    need_devices(8)
+    S = 2
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        mc, mixer = ot.Mixer.new(channels=1)
+        fcs = []
+        for _ in range(8):
+            fc, f = ot.Fader.new(ot.Sine(rng.uniform(0, 6), rng.uniform(100, 900)))
+            fcs.append(fc)
+            mc.play(f)
+        return mixer, fcs
+
+    expected = []
+    for seed in range(S):
+        mixer, fcs = build(seed)
+        r = ot.Renderer(mixer, 8000)
+        blocks = [r.render_block(512)]
+        fcs[0].fade_to(ot.Sine(0.5, 620.0), 0.05)
+        fcs[3].fade_to(ot.Sine(0.1, 340.0), 0.02)
+        blocks += [r.render_block(512) for _ in range(3)]
+        expected.append(np.concatenate(blocks))
+    expected = np.stack(expected)
+
+    built = [build(seed) for seed in range(S)]
+    pack = ScenePack([b[0] for b in built], 8000, make_mesh(2, 4))
+    got = [pack.render_block(512)]
+    for _, fcs in built:
+        fcs[0].fade_to(ot.Sine(0.5, 620.0), 0.05)
+        fcs[3].fade_to(ot.Sine(0.1, 340.0), 0.02)
+    got += [pack.render_block(512) for _ in range(3)]
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, expected, atol=2e-6)
