@@ -283,3 +283,48 @@ def test_stereo_dr_constant_and_channel_adapters():
     assert all(p.is_dr for p in mono._pools.values())
     out2 = ot.Renderer(mono, 8000).render_block(64)
     np.testing.assert_allclose(out2[:, 0], -0.25, atol=1e-6)
+
+
+def test_buffered_spatial_retrace_containment():
+    """A live buffered DR scene alternates between exactly two step
+    variants (idle + control-delta): plays, set_motion, set_gain and
+    fade_to after warmup never trigger a fresh compile (the reference's
+    'no glitches' wait-free contract, README.md:11)."""
+    rng = np.random.default_rng(4)
+    control, scene = ot.SpatialScene.new(initial_capacity=16)
+    handles, gcs, fcs = [], [], []
+    for _ in range(6):
+        gc, g = ot.Gain.new(ot.Sine(rng.uniform(0, 6), rng.uniform(100, 900)))
+        fc, f = ot.Fader.new(g)
+        gcs.append(gc)
+        fcs.append(fc)
+        handles.append(control.play_buffered(
+            f, ot.SpatialOptions(position=rng.uniform(-10, 10, 3),
+                                 velocity=rng.uniform(-3, 3, 3)),
+            max_distance=30.0, rate=8000, buffer_duration=0.05,
+        ))
+    pool = list(scene._buffered_pools.values())[0]
+    assert pool.is_dr
+    r = ot.Renderer(scene, 8000)
+    r.render_block(512)  # delta variant (the queued plays)
+    r.render_block(512)  # idle variant
+    warm = set(r._steps.keys())
+    assert len(warm) == 2
+    for i in range(8):
+        if i == 1:
+            handles[0].set_motion([3.0, 0.0, -2.0], [1.0, 0.0, 0.0], False)
+        if i == 2:
+            gcs[1].set_gain(-9.0)
+        if i == 3:
+            fcs[2].fade_to(
+                ot.Gain.new(ot.Sine(0.2, 500.0))[1], 0.05
+            )
+        if i == 5:  # one more play within capacity
+            handles.append(control.play_buffered(
+                ot.Fader.new(ot.Gain.new(ot.Sine(0.3, 700.0))[1])[1],
+                ot.SpatialOptions(position=[1.0, 0.0, -1.0]),
+                max_distance=30.0, rate=8000, buffer_duration=0.05,
+            ))
+        out = r.render_block(512)
+        assert np.isfinite(out).all()
+    assert set(r._steps.keys()) == warm, "control traffic caused a retrace"
