@@ -18,7 +18,7 @@ Public surface mirrors oddio's re-exports (reference lib.rs:65-82).
 
 from .core.signal import Signal, ControlBlock
 from .core.frames import Frames, FramesSignal, FramesSignalControl
-from .core.smooth import Smoothed
+from .core.smooth import Smoothed, interpolate
 from .core.run import Renderer, run
 from .ops.constant import Constant
 from .ops.sine import Sine
@@ -67,6 +67,7 @@ __all__ = [
     "FramesSignal",
     "FramesSignalControl",
     "Smoothed",
+    "interpolate",
     "Renderer",
     "run",
     "Constant",

@@ -12,23 +12,36 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["Smoothed"]
+__all__ = ["Smoothed", "interpolate"]
+
+
+def interpolate(a, b, t):
+    """``Interpolate`` for amplitudes and frame arrays (smooth.rs:81-91):
+    ``a + t*(b - a)`` elementwise — the reference's trait collapses to
+    this one lerp for every frame type it implements.
+
+    >>> float(interpolate(2.0, 4.0, 0.25))
+    2.5
+    """
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return (a + np.float32(t) * (b - a)).astype(np.float32)
 
 
 class Smoothed:
     """
     >>> v = Smoothed(0.0)
-    >>> v.get()
+    >>> float(v.get())
     0.0
-    >>> v.set(1.0); v.get()
+    >>> v.set(1.0); float(v.get())
     0.0
-    >>> v.advance(0.5); v.get()
+    >>> v.advance(0.5); float(v.get())
     0.5
-    >>> v.set(1.5); v.advance(0.5); v.get()
+    >>> v.set(1.5); v.advance(0.5); float(v.get())
     1.0
-    >>> v.advance(0.5); v.get()
+    >>> v.advance(0.5); float(v.get())
     1.5
-    >>> v.advance(0.5); v.get()
+    >>> v.advance(0.5); float(v.get())
     1.5
     """
 
