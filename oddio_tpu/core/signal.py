@@ -129,6 +129,14 @@ class Signal:
         kids = tuple((k, c.archetype()) for k, c in self.children().items())
         return (type(self).__qualname__, self.channels, self._arch_extra(), kids)
 
+    def host_batchable(self):
+        """Whether this chain can stack into a multi-voice pool (dense
+        batched state).  Engines themselves (Mixer, SpatialScene) cannot —
+        played as voices (submixes), they get a singleton pool instead
+        (the reference boxes any Signal, mixer.rs:18-26,
+        spatial.rs:314-340)."""
+        return all(c.host_batchable() for c in self.children().values())
+
     # -- host state lifecycle -----------------------------------------------
 
     #: names of numpy host-state attributes, each shaped ``batch + extra``

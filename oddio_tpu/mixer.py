@@ -99,6 +99,35 @@ class Pool:
         return bool(self.stop[slot])
 
 
+class PoolSingleton(Pool):
+    """A one-voice pool for NON-BATCHABLE signals — submixes (a Mixer
+    played into another Mixer), which the reference boxes like any Signal
+    (mixer.rs:18-26).  The voice renders unbatched."""
+
+    is_singleton = True
+
+    def __init__(self, name, spec):
+        self.name = name
+        self.proto = spec
+        self.sig = spec
+        self.capacity = 1
+        self.mask = np.zeros(1, dtype=bool)
+        self.stop = np.zeros(1, dtype=bool)
+        self.slot_gen = np.zeros(1, dtype=np.int64)
+        self._free = [0]
+
+    def grow(self):
+        raise RuntimeError("singleton pools hold exactly one voice")
+
+    def play(self, spec):
+        i = self._free.pop()
+        gen = int(self.slot_gen[i])
+        spec._moved = True
+        self.mask[i] = True
+        self.stop[i] = False
+        return i, gen
+
+
 class PoolDR(DRCtrlMixin):
     """Device-resident voice pool: mask/stop/finish tracking and the inner
     chain's whole state live on the TPU; the host ships only sparse play,
@@ -250,8 +279,12 @@ class PoolDR(DRCtrlMixin):
                 self.slot_gen[i] += 1
                 self._free.append(i)
 
-    def host_prepare(self, interval, n, force=False):
+    def host_prepare(self, interval, n, force=False, count=None):
         self._interval = float(np.float32(interval))
+        #: frames each voice ADVANCES this block (mixer.rs renders and
+        #: advances n; a submix inside a buffered spatial voice renders the
+        #: ring lookahead but advances only the written count)
+        self._count = int(n if count is None else count)
         self._prep_count = getattr(self, "_prep_count", 0) + 1
         self._ds_small = self._ds_flag_sync(self._interval)
         params = {}
@@ -329,7 +362,7 @@ class PoolDR(DRCtrlMixin):
         S["mask"] = S["mask"] & ~S["stopped"]
         # 4. render + masked sum (NaN-safe where); mono chains return
         # (V, n), frame-generic ones (V, C, n) (frame.rs:67-79)
-        count = jnp.full(V, n, jnp.int32)
+        count = jnp.full(V, getattr(self, "_count", n), jnp.int32)
         inner2, samples = self.proto.dr_render(
             S["inner"], ddata.get("inner", {}), self._interval, n, count
         )
@@ -357,6 +390,9 @@ class Mixer(Signal):
         sig = cls(channels)
         return MixerControl(sig), sig
 
+    def host_batchable(self):
+        return False
+
     # -- control side -------------------------------------------------------
 
     def play(self, spec):
@@ -365,6 +401,12 @@ class Mixer(Signal):
             raise ValueError(
                 f"signal has {spec.channels} channels, mixer expects {self.channels}"
             )
+        if not spec.host_batchable():
+            name = f"p{len(self._pools)}"
+            pool = PoolSingleton(name, spec)
+            self._pools[("singleton", name)] = pool
+            slot, gen = pool.play(spec)
+            return Mixed(pool, slot, gen)
         dr = spec.dr_supported()
         arch = (spec.archetype(), dr)
         pool = self._pools.get(arch)
@@ -391,6 +433,7 @@ class Mixer(Signal):
                 p.name,
                 p.proto.archetype() if p.is_dr else p.sig.archetype(),
                 getattr(p, "_interval", None),
+                getattr(p, "_count", None),
                 getattr(p, "_has_play", False),
                 getattr(p, "_has_stop", False),
                 getattr(p, "_ds_small", True),
@@ -421,9 +464,19 @@ class Mixer(Signal):
         out = {}
         for arch, pool in self._pools.items():
             if pool.is_dr:
-                out[pool.name] = pool.host_prepare(interval, n, force)
+                out[pool.name] = pool.host_prepare(interval, n, force,
+                                                   count=count)
                 continue
             pool.reap()
+            if getattr(pool, "is_singleton", False):
+                out[pool.name] = {
+                    "mask": pool.mask.copy(),
+                    "p": pool.sig.host_prepare(
+                        f32(interval), n,
+                        None if count is None else int(count),
+                    ),
+                }
+                continue
             V = pool.capacity
             iv = np.broadcast_to(f32(interval), (V,)).astype(np.float32)
             cnt = None if count is None else np.broadcast_to(count, (V,))
@@ -492,8 +545,10 @@ class Mixer(Signal):
                 d2[pool.name] = dsub
                 out = out + block
                 continue
-            rb = getattr(pool.sig, "render_batched", None)
-            if rb is not None:
+            if getattr(pool, "is_singleton", False):
+                dsub, block1 = pool.sig.render(dstate[pool.name], dd, ps["p"], n)
+                blocks = block1[None]
+            elif (rb := getattr(pool.sig, "render_batched", None)) is not None:
                 # pool-level batched render: lets signals with Pallas read
                 # kernels (Stream) run them once per pool, outside the vmap
                 dsub, blocks = rb(dstate[pool.name], dd, ps["p"], n)
@@ -569,6 +624,12 @@ class Mixer(Signal):
                 p.mask = st["mask"].copy()
                 p.stop = st["stop"].copy()
                 _set_host_state(p.sig, st["sig"])
+
+    # submixes (a Mixer played as a voice in another engine) checkpoint
+    # through the generic host-state walk's aux hook
+    # (utils/checkpoint._host_state)
+    host_aux_snapshot = host_snapshot
+    host_aux_restore = host_restore
 
 
 class MixerControl:

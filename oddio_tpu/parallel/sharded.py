@@ -45,6 +45,11 @@ class ScenePack:
         self.scenes = scenes
         for sc in scenes:
             for pool in getattr(sc, "_all_pools", lambda: [])():
+                if getattr(pool, "is_singleton", False):
+                    raise ValueError(
+                        "scenes containing non-batchable (submix) voices "
+                        "cannot be packed: their params carry no voice axis"
+                    )
                 if hasattr(pool, "force_deltas"):
                     pool.force_deltas = True
                 if hasattr(pool, "_unpack_hook"):

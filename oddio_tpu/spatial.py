@@ -362,7 +362,7 @@ class _BufferedPool(_VoicePool):
         # static per (block size, interval): upper bound on any voice's write
         self._n_inner = int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
         inner_interval = np.full(V, np.float32(1.0) / ratef, np.float32)
-        inner_params = self.sig.host_prepare(inner_interval, self._n_inner, count=n_write)
+        inner_params = self._inner_prepare(inner_interval, self._n_inner, n_write)
 
         # Per-ear offsets/gains (spatial.rs:409-431)
         prev_off, prev_gain = _ear_states(prev_position, self.radius)
@@ -430,6 +430,20 @@ class _BufferedPool(_VoicePool):
             params["f_lo"] = f_lo
         return params
 
+    def _inner_prepare(self, inner_interval, n_inner, n_write):
+        return self.sig.host_prepare(inner_interval, n_inner, count=n_write)
+
+    def _inner_render(self, dstate, ddata, params, n_inner):
+        rb = getattr(self.sig, "render_batched", None)
+        if rb is not None:
+            # pool-level batched inner render (Pallas-backed Streams)
+            return rb(
+                dstate["inner"], ddata.get("inner", {}), params["inner"], n_inner
+            )
+        return jax.vmap(
+            lambda d, p: self.sig.render(d, ddata.get("inner", {}), p, n_inner)
+        )(dstate["inner"], params["inner"])
+
     def render(self, dstate, ddata, params, n):
         # statics set by host_prepare; archetype() includes _n_inner so the
         # driver re-traces when the block config changes
@@ -437,16 +451,7 @@ class _BufferedPool(_VoicePool):
         # derive the voice count from a per-voice leaf: under shard_map this
         # is the per-shard slice of the pool, not the full capacity
         V = params["mask"].shape[0]
-        rb = getattr(self.sig, "render_batched", None)
-        if rb is not None:
-            # pool-level batched inner render (Pallas-backed Streams)
-            dsub, blocks = rb(
-                dstate["inner"], ddata.get("inner", {}), params["inner"], n_inner
-            )
-        else:
-            dsub, blocks = jax.vmap(
-                lambda d, p: self.sig.render(d, ddata.get("inner", {}), p, n_inner)
-            )(dstate["inner"], params["inner"])
+        dsub, blocks = self._inner_render(dstate, ddata, params, n_inner)
         samples = blocks[:, 0, :]  # (V, n_inner) mono
         L = self.ring_len
         rpv = self._rpv
@@ -508,6 +513,63 @@ class _BufferedPool(_VoicePool):
             params["extra_r"], n=n, K=K, emax=emax, interpret=interp,
         )
         return {"ring": view, "inner": dsub}, out
+
+
+class _BufferedPoolSingleton(_BufferedPool):
+    """A one-voice buffered pool for NON-BATCHABLE signals — submixes
+    (`Mixer`, nested scenes) played into a SpatialScene, which the
+    reference allows for any Signal (spatial.rs:314-340).  The voice's
+    signal renders unbatched; everything else (geometry walk, ring
+    cursors, strip kernels at V=1) reuses the host buffered pool."""
+
+    is_singleton = True
+
+    def __init__(self, name, spec, rate, ring_len):
+        # _VoicePool.__init__ without clone_batched: the signal itself IS
+        # the single voice
+        self.name = name
+        self.proto = spec
+        self.sig = spec
+        self.capacity = 1
+        self._alloc_cols(1)
+        self._free = [0]
+        self.rate = int(rate)
+        self.ring_len = int(ring_len)
+        assert ring_len % RING_ROW == 0
+        self._n_inner = 1
+        self.ring = None
+        self.write = full((1,), 0.0)
+        self.max_delay = full((1,), 0.0)
+
+    def grow(self):
+        raise RuntimeError("singleton pools hold exactly one voice")
+
+    def claim(self, spec, options):
+        i = 0
+        gen = int(self.slot_gen[i])
+        spec._moved = True
+        self.mask[i] = True
+        self.stopped[i] = False
+        self.radius[i] = options.radius
+        self.motion_pos[i] = options.position
+        self.motion_vel[i] = options.velocity
+        self.pend_flag[i] = False
+        self.prev_position[i] = options.position
+        self.dt[i] = 0.0
+        self.finished_for[i] = np.nan
+        return i, gen
+
+    def _inner_prepare(self, inner_interval, n_inner, n_write):
+        # batch-() signals take scalar interval/count
+        return self.sig.host_prepare(
+            np.float32(inner_interval[0]), n_inner, count=int(n_write[0])
+        )
+
+    def _inner_render(self, dstate, ddata, params, n_inner):
+        dsub, block = self.sig.render(
+            dstate["inner"], ddata.get("inner", {}), params["inner"], n_inner
+        )
+        return dsub, block[None]  # (1, C, n_inner)
 
 
 class _SeekPool(_VoicePool):
@@ -1311,6 +1373,9 @@ class SpatialScene(Signal):
         sig = cls(initial_capacity)
         return SpatialSceneControl(sig), sig
 
+    def host_batchable(self):
+        return False
+
     # -- control side ---------------------------------------------------------
 
     def _play(self, spec, options):
@@ -1343,6 +1408,14 @@ class SpatialScene(Signal):
         )
         cap = int(np.ceil(np.float32(max_delay) * np.float32(rate))) + 1
         bucket = max(2048, _next_pow2(cap))  # pool modulus / storage bucket
+        if not spec.host_batchable():
+            # submixes (Mixer / chains containing one): one-voice pool,
+            # rendered unbatched (spatial.rs:314-340 takes any Signal)
+            name = f"b{len(self._buffered_pools)}"
+            pool = _BufferedPoolSingleton(name, spec, rate, bucket)
+            self._buffered_pools[("singleton", name)] = pool
+            i, gen = pool.play(spec, options, max_delay)
+            return Spatial(pool, i, gen)
         dr = spec.dr_supported()
         key = (spec.archetype(), int(rate), bucket, dr)
         pool = self._buffered_pools.get(key)
@@ -1440,6 +1513,10 @@ class SpatialScene(Signal):
                 for c, v in st["cols"].items():
                     setattr(p, c, np.copy(v))
                 _set_host_state(p.sig, st["sig"])
+
+    # scene-in-scene submixes checkpoint through the aux hook like mixers
+    host_aux_snapshot = host_snapshot
+    host_aux_restore = host_restore
 
     def _set_listener_rotation(self, rotation):
         """spatial.rs:345-349 — stores the inverse quaternion."""

@@ -440,3 +440,29 @@ def test_window_select_kernel_matches_positions():
             g = gain0[:, e : e + 1] + j[None, :] * d_gain[:, e : e + 1]
             ref[e] = (s * g * maskf[:, None]).sum(0)
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_submix_in_mixer():
+    """A Mixer played into another Mixer (mixer.rs:18-26 boxes any
+    Signal) renders through a singleton pool and can be stopped."""
+    import oddio_tpu as ot
+
+    mc_sub, sub = ot.Mixer.new(channels=1)
+    mc_sub.play(ot.Sine(0.0, 440.0))
+    mc_top, top = ot.Mixer.new(channels=1)
+    h_sub = mc_top.play(sub)
+    mc_top.play(ot.Sine(0.0, 100.0))
+    pool_kinds = [getattr(p, "is_singleton", False)
+                  for p in top._pools.values()]
+    assert True in pool_kinds and False in pool_kinds
+    r = ot.Renderer(top, 8000)
+    out = r.render_frames(2048)
+    s = np.abs(np.fft.rfft(out[:, 0]))
+    peaks = set((np.argsort(s)[-2:] * 8000 // 2048).tolist())
+    assert any(abs(p - 440) < 16 for p in peaks)
+    assert any(abs(p - 100) < 16 for p in peaks)
+    h_sub.stop()
+    r.render_block(256)
+    out2 = r.render_frames(2048)
+    s2 = np.abs(np.fft.rfft(out2[:, 0]))
+    assert abs(np.argmax(s2) * 8000 / 2048 - 100) < 16

@@ -461,3 +461,43 @@ def test_seek_pool_dr_voice_churn():
     assert len(pool._free) == pool.capacity
     assert all(h.is_finished() for h in handles)
     assert pool.slot_gen.sum() >= len(handles) - pool.capacity
+
+
+def test_submix_play_buffered():
+    """play_buffered accepts NON-BATCHABLE signals — a whole Mixer played
+    as one spatial voice (spatial.rs:314-340 boxes any Signal): the submix
+    renders unbatched in a singleton pool, is spatialized/panned, honors
+    inner-voice control, and checkpoints through the aux hook."""
+    from oddio_tpu.utils.checkpoint import restore, snapshot
+
+    mc, mixer = ot.Mixer.new(channels=1)
+    mc.play(ot.Sine(0.0, 300.0))
+    h_inner = mc.play(ot.Sine(0.0, 520.0))
+    sc, scene = ot.SpatialScene.new()
+    h = sc.play_buffered(
+        mixer, ot.SpatialOptions(position=[2.0, 0.0, -1.0]),
+        max_distance=20.0, rate=8000,
+    )
+    pool = next(iter(scene._buffered_pools.values()))
+    assert getattr(pool, "is_singleton", False)
+    r = ot.Renderer(scene, 8000)
+    out = r.render_frames(4096)
+    spec = np.abs(np.fft.rfft(out[2048:, 0]))
+    peaks = set((np.argsort(spec)[-2:] * 8000 // 2048).tolist())
+    assert any(abs(p - 300) < 16 for p in peaks)
+    assert any(abs(p - 520) < 16 for p in peaks)
+    # source to the right -> right ear louder
+    assert np.sqrt((out[:, 1] ** 2).mean()) > np.sqrt((out[:, 0] ** 2).mean())
+    assert not h.is_finished()  # a mixer voice never finishes on its own
+
+    snap = snapshot(scene)
+    h_inner.stop()
+    a = np.asarray(r.render_frames(2048))
+    spec2 = np.abs(np.fft.rfft(a[1024:, 0]))
+    assert abs(np.argmax(spec2) * 8000 / 1024 - 300) < 16  # 520 gone
+
+    restore(scene, snap)
+    b = np.asarray(r.render_frames(2048))
+    spec3 = np.abs(np.fft.rfft(b[1024:, 0]))
+    top2 = set((np.argsort(spec3)[-2:] * 8000 // 1024).tolist())
+    assert any(abs(p - 520) < 16 for p in top2)  # restored pre-stop state
