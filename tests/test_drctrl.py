@@ -328,3 +328,43 @@ def test_buffered_spatial_retrace_containment():
         out = r.render_block(512)
         assert np.isfinite(out).all()
     assert set(r._steps.keys()) == warm, "control traffic caused a retrace"
+
+
+def test_idle_slot_cursors_hold():
+    """ADVICE r2: dead/unplayed slots must not advance their inner cursors
+    (an idle slot's int32 sample cursor would wrap after ~12 h at 48 kHz,
+    corrupting lingering is_finished readbacks)."""
+    control, scene = ot.SpatialScene.new()
+    frames = ot.Frames.from_slice(8000, np.ones(64, np.float32))
+    h = control.play_buffered(
+        ot.FramesSignal(frames, 0.0),
+        ot.SpatialOptions(position=[0.5, 0.0, -0.5]),
+        max_distance=5.0, rate=8000, buffer_duration=0.02,
+    )
+    pool = list(scene._buffered_pools.values())[0]
+    assert pool.is_dr
+    r = ot.Renderer(scene, 8000, sync_every=1)
+    for _ in range(8):  # source (64 frames) finishes and reclaims
+        r.render_block(256)
+    assert h.is_finished()
+    base1 = int(np.asarray(pool.state["inner"]["base"])[0])
+    for _ in range(6):
+        r.render_block(256)
+    base2 = int(np.asarray(pool.state["inner"]["base"])[0])
+    assert base1 == base2, (base1, base2)
+
+
+def test_stale_handle_mirror_still_readable():
+    """ADVICE r2: set-after-death still updates what get() reads back
+    (gain.rs:130-139 — the reference's orphaned atomics stay writable);
+    only the device delta is dropped."""
+    frames = ot.Frames.from_slice(8000, np.ones(32, np.float32))
+    control, mixer = ot.Mixer.new(channels=1)
+    gc, g = ot.Gain.new(ot.FramesSignal(frames, 0.0))
+    h = control.play(g)
+    r = ot.Renderer(mixer, 8000, sync_every=1)
+    for _ in range(4):
+        r.render_block(256)
+    assert h.is_stopped()
+    gc.set_gain(-18.0)  # voice dead: mirror updates, no device write
+    assert abs(float(gc.gain()) - (-18.0)) < 1e-4
