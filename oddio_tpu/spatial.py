@@ -388,7 +388,17 @@ class _BufferedPool(_VoicePool):
             "d_gain": d_gain,
             "inner": inner_params,
         }
-        self._use_strips = bool(self._n_inner <= PAGE + 1 and 0 < n <= 640)
+        # strips need the kernel walk bound to hold: positions step at
+        # ds = (ring rate / scene rate) x doppler (ring.rs:51-79 resamples
+        # at ANY ratio), so |ds - 1| * n must stay under K.  Exotic ratios
+        # take the exact elementwise branch below.
+        ratio = float(np.float32(self.rate) * f32(interval))
+        dmax = abs(ratio - 1.0) + 0.1 * ratio  # 0.1 = ~±34 m/s radial
+        self._use_strips = bool(
+            self._n_inner <= PAGE + 1
+            and 0 < n <= 640
+            and dmax * n <= K_DOPPLER
+        )
         start_i = start_idx.astype(np.int32)
         ob = obase.astype(np.int32)
         if self._use_strips:
@@ -1065,11 +1075,16 @@ class _BufferedPoolDR(_DRPoolBase):
     ROW_KEYS = _DRPoolBase.GEOM_KEYS + ("max_delay", "phase")
 
     #: bounds the per-READ-CHUNK doppler walk handled by the select kernel:
-    #: |ds-1|*R_CHUNK <= 2K (K=64 covers > ±40 m/s radial at 512@48k)
+    #: |ds-1|*chunk <= K (K=64 covers > ±40 m/s radial at 512@48k).  The
+    #: actual (chunk, K) is picked per block by host_prepare from the
+    #: ring/scene rate ratio (ring.rs:51-79 resamples at ANY ratio); this
+    #: constant is the ratio-1 flagship tier.
     K_DOPPLER = 64
-    #: frames per read chunk (blocks of any size run as ceil(n/R_CHUNK)
-    #: window-gather + select passes, cursors advanced near-exactly between
-    #: chunks — the Signal::sample contract takes any n, signal.rs:19)
+    #: frames per read chunk at ratio 1 (blocks of any size run as
+    #: ceil(n/chunk) window-gather + select passes, cursors advanced
+    #: near-exactly between chunks — Signal::sample takes any n,
+    #: signal.rs:19; exotic ratios shrink the chunk or drop to the exact
+    #: elementwise read)
     R_CHUNK = 512
     #: columns per general-path write chunk (and the front-pad width; any
     #: n_inner writes as ceil(n_inner/W_CHUNK) slab pairs)
@@ -1097,6 +1112,7 @@ class _BufferedPoolDR(_DRPoolBase):
         self.emax2 = int(np.ceil(0.215 / float(SPEED_OF_SOUND) * rate)) + 2
         select_window(self.R_CHUNK, self.emax2, self.K_DOPPLER)
         self._n_inner = 1
+        self._read_cfg = None  # set per block by host_prepare
 
     # -- state ---------------------------------------------------------------
 
@@ -1198,6 +1214,20 @@ class _BufferedPoolDR(_DRPoolBase):
             "nw": np.int32(n_write),
             "wstart": np.int32(start_i),
         }
+        # read-path tier: ring reads step at ds = (ring rate / scene rate)
+        # x doppler (ring.rs:51-79 resamples at ANY ratio), so the chunk
+        # length and walk bound K adapt to the ratio; ratios beyond the
+        # kernel tiers take the exact elementwise read (correctness path)
+        ratio = float(np.float32(self.rate) * f32(interval))
+        dmax = abs(ratio - 1.0) + 0.1 * ratio  # 0.1 = ~±34 m/s radial
+        self._read_cfg = None
+        for n_c, k in ((512, 64), (512, 128), (256, 192), (128, 192)):
+            if (
+                dmax * n_c <= k
+                and select_window(n_c, 127 + self.emax2, k) <= self.M_PAD
+            ):
+                self._read_cfg = (n_c, k)
+                break
         self._ds_small = self._ds_flag_sync(self.interval_inner)
         params = self._delta_params(params, force)
         # fader bookkeeping rides the inner timebase (faders advance by the
@@ -1276,11 +1306,13 @@ class _BufferedPoolDR(_DRPoolBase):
         S["ring"] = ring
 
         # 7. per-ear fractional reads with gain ramps (spatial.rs:409-431):
-        # ONE contiguous window per voice per <=R_CHUNK-frame chunk (the two
-        # ears' read starts differ by at most the inter-ear distance,
-        # |d_L - d_R| <= 0.215 m), cursors advanced near-exactly between
-        # chunks so any block size renders on the same kernels
-        K = self.K_DOPPLER
+        # ONE contiguous window per voice per chunk (the two ears' read
+        # starts differ by at most the inter-ear distance, |d_L - d_R| <=
+        # 0.215 m), cursors advanced near-exactly between chunks so any
+        # block size AND any ring/scene rate ratio renders on the same
+        # kernels (chunk length + walk bound K from the tier picked in
+        # host_prepare; exotic ratios take the exact elementwise read)
+        R_CHUNK, K = self._read_cfg if self._read_cfg else (n, 0)
         p_off, p_gain = ear_states(prev_pos, S["radius"])
         n_off, n_gain = ear_states(next_pos, S["radius"])
         p_off = jnp.maximum(p_off - elapsed, -S["max_delay"][:, None])
@@ -1293,9 +1325,29 @@ class _BufferedPoolDR(_DRPoolBase):
         ds = dt_e * ratef
         ds_int, f_hi, f_lo = device_split_ds(ds)
         maskf = mask.astype(jnp.float32)
-        DMAX = self.emax2
+        if self._read_cfg is None:
+            # exotic rate ratio: exact elementwise read of the flat ring
+            # (slow on TPU but any-ratio correct, frames.rs-style lerp)
+            jn = jnp.arange(n, dtype=jnp.float32)
+            gains = (
+                p_gain[:, :, None] + jn[None, None, :] * d_gain[:, :, None]
+            )
+            flat = ring.reshape(V, self.rowlen)[:, self.W_CHUNK:]
+            whole, fr = exact_positions(
+                offset0 - obase, ds_int, f_hi, f_lo, n
+            )
+            x = jnp.mod(obase.astype(jnp.int32)[:, :, None] + whole, cap)
+            look = lambda ix: jnp.take_along_axis(
+                flat, ix.reshape(V, 2 * n), axis=1
+            ).reshape(V, 2, n)
+            a = look(x)
+            b = look(jnp.mod(x + 1, cap))
+            s = a + fr * (b - a)
+            contrib = jnp.where(mask[:, None, None], s * gains, 0.0)
+            return S, jnp.sum(contrib, axis=0)
         base = obase.astype(jnp.int32)
         frac = offset0 - obase
+        DMAX = self.emax2
         # read windows come off a 128-col row view of the flat ring: a
         # row-granular gather of S/128+1 consecutive rows per voice (the
         # fast gather shape on this stack; per-voice dynamic_slice measured
@@ -1307,8 +1359,8 @@ class _BufferedPoolDR(_DRPoolBase):
         vb = jnp.arange(V, dtype=jnp.int32) * RPV
         emax2r = PW - 1 + self.emax2
         parts = []
-        for j0 in range(0, n, self.R_CHUNK):
-            n_c = min(self.R_CHUNK, n - j0)
+        for j0 in range(0, n, R_CHUNK):
+            n_c = min(R_CHUNK, n - j0)
             ob = jnp.mod(base, cap)
             dlr = jnp.mod(ob[:, 0] - ob[:, 1], cap)
             l_ahead = dlr <= DMAX
@@ -1541,6 +1593,7 @@ class SpatialScene(Signal):
                 getattr(p, "_has_mot", False),
                 getattr(p, "_w_aligned", 0),
                 getattr(p, "_ds_small", True),
+                getattr(p, "_read_cfg", None),
             )
             for p in self._all_pools()
         )

@@ -289,3 +289,53 @@ def test_golden_heavy_downsample():
         ref.oddio_run(om, RATE, buf)
         errs.append(np.abs(eng[:, 0] - buf).max())
     assert max(errs) <= 1e-5, errs
+
+
+@pytest.mark.parametrize("rring,force_host", [
+    (12000, False),  # ratio 1.5: tiered kernel path (shorter chunk, wider K)
+    (4000, False),   # ratio 0.5
+    (24000, False),  # ratio 3.0: beyond every tier -> exact elementwise read
+    (12000, True),   # host pool: strips gate off -> exact elementwise branch
+    (24000, True),
+])
+def test_golden_buffered_rate_mismatch(rring, force_host):
+    """play_buffered with ring rate != scene rate: Ring::sample resamples at
+    ANY ratio (ring.rs:51-79), so reads step at ds = ratio x doppler.  The
+    read tiers (and the exact fallbacks past them) must track the oracle —
+    round 3 found the fixed-K walk silently clamping at ratio 1.5 (0.14 abs
+    error); this pins every tier boundary on both pool kinds."""
+    RATE, BLOCK, NBLK = 8000, 512, 8
+    tt = np.arange(rring, dtype=F) / F(rring)
+    boop = np.sin(tt * F(300 * 2 * np.pi), dtype=F)
+
+    control, scene = ot.SpatialScene.new()
+    sig = ot.FramesSignal(ot.Frames.from_slice(rring, boop), 0.0)
+    if force_host:
+        sig.dr_supported = lambda: False  # force the host pool
+    opts = ot.SpatialOptions(position=[-10.0, 5.0, 0.0],
+                             velocity=[20.0, 0.0, 0.0])
+    h = control.play_buffered(sig, opts, max_distance=60.0, rate=rring,
+                              buffer_duration=0.1)
+    r = ot.Renderer(scene, RATE)
+
+    oscene = ref.OSpatialScene(exact=True)
+    osig = ref.OFramesSignal(ref.OFrames(rring, boop), 0.0, exact=True)
+    ov = oscene.play_buffered(osig, [-10.0, 5.0, 0.0], [20.0, 0.0, 0.0], 0.1,
+                              max_distance=60.0, rate=rring,
+                              buffer_duration=0.1)
+    errs = []
+    for i in range(NBLK):
+        if i == 4:
+            h.set_motion([0.0, 5.0, 0.0], [20.0, 0.0, 0.0], False)
+            ov.set_motion([0.0, 5.0, 0.0], [20.0, 0.0, 0.0], False)
+        eng = r.render_block(BLOCK)
+        buf = np.zeros((BLOCK, 2), F)
+        ref.oddio_run(oscene, RATE, buf)
+        errs.append(np.abs(eng - buf).max())
+    pool = list(scene._buffered_pools.values())[0]
+    if not force_host:
+        expect_none = rring == 24000
+        assert (pool._read_cfg is None) == expect_none, pool._read_cfg
+    else:
+        assert not pool._use_strips
+    assert max(errs) <= 1e-5, errs
