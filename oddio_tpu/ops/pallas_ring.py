@@ -490,6 +490,103 @@ def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
     )
 
 
+def _select_tiles_kernel(s_ref, sh_ref, sc0_ref, sc1_ref, g0_ref, g1_ref,
+                         mask_ref, e0_ref, e1_ref, out_ref,
+                         *, n, K, W, H, WIN):
+    i = pl.program_id(0)
+    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
+    m = mask_ref[...]
+    wide = s_ref[...]  # (tile, S2) tile-granule gathered spans
+    b = sh_ref[...]    # (tile, 1) per-voice coarse shift, in rows
+    # ONE per-voice coarse realign (the granule remainder is row-constant):
+    # H masked adds of WIN lanes, vs. paying the remainder inside every
+    # sub-block's lookup tables (probe13: tables at W=1408 cost more than
+    # the whole narrow pipeline)
+    win = jnp.zeros((wide.shape[0], WIN), jnp.float32)
+    for h in range(H):
+        win = win + wide[:, 128 * h : 128 * h + WIN] * (b == h).astype(
+            jnp.float32
+        )
+    rows = []
+    for sc_ref, g_ref, e_ref in (
+        (sc0_ref, g0_ref, e0_ref),
+        (sc1_ref, g1_ref, e1_ref),
+    ):
+        samp = _ear_pipeline_flat(
+            win, sc_ref[...], e_ref[...], n=n, K=K, W=W
+        )
+        g = g_ref[...]
+        gains = g[:, 0:1] + jn * g[:, 1:2]
+        rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
+    contrib = jnp.concatenate(rows, axis=0)  # (2, n)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def window_select_tiles(wide, rowshift, scal, gain0, d_gain, maskf, extra,
+                        *, n, K, emax2, interpret=False, tile=None,
+                        hmax=None):
+    """window_select over TILE-granule gathered spans: ``wide`` (V, S2) holds
+    each voice's read window embedded at a (V-dependent) multiple-of-128
+    offset given by ``rowshift`` (V,) in [0, (S2 - WIN)/128]; the kernel
+    realigns once per voice and then runs the narrow flat pipeline.  Lets
+    the caller gather whole (8, 128) tiles — the physically-linear granule,
+    ~9x cheaper per byte than row granules (tools/r3_probe13.py) — without
+    widening the per-sub-block lookup tables.  extra (V, 2) staggers within
+    the realigned window (< emax2); ``hmax`` bounds rowshift+1 when the
+    caller guarantees a tighter range (e.g. 8 for a granule remainder),
+    trimming dead realign adds; other args as window_select."""
+    V, S2 = wide.shape
+    W = select_tables(emax2, K)
+    WIN = select_window(n, emax2, K)
+    H = (S2 - WIN) // 128 + 1
+    if hmax is not None:
+        H = min(H, hmax)
+    assert S2 >= WIN
+    if tile is None:
+        tile = _tile_for(V)
+    gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
+
+    def ts(*shape):
+        return pl.BlockSpec(
+            shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pl.GridSpec(
+        grid=(V // tile,),
+        in_specs=[
+            ts(tile, S2),
+            ts(tile, 1),
+            ts(tile, 4), ts(tile, 4),
+            ts(tile, 2), ts(tile, 2),
+            ts(tile, 1),
+            ts(tile, 1), ts(tile, 1),
+        ],
+        out_specs=pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    e = extra.astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _select_tiles_kernel, n=n, K=K, W=W, H=H, WIN=WIN
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        wide,
+        rowshift.astype(jnp.int32)[:, None],
+        scal[:, 0], scal[:, 1],
+        gain[:, 0], gain[:, 1],
+        maskf[:, None],
+        e[:, 0:1], e[:, 1:2],
+    )
+
+
 # --- rows-native aligned append ------------------------------------------------
 #
 # (V, RPV, 128) ring arrays are PHYSICALLY linear on TPU (the (8, 128)

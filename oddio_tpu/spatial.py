@@ -55,7 +55,7 @@ from .ops.pallas_ring import (
     select_window,
     strip_place,
     strip_select,
-    window_select,
+    window_select_tiles,
 )
 
 __all__ = [
@@ -1058,7 +1058,8 @@ class _BufferedPoolDR(_DRPoolBase):
     cols ``[F+L, F+L+M)`` replicate ``[F, F+M)`` — and dump slack).  With
     a 128-lane minor dim this layout is PHYSICALLY linear on TPU (row and
     flat views are free bitcasts), which matters twice: reads are a plain
-    row gather feeding ``window_select``, and the whole step stays
+    tile-granule gather feeding ``window_select_tiles``, and the whole
+    step stays
     in-place inside scans — the earlier ``(V, rowlen)`` layout's
     row-view reshape was a full ~300 MB relayout every block
     (ROADMAP.md probe notes).  Because the pool shares one write cursor,
@@ -1348,15 +1349,19 @@ class _BufferedPoolDR(_DRPoolBase):
         base = obase.astype(jnp.int32)
         frac = offset0 - obase
         DMAX = self.emax2
-        # read windows come off a 128-col row view of the flat ring: a
-        # row-granular gather of S/128+1 consecutive rows per voice (the
-        # fast gather shape on this stack; per-voice dynamic_slice measured
-        # ~serial), with the row remainder folded into the kernel's per-ear
-        # stagger
+        # read windows come off the (8, 128)-TILE view of the ring: a
+        # tile-granular gather of 2 consecutive 1024-col granules per voice
+        # (the physically linear granule — ~9x cheaper per byte than row
+        # granules, tools/r3_probe13.py; per-voice dynamic_slice measured
+        # ~serial).  The granule remainder splits into a once-per-voice
+        # coarse realign inside the kernel (rowshift, multiples of 128)
+        # plus the sub-row part riding the per-ear stagger.
         PW = 128
         RPV = self.rowlen // PW
-        rows = ring.reshape(V * RPV, PW)
-        vb = jnp.arange(V, dtype=jnp.int32) * RPV
+        assert RPV % 8 == 0  # rowlen = pow2 cap + 3*1024
+        GW = 8 * PW
+        rows8 = ring.reshape(V * (RPV // 8), 8, PW)
+        vb8 = jnp.arange(V, dtype=jnp.int32) * (RPV // 8)
         emax2r = PW - 1 + self.emax2
         parts = []
         for j0 in range(0, n, R_CHUNK):
@@ -1371,22 +1376,25 @@ class _BufferedPoolDR(_DRPoolBase):
             )
             dstart = jnp.clip(dstart, 0, DMAX)
             rstart = jnp.mod(cm - K, cap) + FP
-            # the gathered window is row-aligned (the row remainder rides
-            # the kernel stagger), so exactly SREAD/PW rows cover it
+            # ngr granules cover remainder + window; the span can overrun
+            # the mirror into the dump slack, but the realign masks those
+            # columns to zero before any ear reads them
             SREAD = select_window(n_c, emax2r, K)
-            r0 = rstart // PW
+            ngr = -(-(GW - 1 + SREAD) // GW)
+            r0 = rstart // GW
             ridx = (
-                vb[:, None] + r0[:, None] + jnp.arange(SREAD // PW)[None, :]
+                vb8[:, None] + r0[:, None] + jnp.arange(ngr)[None, :]
             ).reshape(-1)
-            windows = jnp.take(rows, ridx, axis=0).reshape(V, SREAD)
-            ex = (rstart - r0 * PW)[:, None] + dstart
+            wide = jnp.take(rows8, ridx, axis=0).reshape(V, ngr * GW)
+            rowshift = (rstart - r0 * GW) // PW
+            ex = jnp.mod(rstart, PW)[:, None] + dstart
             # the kernel reconstructs a_j = win[extra + j + kk_j] with
             # kk_j = whole_j - j + K in [0, 2K] from the packed cursor
             # scalars (exact split-ds math in-kernel)
             scal = pack_select_scalars(frac, ds_int, f_hi, f_lo)
             g0_c = p_gain + np.float32(j0) * d_gain
-            parts.append(window_select(
-                windows, scal, g0_c, d_gain, maskf, ex, n=n_c,
+            parts.append(window_select_tiles(
+                wide, rowshift, scal, g0_c, d_gain, maskf, ex, n=n_c,
                 K=K, emax2=emax2r, interpret=interp,
             ))
             if j0 + n_c < n:

@@ -442,6 +442,43 @@ def test_window_select_kernel_matches_positions():
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_window_select_tiles_matches_narrow():
+    """window_select_tiles (tile-granule span + in-kernel coarse realign)
+    is bit-identical to window_select on the host-realigned narrow window
+    (same reduction order when tile sizes match)."""
+    import jax.numpy as jnp
+
+    from oddio_tpu.ops._dev import device_split_ds
+    from oddio_tpu.ops.pallas_ring import (
+        pack_select_scalars, select_window, window_select,
+        window_select_tiles,
+    )
+
+    rng = np.random.default_rng(3)
+    V, N, K, emax2 = 16, 128, 64, 163
+    WIN = select_window(N, emax2, K)
+    S2 = ((1023 + WIN - 1) // 1024 + 1) * 1024
+    wide = jnp.asarray(rng.standard_normal((V, S2)), jnp.float32)
+    rowshift = rng.integers(0, (S2 - WIN) // 128 + 1, V).astype(np.int32)
+    gain0 = jnp.asarray(rng.uniform(0, 1, (V, 2)), jnp.float32)
+    d_gain = jnp.asarray(rng.uniform(-1e-3, 1e-3, (V, 2)), jnp.float32)
+    maskf = jnp.asarray(rng.integers(0, 2, V), jnp.float32)
+    ds_int, f_hi, f_lo = device_split_ds(
+        jnp.asarray(rng.uniform(0.95, 1.05, (V, 2)), jnp.float32))
+    ofrac = jnp.asarray(rng.uniform(0, 1, (V, 2)), jnp.float32)
+    scal = pack_select_scalars(ofrac, ds_int, f_hi, f_lo)
+    extra = jnp.asarray(rng.integers(0, 36, (V, 2)), jnp.int32)
+
+    win = jnp.stack([wide[v, 128 * rowshift[v]:128 * rowshift[v] + WIN]
+                     for v in range(V)])
+    ref = window_select(win, scal, gain0, d_gain, maskf, extra,
+                        n=N, K=K, emax2=emax2, interpret=True, tile=8)
+    got = window_select_tiles(wide, jnp.asarray(rowshift), scal, gain0,
+                              d_gain, maskf, extra, n=N, K=K, emax2=emax2,
+                              interpret=True, tile=8)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_submix_in_mixer():
     """A Mixer played into another Mixer (mixer.rs:18-26 boxes any
     Signal) renders through a singleton pool and can be stopped."""
