@@ -232,23 +232,27 @@ def bench_streams(rng, spatial):
     for j, ctl in enumerate(ctls):
         ctl.write(data[j])
     r = ot.Renderer(scene, RATE)
+    # 2x-wide dispatches: at 64 voices a CHUNK-block dispatch costs about
+    # the relay round trip, so the drain rate would measure the tunnel,
+    # not the engine (observed 2x swings on identical code)
+    chunk2 = CHUNK * 2
     t0 = time.time()
     first = r.render_frames(BLOCK * 8)
     assert np.isfinite(first).all()
-    blocks = r.render_frames_device(BLOCK * CHUNK)
+    blocks = r.render_frames_device(BLOCK * chunk2)
     float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     log(f"[{label}] warmup incl. compile + buffer upload: {time.time()-t0:.1f}s")
-    nch = int((fill / RATE - 0.3) * RATE / (CHUNK * BLOCK))
+    nch = int((fill / RATE - 0.3) * RATE / (chunk2 * BLOCK))
     # one untimed chunk fills the dispatch pipeline (the relay's ~30 ms
     # round trip would otherwise be a fixed tax on a short drain)
-    blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
+    blocks = r.render_frames_device(BLOCK * chunk2, sync=False)
     float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     t0 = time.time()
     for _ in range(nch - 1):
-        blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
+        blocks = r.render_frames_device(BLOCK * chunk2, sync=False)
     total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     assert np.isfinite(total)
-    xrt = round((nch - 1) * CHUNK * BLOCK / RATE / (time.time() - t0), 2)
+    xrt = round((nch - 1) * chunk2 * BLOCK / RATE / (time.time() - t0), 2)
     log(f"[{label}] drain rate: {xrt:.1f}x RT")
     return xrt
 

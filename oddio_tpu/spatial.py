@@ -1395,7 +1395,7 @@ class _BufferedPoolDR(_DRPoolBase):
             g0_c = p_gain + np.float32(j0) * d_gain
             parts.append(window_select_tiles(
                 wide, rowshift, scal, g0_c, d_gain, maskf, ex, n=n_c,
-                K=K, emax2=emax2r, interpret=interp,
+                K=K, emax2=emax2r, interpret=interp, hmax=GW // PW,
             ))
             if j0 + n_c < n:
                 base, frac = device_advance(

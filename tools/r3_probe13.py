@@ -18,7 +18,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V = 4096
+V = int(__import__("os").environ.get("PROBE_V", "4096"))
 N = 512
 K = 64
 L = 16384
