@@ -86,6 +86,25 @@ def _scatter(tree, path, field, idx, vals):
     return t
 
 
+def rows_scatter(state, rows, idx, wrote=None):
+    """Scatter play/fade rows into a dr state tree.  ``rows`` may be a
+    strict SUBTREE of ``state`` (dr_slot_row may omit big in-place leaves
+    like stream rings); missing keys are left untouched.  ``wrote``
+    optionally masks the write per target row (fade bank selection)."""
+    import jax.numpy as jnp
+
+    if isinstance(rows, dict):
+        out = dict(state)
+        for k, rv in rows.items():
+            out[k] = rows_scatter(state[k], rv, idx, wrote)
+        return out
+    upd = state.at[idx].set(rows, mode="drop")
+    if wrote is None:
+        return upd
+    m = wrote.reshape(wrote.shape + (1,) * (state.ndim - 1))
+    return jnp.where(m, upd, state)
+
+
 class DRCtrlMixin:
     """Shared by device-resident voice pools (spatial + mixer)."""
 
@@ -311,9 +330,7 @@ class DRCtrlMixin:
                     fading[slot] = True
                     t += 1
                 proto_inner = _at_path_spec(self.proto, path).a
-                default = jax.tree.map(
-                    lambda x: np.asarray(x[0]), proto_inner.dr_state_init(1)
-                )
+                default = proto_inner.dr_default_row(interval)
                 rows = rows + [default] * (self.k_fade - len(rows))
                 params[f"fade_idx{j}"] = idx
                 params[f"fade_inc{j}"] = incv
@@ -348,13 +365,7 @@ class DRCtrlMixin:
 
             def write_bank(bank_state, into_a):
                 wrote = tgt & (flip if into_a else ~flip)
-
-                def leaf(old, rv):
-                    upd = old.at[lidx].set(rv, mode="drop")
-                    m = wrote.reshape(wrote.shape + (1,) * (old.ndim - 1))
-                    return jnp.where(m, upd, old)
-
-                return jax.tree.map(leaf, bank_state, rows)
+                return rows_scatter(bank_state, rows, lidx, wrote)
 
             sub["a"] = write_bank(sub["a"], True)
             sub["b"] = write_bank(sub["b"], False)

@@ -337,14 +337,31 @@ class Signal:
     def dr_supported(self):
         return False
 
+    def dr_needs_ingest(self):
+        """Whether this chain needs a per-block host->device data channel
+        while device-resident (Stream PCM ingest).  Pools only accept
+        ingest-needing chains when the TOP node manages the channel itself
+        (a bare Stream); wrapped streams fall back to host pools."""
+        return any(c.dr_needs_ingest() for c in self.children().values())
+
     def dr_state_init(self, V):
         """Benign default device state for V slots (numpy pytree)."""
         raise NotImplementedError
 
     def dr_slot_row(self, interval):
         """Row values (numpy pytree, unbatched) encoding THIS spec's current
-        host state for a play() into a dr pool sampled at ``interval``."""
+        host state for a play() into a dr pool sampled at ``interval``.
+        May be a strict SUBTREE of ``dr_state_init``'s keys: leaves omitted
+        from rows (e.g. a stream's ring buffer) are left in place on the
+        device and must be gated by the row's cursor fields."""
         raise NotImplementedError
+
+    def dr_default_row(self, interval):
+        """Benign padding row for unfilled play/fade delta lanes — same tree
+        structure as ``dr_slot_row``."""
+        import jax
+
+        return jax.tree.map(lambda x: np.asarray(x[0]), self.dr_state_init(1))
 
     def dr_render(self, state, ddata, interval, n, count):
         """Batched pure render: (state', samples (V, n)) advancing each voice

@@ -144,7 +144,12 @@ class PoolDR(DRCtrlMixin):
 
     def __init__(self, name, spec, capacity, k_play=8, k_stop=64):
         self.name = name
-        self.proto = spec
+        # ingest-needing protos (Stream) keep BATCHED host mirror columns:
+        # the pool's host shadow of the device cursors plus the per-slot
+        # producer queues (see Stream.dr_bind_slot)
+        self.proto = (
+            spec.clone_batched(capacity) if spec.dr_needs_ingest() else spec
+        )
         self.capacity = capacity
         self.k_play = k_play
         self.k_stop = k_stop
@@ -190,6 +195,8 @@ class PoolDR(DRCtrlMixin):
             [self.stopped_host, np.zeros(old, bool)]
         )
         self._free = list(range(new - 1, old - 1, -1)) + self._free
+        if self.proto.batch:
+            self.proto.grow_batched(new)
         self.capacity = new
 
     def play(self, spec):
@@ -210,6 +217,8 @@ class PoolDR(DRCtrlMixin):
         self._fade_claim_reset(i)
         self._fade_mirror_on_play(i, spec)
         self._track_spec(i, spec)
+        if self.proto.batch:
+            self.proto.dr_bind_slot(i, spec, self, gen)
         self.pending_plays.append((i, spec))
         self.mask_host[i] = True
         self.stopped_host[i] = False
@@ -253,10 +262,9 @@ class PoolDR(DRCtrlMixin):
         S = dict(self.state)
         for k in ("mask", "stopped"):
             S[k] = S[k].at[idx].set(jnp.asarray(rows[k]))
-        S["inner"] = jax.tree.map(
-            lambda st, rv: st.at[idx].set(jnp.asarray(rv)),
-            S["inner"], rows["inner"],
-        )
+        from .core.drctrl import rows_scatter
+
+        S["inner"] = rows_scatter(S["inner"], rows["inner"], idx)
         self.state = S
 
     def sync_prefetch(self):
@@ -309,9 +317,7 @@ class PoolDR(DRCtrlMixin):
                 default = {
                     "mask": False,
                     "stopped": True,
-                    "inner": jax.tree.map(
-                        lambda a: np.asarray(a[0]), self.proto.dr_state_init(1)
-                    ),
+                    "inner": self.proto.dr_default_row(self._interval),
                 }
                 rows = rows + [default] * (Kp - len(rows))
             for j, (i, _) in enumerate(take):
@@ -330,6 +336,16 @@ class PoolDR(DRCtrlMixin):
         # on control-event blocks, keeping two step variants) + advance
         # the deterministic progress mirrors every block
         self._fade_tick(params if has else None, self._interval, n)
+        # stream ingest + cursor-mirror shadow (order mirrors render:
+        # ingest grows len, then the advance releases consumed samples)
+        if self.proto.batch:
+            ing = self.proto.dr_ingest_params()
+            if ing is not None:
+                params["ing"] = ing
+            self.proto.dr_host_tick(
+                self._interval,
+                np.full(self.capacity, self._count, np.int32),
+            )
         return params
 
     def render(self, dstate, ddata, params, n):
@@ -339,18 +355,20 @@ class PoolDR(DRCtrlMixin):
         V = S["mask"].shape[0]
         # 1. plays (set.rs insert semantics: applied before the walk)
         if "play_idx" in params:
+            from .core.drctrl import rows_scatter
+
             pidx = localize_index(params["play_idx"], V)
             rows = params["play"]
             for k in ("mask", "stopped"):
                 S[k] = S[k].at[pidx].set(rows[k], mode="drop")
-            S["inner"] = jax.tree.map(
-                lambda st, rv: st.at[pidx].set(rv, mode="drop"),
-                S["inner"], rows["inner"],
-            )
+            S["inner"] = rows_scatter(S["inner"], rows["inner"], pidx)
         # 1b. control-field deltas (set_gain/set_speed, gain.rs:103-108)
         S["inner"] = self._ctrl_apply(S["inner"], params)
         # 1c. fade starts (fader.rs:86-93 swap-channel delivery)
         S["inner"] = self._fade_apply(S["inner"], params)
+        # 1d. stream PCM ingest at the device write cursors
+        if "ing" in params:
+            S["inner"] = self.proto.dr_ingest(S["inner"], params["ing"])
         # 2. stop deltas (Mixed::stop, mixer.rs:33-36)
         if "stop_idx" in params:
             sidx = localize_index(params["stop_idx"], V)
@@ -407,7 +425,14 @@ class Mixer(Signal):
             self._pools[("singleton", name)] = pool
             slot, gen = pool.play(spec)
             return Mixed(pool, slot, gen)
-        dr = spec.dr_supported()
+        from .ops.stream import Stream
+
+        # ingest-needing chains (streams) go DR only when the TOP node is
+        # the stream itself — it owns the per-block PCM channel; wrapped
+        # streams keep the host-pool path
+        dr = spec.dr_supported() and (
+            not spec.dr_needs_ingest() or type(spec) is Stream
+        )
         arch = (spec.archetype(), dr)
         pool = self._pools.get(arch)
         if pool is None:
@@ -513,13 +538,17 @@ class Mixer(Signal):
 
     def params_voice_axes(self, params):
         """Device-resident pools ship sparse deltas (replicated over the
-        voice mesh axis); host pools ship per-voice arrays (voice-sharded)."""
-        return {
-            p.name: jax.tree.map(
-                lambda _, dr=p.is_dr: not dr, params[p.name]
-            )
-            for p in self._pools.values()
-        }
+        voice mesh axis); host pools ship per-voice arrays (voice-sharded).
+        DR stream-ingest chunks are dense per-voice payloads, so they shard
+        with the voices."""
+        out = {}
+        for p in self._pools.values():
+            sub = params[p.name]
+            m = jax.tree.map(lambda _, dr=p.is_dr: not dr, sub)
+            if p.is_dr and "ing" in sub:
+                m["ing"] = jax.tree.map(lambda _: True, sub["ing"])
+            out[p.name] = m
+        return out
 
     def sync(self):
         """Pull device-resident handle state back (is_stopped, reclamation)."""
@@ -589,6 +618,13 @@ class Mixer(Signal):
                                  "_fade_flip", "_fade_dur")
                 }
                 st["interval"] = p._interval
+                if p.proto.batch:
+                    # batched proto mirrors (stream cursors) + producer queues
+                    st["proto_host"] = _host_state(p.proto)
+                    st["proto_pending"] = [
+                        [np.copy(c) for c in q] for q in p.proto._pending
+                    ]
+                    st["proto_dirty"] = set(p.proto._dirty)
             else:
                 st["mask"] = p.mask.copy()
                 st["stop"] = p.stop.copy()
@@ -620,6 +656,11 @@ class Mixer(Signal):
                 for name, saved in st.get("fade_mirrors", {}).items():
                     setattr(p, name, {k: np.copy(v) for k, v in saved.items()})
                 p._interval = st["interval"]
+                if "proto_host" in st:
+                    _set_host_state(p.proto, st["proto_host"])
+                    for i, q in enumerate(st["proto_pending"]):
+                        p.proto._pending[i] = [np.copy(c) for c in q]
+                    p.proto._dirty = set(st["proto_dirty"])
             else:
                 p.mask = st["mask"].copy()
                 p.stop = st["stop"].copy()

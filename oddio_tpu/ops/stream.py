@@ -219,7 +219,7 @@ class Stream(Signal):
         the flat round trip is confined to this rare path."""
         size = self.size_pad
         flat = ring.reshape(self.channels, size)
-        j = jnp.arange(self.max_write)
+        j = jnp.arange(params["chunk"].shape[-1])
         idx = jnp.mod(params["wpos"] + j, size)
         idx = jnp.where(j < params["wcount"], idx, size)  # drop overflow
         flat = flat.at[:, idx].set(params["chunk"], mode="drop")
@@ -238,7 +238,7 @@ class Stream(Signal):
         C = self.channels
         ROWB = 128
         rpv = self._rows
-        mw = self.max_write
+        mw = params["chunk"].shape[-1]
         view = ring.reshape(V * C * rpv, ROWB)
         n_rows = min((ROWB - 1 + mw - 1) // ROWB + 1, rpv)
         wrow = params["wpos"] // ROWB
@@ -291,7 +291,7 @@ class Stream(Signal):
 
         size = self.size_pad
         if "chunk" in params:
-            if self.max_write <= 8192:
+            if params["chunk"].shape[-1] <= 8192:
                 ring = self._write_pool(dstate["ring"], params)
             else:
                 # huge one-shot writes (bulk prefill): the strip would not
@@ -313,6 +313,7 @@ class Stream(Signal):
             and n <= RESAMPLE_NMAX
             and S_req <= size
             and bool(getattr(self, "_ds_small", True))
+            and bool(getattr(self, "_pool_ds_small", True))
         )
         if not kernel_ok:
             return jax.vmap(lambda d, p: self.render(d, ddata, p, n))(
@@ -347,6 +348,183 @@ class Stream(Signal):
         whole, _ = exact_positions(params["t"], ds_int, f_hi, f_lo, n)
         samp = jnp.where(whole < params["len"][:, None], samp, 0.0)
         return {"ring": view.reshape(ring.shape)}, samp[:, None, :]
+
+
+    # -- device-resident mode --------------------------------------------------
+    # The ring AND its (t, len, start) cursors live on device, advancing
+    # in-graph so many-block scans never touch the host; the host keeps
+    # f32-exact mirrors (dr_host_tick repeats the device's release math
+    # term-for-term) purely for StreamControl.free()'s lower-bound
+    # backpressure (stream.rs:99-101).  Producer PCM ships as a per-block
+    # ingest param only on blocks with queued writes (the stream analogue
+    # of the engines' zero-delta fast path); the write position is derived
+    # from the DEVICE cursors, so mirror drift on dead voices is harmless.
+    # The ring leaf is NOT part of dr_slot_row (plays would ship it through
+    # delta lanes): a fresh row's len=0 gates every read, and ingest
+    # zero-terminates each chunk so the boundary lerp cell (get_pair's b at
+    # k == len, frames.rs:105-123) never sees a previous tenant's data.
+
+    _dr_ctrl_fields = ("closed",)
+
+    def dr_supported(self):
+        return True
+
+    def dr_needs_ingest(self):
+        return True
+
+    def host_ds_bound(self, interval):
+        r = np.max(self.rate) if getattr(self.rate, "ndim", 0) else self.rate
+        return float(np.float32(interval) * np.float32(r))
+
+    def dr_state_init(self, V):
+        return {
+            "ring": np.zeros((V, self.channels * self._rows, 128), np.float32),
+            "t": np.zeros(V, np.float32),
+            "len": np.zeros(V, np.int32),
+            "start": np.zeros(V, np.int32),
+            "closed": np.zeros(V, np.float32),
+            "rate": np.ones(V, np.float32),
+        }
+
+    def dr_slot_row(self, interval):
+        return {
+            "t": np.float32(self.t[()]),
+            "len": np.int32(self.buflen[()]),
+            "start": np.int32(self.start[()]),
+            "closed": np.float32(bool(self.closed[()]) or bool(self.stopping[()])),
+            "rate": np.float32(self.rate[()]),
+        }
+
+    def dr_default_row(self, interval):
+        return {
+            "t": np.float32(0.0),
+            "len": np.int32(0),
+            "start": np.int32(0),
+            "closed": np.float32(1.0),
+            "rate": np.float32(1.0),
+        }
+
+    def dr_bind_slot(self, i, spec, pool, gen):
+        """Adopt a played spec's mirrors + producer queue into this BATCHED
+        proto (the pool's host shadow).  Like write_slot, but the pool has
+        already marked the spec moved, and the spec's ControlBlock keeps
+        its dr routing (mirror reads/writes hit these columns; device
+        deltas ride the pool's sparse channels)."""
+        for f in self._host_fields:
+            getattr(self, f)[i] = getattr(spec, f)[()]
+        cb = getattr(spec, "_cb", None)
+        if cb is not None:
+            cb.rebind(self, i, pool, gen)
+        self._pending[i] = spec._cb.pending
+        if self._pending[i]:
+            self._dirty.add(int(i))
+        else:
+            self._dirty.discard(int(i))
+
+    def dr_ingest_params(self):
+        """Drain producer queues into a fixed-size ingest chunk, or None on
+        write-free blocks.  Each voice's chunk is zero-terminated (one spare
+        column) so the device write also refreshes the boundary lerp cell.
+        Advances the host ``buflen`` mirrors by the shipped counts."""
+        V = self.batch[0]
+        C = self.channels
+        self._has_write = bool(self._dirty)
+        if not self._has_write:
+            return None
+        chunk = np.zeros((V, C, self.max_write + 1), np.float32)
+        counts = np.zeros(V, np.int32)
+        for v in sorted(self._dirty):
+            q = self._pending[v]
+            room = self.max_write
+            got = []
+            while q and room > 0:
+                c = q[0]
+                if len(c) <= room:
+                    got.append(c)
+                    room -= len(c)
+                    q.pop(0)
+                else:
+                    got.append(c[:room])
+                    q[0] = c[room:]
+                    room = 0
+            if got:
+                flat = np.concatenate(got).astype(np.float32)  # (k, C)
+                chunk[v, :, : len(flat)] = flat.T
+                counts[v] = len(flat)
+        self._dirty = {v for v in self._dirty if self._pending[v]}
+        self.buflen = (self.buflen + counts).astype(np.int32)
+        return {"chunk": chunk, "wcount": counts}
+
+    def dr_host_tick(self, interval, counts):
+        """Advance the (t, buflen, start) mirrors by ``counts`` (V,) frames —
+        the host shadow of dr_render's in-graph release (term-for-term the
+        f32 math of host_prepare)."""
+        self.stopping = self.stopping | self.closed
+        interval = np.float32(interval)
+        cnt = counts.astype(np.float32)
+        nxt = (self.t + (interval * cnt * self.rate.astype(np.float32))).astype(
+            np.float32
+        )
+        lenf = self.buflen.astype(np.float32)
+        tc = np.minimum(nxt, lenf)
+        released = np.trunc(tc).astype(np.int32)
+        self.t = (tc - released).astype(np.float32)
+        self.buflen = (self.buflen - released).astype(np.int32)
+        self.start = ((self.start + released) % np.int32(self.size_pad)).astype(
+            np.int32
+        )
+
+    def dr_ingest(self, state, ing):
+        """In-graph Receiver::update: place each voice's shipped chunk at its
+        DEVICE write cursor (start + len) and grow len."""
+        import jax
+
+        wpos = jnp.mod(state["len"] + state["start"], np.int32(self.size_pad))
+        params = {
+            "chunk": ing["chunk"],
+            "wcount": ing["wcount"] + 1,  # zero-termination column
+            "wpos": wpos,
+        }
+        if ing["chunk"].shape[-1] <= 8192:
+            ring = self._write_pool(state["ring"], params)
+        else:
+            ring = jax.vmap(self._write_one)(state["ring"], params)
+        out = dict(state)
+        out["ring"] = ring
+        out["len"] = state["len"] + ing["wcount"]
+        return out
+
+    def dr_render(self, state, ddata, interval, n, count):
+        params = {
+            "t": state["t"],
+            "ds": np.float32(interval) * state["rate"],
+            "len": state["len"],
+            "start": state["start"],
+        }
+        d2, samp = self.render_batched({"ring": state["ring"]}, ddata, params, n)
+        out = dict(state)
+        out["ring"] = d2["ring"]
+        # release consumed whole samples (stream.rs:63-69), mirrored by
+        # dr_host_tick on the host
+        cf = count.astype(jnp.float32)
+        nxt = state["t"] + (np.float32(interval) * cf) * state["rate"]
+        lenf = state["len"].astype(jnp.float32)
+        tc = jnp.minimum(nxt, lenf)
+        released = jnp.trunc(tc).astype(jnp.int32)
+        out["t"] = tc - released.astype(jnp.float32)
+        out["len"] = state["len"] - released
+        out["start"] = jnp.mod(
+            state["start"] + released, np.int32(self.size_pad)
+        )
+        if self.channels == 1:
+            samp = samp[:, 0, :]
+        return out, samp
+
+    def dr_is_finished(self, state):
+        """stream.rs:88-91: closed && drained."""
+        return (state["closed"] > 0.5) & (
+            state["t"] >= state["len"].astype(jnp.float32)
+        )
 
 
 class StreamControl:

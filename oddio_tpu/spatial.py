@@ -664,7 +664,12 @@ class _DRPoolBase(DRCtrlMixin):
 
     def _init_base(self, name, spec, capacity, k_motion, k_play):
         self.name = name
-        self.proto = spec
+        # ingest-needing protos (Stream) keep BATCHED host mirror columns
+        # (the pool's shadow of the device cursors + per-slot producer
+        # queues; see Stream.dr_bind_slot)
+        self.proto = (
+            spec.clone_batched(capacity) if spec.dr_needs_ingest() else spec
+        )
         self.capacity = capacity
         self.k_motion = k_motion
         self.k_play = k_play
@@ -728,6 +733,8 @@ class _DRPoolBase(DRCtrlMixin):
         self.mask_host = np.concatenate([self.mask_host, np.zeros(old, bool)])
         self.stopped_host = np.concatenate([self.stopped_host, np.zeros(old, bool)])
         self._free = list(range(new - 1, old - 1, -1)) + self._free
+        if self.proto.batch:
+            self.proto.grow_batched(new)
         self.capacity = new
 
     # -- control side ----------------------------------------------------------
@@ -750,6 +757,8 @@ class _DRPoolBase(DRCtrlMixin):
         self._fade_claim_reset(i)
         self._fade_mirror_on_play(i, spec)
         self._track_spec(i, spec)
+        if self.proto.batch:
+            self.proto.dr_bind_slot(i, spec, self, gen)
         return i, gen
 
     def _geom_row(self, options):
@@ -775,8 +784,8 @@ class _DRPoolBase(DRCtrlMixin):
             "motion_vel": np.zeros(3, np.float32),
             "prev_position": np.zeros(3, np.float32),
             "smdt": np.float32(0),
-            "inner": jax.tree.map(
-                lambda a: np.asarray(a[0]), self.proto.dr_state_init(1)
+            "inner": self.proto.dr_default_row(
+                getattr(self, "interval_inner", 0.0)
             ),
         }
         return row
@@ -823,9 +832,9 @@ class _DRPoolBase(DRCtrlMixin):
         S = dict(self.state)
         for k in self.ROW_KEYS:
             S[k] = S[k].at[idx].set(jnp.asarray(rows[k]))
-        S["inner"] = jax.tree.map(
-            lambda st, rv: st.at[idx].set(jnp.asarray(rv)), S["inner"], rows["inner"]
-        )
+        from .core.drctrl import rows_scatter
+
+        S["inner"] = rows_scatter(S["inner"], rows["inner"], idx)
         self._clear_rows(S, idx)
         self.state = S
 
@@ -923,14 +932,13 @@ class _DRPoolBase(DRCtrlMixin):
 
         # 1. plays (set.rs insert semantics: applied before the walk)
         if "play_idx" in params:
+            from .core.drctrl import rows_scatter
+
             pidx = localize_index(params["play_idx"], V)
             rows = params["play"]
             for k in self.ROW_KEYS:
                 S[k] = S[k].at[pidx].set(rows[k], mode="drop")
-            S["inner"] = jax.tree.map(
-                lambda st, rv: st.at[pidx].set(rv, mode="drop"),
-                S["inner"], rows["inner"],
-            )
+            S["inner"] = rows_scatter(S["inner"], rows["inner"], pidx)
             self._clear_rows(S, pidx)
 
         # 1b. control-field deltas (set_gain/set_speed/..., gain.rs:103-108)
@@ -1236,6 +1244,17 @@ class _BufferedPoolDR(_DRPoolBase):
         self._fade_tick(
             params if self._has_play else None, self.interval_inner, n_write
         )
+        # stream ingest + cursor-mirror shadow (ingest grows len first,
+        # then the advance releases — the order dr_render uses in-graph);
+        # counts mirror the device's mask gate (idle slots hold cursors)
+        if self.proto.batch:
+            ing = self.proto.dr_ingest_params()
+            if ing is not None:
+                params["ing"] = ing
+            self.proto.dr_host_tick(
+                self.interval_inner,
+                np.where(self.mask_host, np.int32(n_write), np.int32(0)),
+            )
         return params
 
     def render(self, dstate, ddata, params, n):
@@ -1265,6 +1284,10 @@ class _BufferedPoolDR(_DRPoolBase):
         # n_inner frames are written every block — the <=1-frame overlap past
         # n_write is recomputed identically next block (deterministic
         # sources), so audio is exact while writes stay slab-shaped.
+        if "ing" in params:
+            # stream PCM ingest at the device write cursors (before the
+            # inner render reads, like the host pools' write-then-read)
+            S["inner"] = self.proto.dr_ingest(S["inner"], params["ing"])
         inner2, samples = self.proto.dr_render(
             S["inner"], ddata.get("inner", {}), self.interval_inner, n_inner, n_write
         )
@@ -1476,7 +1499,14 @@ class SpatialScene(Signal):
             self._buffered_pools[("singleton", name)] = pool
             i, gen = pool.play(spec, options, max_delay)
             return Spatial(pool, i, gen)
-        dr = spec.dr_supported()
+        from .ops.stream import Stream
+
+        # ingest-needing chains (streams) go DR only when the TOP node is
+        # the stream itself — it owns the per-block PCM channel; wrapped
+        # streams keep the host-pool path
+        dr = spec.dr_supported() and (
+            not spec.dr_needs_ingest() or type(spec) is Stream
+        )
         key = (spec.archetype(), int(rate), bucket, dr)
         pool = self._buffered_pools.get(key)
         if pool is None:
@@ -1533,6 +1563,13 @@ class SpatialScene(Signal):
                 }
                 if hasattr(p, "_w_host"):
                     st["w_host"] = float(p._w_host)
+                if p.proto.batch:
+                    # batched proto mirrors (stream cursors) + producer queues
+                    st["proto_host"] = _host_state(p.proto)
+                    st["proto_pending"] = [
+                        [np.copy(c) for c in q] for q in p.proto._pending
+                    ]
+                    st["proto_dirty"] = set(p.proto._dirty)
             else:
                 st["cols"] = {c: np.copy(getattr(p, c)) for c in p._COL_NAMES}
                 st["sig"] = _host_state(p.sig)
@@ -1569,6 +1606,11 @@ class SpatialScene(Signal):
                     setattr(p, name, {k: np.copy(v) for k, v in saved.items()})
                 if "w_host" in st:
                     p._w_host = np.float32(st["w_host"])
+                if "proto_host" in st:
+                    _set_host_state(p.proto, st["proto_host"])
+                    for i, q in enumerate(st["proto_pending"]):
+                        p.proto._pending[i] = [np.copy(c) for c in q]
+                    p.proto._dirty = set(st["proto_dirty"])
             else:
                 for c, v in st["cols"].items():
                     setattr(p, c, np.copy(v))
@@ -1709,12 +1751,15 @@ class SpatialScene(Signal):
         ship per-voice arrays (voice-sharded)."""
         import jax
 
-        out = {
-            p.name: jax.tree.map(
-                lambda _, dr=getattr(p, "is_dr", False): not dr, params[p.name]
-            )
-            for p in self._all_pools()
-        }
+        out = {}
+        for p in self._all_pools():
+            sub = params[p.name]
+            dr = getattr(p, "is_dr", False)
+            m = jax.tree.map(lambda _, dr=dr: not dr, sub)
+            if dr and "ing" in sub:
+                # DR stream-ingest chunks are dense per-voice payloads
+                m["ing"] = jax.tree.map(lambda _: True, sub["ing"])
+            out[p.name] = m
         if "_rot_new" in params:
             out["_rot_new"] = False
         return out

@@ -162,6 +162,49 @@ def test_streaming_agc_scene_pack():
     assert np.abs(out[:, 512:]).max() > 0.05  # audio flows after ingest
 
 
+def test_scenepack_dr_stream_ingest():
+    """BARE streams ride DR pools: the per-block ingest chunk is a dense
+    per-voice payload that must shard with the voices under the mesh.
+    Mid-run writes through a pack must match single-device renderers."""
+    need_devices(8)
+    S, VOICES = 2, 6
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        control, mixer = ot.Mixer.new(channels=1)
+        senders = []
+        for _ in range(VOICES):
+            sc, stream = ot.Stream.new(8000, 2048)
+            control.play(stream)
+            senders.append(sc)
+        return mixer, senders
+
+    def feed(senders, rng):
+        for group in senders:
+            for sc in group:
+                sc.write(rng.standard_normal(600).astype(np.float32) * 0.2)
+
+    # reference: unsharded per-scene renderers with the same write schedule
+    scenes, senders = zip(*[build(s) for s in range(S)])
+    rs = [ot.Renderer(m, 8000) for m in scenes]
+    rng = np.random.default_rng(9)
+    ref = []
+    for _ in range(4):
+        feed(senders, rng)
+        ref.append(np.stack([np.asarray(r.render_block(512)) for r in rs]))
+    ref = np.concatenate(ref, axis=1)
+
+    scenes, senders = zip(*[build(s) for s in range(S)])
+    pack = ScenePack(list(scenes), 8000, make_mesh(2, 4))
+    rng = np.random.default_rng(9)
+    outs = []
+    for _ in range(4):
+        feed(senders, rng)
+        outs.append(pack.render_block(512))
+    out = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_scenepack_sampler_seek_voices():
     """Sampler (FramesSignal) voices on the DR seek path under shard_map:
     the guarded-arena resample kernel runs per shard with replicated

@@ -213,7 +213,8 @@ def test_quat_rotate_axes():
 
 def test_stream_as_buffered_spatial_source():
     """play_buffered accepts arbitrary (non-deterministic) signals — here a
-    Stream — via the host-path pool (spatial.rs:304-340)."""
+    Stream — via the device-resident pool (spatial.rs:304-340): the ring
+    AND its cursors live on device, PCM ships as per-block ingest."""
     control, scene = ot.SpatialScene.new()
     sc, stream = ot.Stream.new(8000, 4096)
     h = control.play_buffered(
@@ -221,7 +222,7 @@ def test_stream_as_buffered_spatial_source():
         max_distance=10.0, rate=8000, buffer_duration=0.1,
     )
     pool = list(scene._buffered_pools.values())[0]
-    assert not getattr(pool, "is_dr", False)  # stream state is host-fed
+    assert getattr(pool, "is_dr", False)  # bare streams ride the DR pool
     sc.write(np.sin(np.arange(4000) * 0.3).astype(np.float32))
     r = ot.Renderer(scene, 8000)
     out = np.concatenate([r.render_block(512) for _ in range(4)])

