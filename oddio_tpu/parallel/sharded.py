@@ -148,10 +148,39 @@ class ScenePack:
         self._steps[key] = step
         return step
 
+    def _tier_floors(self, n):
+        """One program renders every scene, so aligned pools across the pack
+        must agree on any motion-adaptive read tier: give each the max
+        PRE-drain walk bound over the pack (each pool's post-drain bound is
+        <= its tier_bound, so every scene resolves the same tier)."""
+        import numpy as np
+
+        scenes = self.scenes
+        if not hasattr(scenes[0], "_all_pools"):
+            return
+        groups = list(zip(*[list(s._all_pools()) for s in scenes]))
+        rot_any = any(
+            getattr(s, "_rot_pending", None) is not None for s in scenes
+        )
+        for grp in groups:
+            if not hasattr(grp[0], "tier_bound"):
+                continue
+            floor = max(p.tier_bound(self.interval, n) for p in grp)
+            if rot_any and n > 0:
+                from ..ops.geometry import HEAD_RADIUS, SPEED_OF_SOUND
+
+                elapsed = float(np.float32(self.interval) * np.float32(n))
+                floor += 2.0 * float(HEAD_RADIUS) / (
+                    float(SPEED_OF_SOUND) * elapsed
+                )
+            for p in grp:
+                p._dmax_floor = floor
+
     def render_block(self, n):
         """Render one block for every scene; returns float32 (S, n, C)."""
         from .context import voice_axis
 
+        self._tier_floors(n)
         per_scene = [s.host_prepare(self.interval, n) for s in self.scenes]
         self._params_single = per_scene[0]
         params = _stack(per_scene)
@@ -182,3 +211,7 @@ class ScenePack:
             return
         self.sync()
         self._dstate = None
+        for s in self.scenes:
+            for p in getattr(s, "_all_pools", lambda: ())():
+                if hasattr(p, "_dmax_floor"):
+                    p._dmax_floor = 0.0

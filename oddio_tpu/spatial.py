@@ -94,6 +94,18 @@ def _emax(rate):
     return RING_ROW + int(np.ceil(0.215 / float(SPEED_OF_SOUND) * rate)) + 2
 
 
+def _smooth_host(prev, smdt, dt_extra, mpos, mvel):
+    """Host twin of ops.geometry.smoothed_position (spatial.rs:501-511):
+    same f32 term order, batched (V, 3) numpy.  Drives the per-block read
+    walk bound without any device sync."""
+    dt = (smdt + np.float32(dt_extra)).astype(np.float32)
+    change = (mvel * dt[:, None]).astype(np.float32)
+    naive = (prev + change).astype(np.float32)
+    intended = (mpos + change).astype(np.float32)
+    r = np.minimum(dt / POSITION_SMOOTHING_PERIOD, np.float32(1.0))[:, None]
+    return ((np.float32(1.0) - r) * naive + r * intended).astype(np.float32)
+
+
 class SpatialOptions:
     """Passed to play/play_buffered (spatial.rs:352-371)."""
 
@@ -390,14 +402,20 @@ class _BufferedPool(_VoicePool):
         }
         # strips need the kernel walk bound to hold: positions step at
         # ds = (ring rate / scene rate) x doppler (ring.rs:51-79 resamples
-        # at ANY ratio), so |ds - 1| * n must stay under K.  Exotic ratios
-        # take the exact elementwise branch below.
-        ratio = float(np.float32(self.rate) * f32(interval))
-        dmax = abs(ratio - 1.0) + 0.1 * ratio  # 0.1 = ~±34 m/s radial
+        # at ANY ratio), so |ds - 1| * n must stay under K.  This pool's
+        # cursor math lives host-side, so the bound is the TRUE per-voice
+        # walk — supersonic motion or a frozen -max_delay clamp (ds = 0,
+        # spatial.rs:414-415) drops to the exact elementwise branch below.
+        live = self.mask
+        walk = (
+            float(np.abs(ds[live] - np.float32(1.0)).max()) * n
+            if live.any()
+            else 0.0
+        )
         self._use_strips = bool(
             self._n_inner <= PAGE + 1
             and 0 < n <= 640
-            and dmax * n <= K_DOPPLER
+            and walk <= K_DOPPLER
         )
         start_i = start_idx.astype(np.int32)
         ob = obase.astype(np.int32)
@@ -683,6 +701,21 @@ class _DRPoolBase(DRCtrlMixin):
         #: always ship delta arrays (ScenePack needs uniform structures)
         self.force_deltas = False
         self.state = None
+        # exact host mirrors of the device walk's geometry inputs (same f32
+        # math, updated at play and at motion-delta SHIP time): the per-block
+        # read-walk bound derives from these, so the buffered read tier can
+        # tighten to the scene's actual motion without any device sync
+        self._g_prev = np.zeros((capacity, 3), np.float32)
+        self._g_mpos = np.zeros((capacity, 3), np.float32)
+        self._g_mvel = np.zeros((capacity, 3), np.float32)
+        self._g_smdt = np.zeros(capacity, np.float32)
+        #: pack-wide walk-bound floor (ScenePack renders every scene with ONE
+        #: program, so aligned pools must agree on the read tier)
+        self._dmax_floor = 0.0
+        #: cached walk-bound verdict + validity horizons (see _block_b);
+        #: None = mirrors changed, recompute
+        self._b_cache = None
+        self._t_scene = 0.0
         self._init_ctrl(spec)
 
     # -- state ---------------------------------------------------------------
@@ -733,6 +766,11 @@ class _DRPoolBase(DRCtrlMixin):
         self.mask_host = np.concatenate([self.mask_host, np.zeros(old, bool)])
         self.stopped_host = np.concatenate([self.stopped_host, np.zeros(old, bool)])
         self._free = list(range(new - 1, old - 1, -1)) + self._free
+        self._g_prev = np.concatenate([self._g_prev, np.zeros((old, 3), np.float32)])
+        self._g_mpos = np.concatenate([self._g_mpos, np.zeros((old, 3), np.float32)])
+        self._g_mvel = np.concatenate([self._g_mvel, np.zeros((old, 3), np.float32)])
+        self._g_smdt = np.concatenate([self._g_smdt, np.zeros(old, np.float32)])
+        self._b_cache = None
         if self.proto.batch:
             self.proto.grow_batched(new)
         self.capacity = new
@@ -794,6 +832,11 @@ class _DRPoolBase(DRCtrlMixin):
         self.pending_plays.append((i, row))
         self.mask_host[i] = True
         self.stopped_host[i] = False
+        self._g_prev[i] = row["prev_position"]
+        self._g_mpos[i] = row["motion_pos"]
+        self._g_mvel[i] = row["motion_vel"]
+        self._g_smdt[i] = row["smdt"]
+        self._b_cache = None
 
     def push_motion(self, slot, gen, pos, vel, disc):
         if self.slot_gen[slot] == gen:
@@ -860,6 +903,7 @@ class _DRPoolBase(DRCtrlMixin):
                 self.stopped_host[i] = True
                 self.slot_gen[i] += 1
                 self._free.append(i)
+                self._b_cache = None  # the live set shrank; re-bound
 
     # -- per block ---------------------------------------------------------------
 
@@ -915,6 +959,20 @@ class _DRPoolBase(DRCtrlMixin):
                 mot_pos[j] = p
                 mot_vel[j] = v
                 mot_disc[j] = d
+                # mirror the device's motion-refresh math (walk step 2):
+                # shipped deltas apply on THIS block
+                sm = _smooth_host(
+                    self._g_prev[slot : slot + 1],
+                    self._g_smdt[slot : slot + 1],
+                    0.0,
+                    self._g_mpos[slot : slot + 1],
+                    self._g_mvel[slot : slot + 1],
+                )[0]
+                self._g_prev[slot] = p if d else sm
+                self._g_smdt[slot] = 0.0
+                self._g_mpos[slot] = p
+                self._g_mvel[slot] = v
+                self._b_cache = None
             params["mot_idx"] = mot_idx
             params["mot_pos"] = mot_pos
             params["mot_vel"] = mot_vel
@@ -1020,7 +1078,11 @@ class _SeekPoolDR(_DRPoolBase):
         # warp steps are the scene interval times the doppler factor; 1.25
         # covers the clamped |v|/c range (K_DOPPLER) with margin
         self._ds_small = self._ds_flag_sync(float(f32(interval)) * 1.25)
-        return self._delta_params({}, force)
+        params = self._delta_params({}, force)
+        # keep the geometry mirrors' smoothing clock current (the seek pool
+        # never reads them, but delta-ship math does)
+        self._g_smdt = (self._g_smdt + np.float32(self._elapsed)).astype(np.float32)
+        return params
 
     def render(self, dstate, ddata, params, n):
         from .ops.geometry import ear_states
@@ -1122,6 +1184,10 @@ class _BufferedPoolDR(_DRPoolBase):
         select_window(self.R_CHUNK, self.emax2, self.K_DOPPLER)
         self._n_inner = 1
         self._read_cfg = None  # set per block by host_prepare
+        #: per-voice max_delay host column: a voice whose propagation offset
+        #: can hit the -max_delay clamp (spatial.rs:414-415) reads FROZEN
+        #: (ds = 0), which only the small-chunk tier represents exactly
+        self._md_host = np.zeros(capacity, np.float32)
 
     # -- state ---------------------------------------------------------------
 
@@ -1140,6 +1206,13 @@ class _BufferedPoolDR(_DRPoolBase):
         }
 
     # -- control side ----------------------------------------------------------
+
+    def grow(self):
+        old = self.capacity
+        super().grow()
+        self._md_host = np.concatenate(
+            [self._md_host, np.zeros(old, np.float32)]
+        )
 
     def play(self, spec, options, max_delay):
         i, gen = self._claim_slot(spec)
@@ -1165,6 +1238,7 @@ class _BufferedPoolDR(_DRPoolBase):
         )
         row["max_delay"] = np.float32(max_delay)
         row["inner"] = spec.dr_slot_row(self.interval_inner)
+        self._md_host[i] = np.float32(max_delay)
         self._queue_play(i, row)
         return i, gen
 
@@ -1179,6 +1253,173 @@ class _BufferedPoolDR(_DRPoolBase):
         S["ring"] = S["ring"].at[idx].set(0.0, mode="drop")
 
     # -- per block ---------------------------------------------------------------
+
+    def _walk_bound(self, elapsed, rot_sin_half):
+        """Conservative bounds on this block's |apparent radial velocity|/c
+        over audible voices (the read-walk tier feed), from the exact host
+        geometry mirrors — no device sync.  Returns (steady, full):
+
+        * ``steady`` — persistent contributions: set velocities, plus >= 1.0
+          when any voice's propagation offset may hit the -max_delay clamp
+          (frozen read, ds = 0, spatial.rs:414-415).  Tier escalation from
+          these is exact (they describe the scene's standing state).
+        * ``full`` — adds TRANSIENT contributions: the position-smoothing
+          transition term after a motion refresh, and the listener-rotation
+          ear swing (``rot_sin_half`` = sin(theta/2) of a rotation step
+          interpolating across this block; 0 when unchanged).  The caller
+          caps their tier effect at the K=64 delta class so spikes never
+          compile fresh programs (beyond it the walk clips — the documented
+          supersonic behavior, PARITY.md)."""
+        C = np.float32(SPEED_OF_SOUND)
+        T = np.float32(POSITION_SMOOTHING_PERIOD)
+        live = self.mask_host
+        if not live.any():
+            self._b_cache = {
+                "elapsed": elapsed, "steady": 0.0, "full": 0.0,
+                "clamp": False, "valid_until": np.inf, "trans_until": 0.0,
+                "d_hi_max": 0.0,
+            }
+            return 0.0, 0.0
+        livef = live.astype(np.float32)
+        mvel = self._g_mvel
+        prev = self._g_prev
+        mpos = self._g_mpos
+        smdt = self._g_smdt
+        vn = np.sqrt(np.einsum("ij,ij->i", mvel, mvel))
+        # while smoothing (smdt < T) the apparent velocity carries the
+        # pos-refresh transition term (d/dt of r*(intended - naive)),
+        # CONSTANT until each voice's smdt crosses T
+        d = mpos - prev
+        tn = np.sqrt(np.einsum("ij,ij->i", d, d))
+        smoothing = smdt < T
+        trans = np.where(smoothing & live, tn / T, np.float32(0.0))
+        vn = vn * livef
+        spd = vn + trans
+        steady = (float(vn.max()) * 1.05 + 0.5) / float(C)
+        full = (float(spd.max()) * 1.05 + 0.5) / float(C)
+        # offset-clamp check on the block-endpoint positions (within-block
+        # ear offsets interpolate between them); the verdict stays valid
+        # until some voice could CROSS its boundary (|gap| / speed)
+        e32 = np.float32(elapsed)
+        margin = np.float32(2.0 / self.rate + 1e-4)
+        d_hi = np.float32(0.0)
+        for dt_extra in (np.float32(0.0), e32):
+            dt = smdt + dt_extra
+            r = np.minimum(dt / T, np.float32(1.0))
+            p = prev + mvel * dt[:, None] + r[:, None] * d
+            d_hi = np.maximum(d_hi, np.sqrt(np.einsum("ij,ij->i", p, p)))
+        d_hi = d_hi + np.float32(HEAD_RADIUS)
+        bnd = (self._md_host - e32 - margin) * C  # clamp boundary, meters
+        clamp = bool(((d_hi >= bnd) & live).any())
+        gap = np.where(live, np.abs(d_hi - bnd), np.float32(np.inf))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            horizon = float(np.where(spd > 0, gap / np.maximum(spd, 1e-9),
+                                     np.float32(np.inf)).min())
+        rem = np.where(smoothing & live, T - smdt, np.float32(0.0))
+        self._b_cache = {
+            "elapsed": elapsed,
+            "steady": steady,
+            "full": full,
+            "clamp": clamp,
+            "valid_until": self._t_scene + horizon,
+            "trans_until": self._t_scene + float(rem.max()),
+            "d_hi_max": float(d_hi.max()),
+        }
+        if clamp:
+            steady = max(steady, 1.0)
+            full = max(full, 1.0)
+        if rot_sin_half > 0.0 and elapsed > 0:
+            # the rotation moves each EAR distance by at most
+            # min(2*HEAD, 2*dist*sin(theta/2)), spread across the block
+            swing = 2.0 * min(
+                float(HEAD_RADIUS),
+                float(d_hi.max()) * float(rot_sin_half),
+            )
+            full += 1.05 * swing / (float(C) * elapsed)
+        return steady, full
+
+    def _block_b(self, elapsed, n, ratio, rot_sin_half):
+        """Final walk-bound fraction for this block: steady contributions
+        escalate exactly; transient ones are capped at the K=64 delta-class
+        envelope so control traffic never compiles a fresh variant.
+
+        The full mirror sweep is O(V) numpy (~0.5 ms at 4096 voices), far
+        too hot per block — it runs only when the cached verdict can have
+        changed: mirrors touched, block size changed, a rotation step, or a
+        voice able to reach its clamp boundary (|gap|/speed horizon)."""
+        c = self._b_cache
+        if (
+            c is None
+            or rot_sin_half > 0.0
+            or c["elapsed"] != elapsed
+            or self._t_scene >= c["valid_until"]
+        ):
+            steady, full = self._walk_bound(elapsed, rot_sin_half)
+        else:
+            steady, full = c["steady"], c["full"]
+            if self._t_scene >= c["trans_until"]:
+                full = steady  # every smoothing transition has decayed
+            if c["clamp"]:
+                steady = max(steady, 1.0)
+                full = max(full, 1.0)
+        b_cap = max(
+            0.0, (64.0 / min(512, max(n, 1)) - abs(ratio - 1.0)) / max(ratio, 1e-9)
+        )
+        return max(steady, min(full, max(b_cap, steady)))
+
+    def force_needed(self):
+        """Whether this pool wants the (already-compiled) DELTA step variant
+        even without queued events: while a motion refresh's position
+        smoothing decays (smdt < T with a nonzero transition), the walk
+        bound is temporarily wider, and riding the delta program — whose
+        tier is pinned at the K=64 class — keeps live scenes on exactly two
+        jitted programs (the README:11 no-glitch contract)."""
+        c = self._b_cache
+        if c is None:
+            return True  # mirrors just changed; re-bound on the delta program
+        return (
+            self._t_scene < c["trans_until"]
+            and c["full"] > c["steady"] + 1e-6
+        )
+
+    def tier_bound(self, interval, n):
+        """PRE-drain conservative walk bound for pack-wide tier agreement
+        (ScenePack renders every scene with one program): the post-drain
+        bound any aligned pool can compute this block is <= this value, so
+        max-over-pack of tier_bound is a sound shared floor.  Transient
+        terms are capped exactly like ``_block_b``."""
+        elapsed = float(np.float32(f32(interval) * np.float32(n)))
+        ratio = float(np.float32(self.rate) * f32(interval))
+        C = float(SPEED_OF_SOUND)
+        T = float(POSITION_SMOOTHING_PERIOD)
+        b_cap = max(
+            0.0, (64.0 / min(512, max(n, 1)) - abs(ratio - 1.0)) / max(ratio, 1e-9)
+        )
+        b = self._block_b(elapsed, n, ratio, 0.0)
+        margin = 2.0 / self.rate + 1e-4
+        for slot, (p, v, d) in self.pending_motion.items():
+            sm = _smooth_host(
+                self._g_prev[slot : slot + 1],
+                self._g_smdt[slot : slot + 1],
+                0.0,
+                self._g_mpos[slot : slot + 1],
+                self._g_mvel[slot : slot + 1],
+            )[0]
+            vn = float(np.linalg.norm(np.asarray(v, np.float64)))
+            trans = (
+                0.0 if d else float(np.linalg.norm(np.asarray(p, np.float64) - sm)) / T
+            )
+            steady_p = (1.05 * vn + 0.5) / C
+            full_p = (1.05 * (vn + trans) + 0.5) / C
+            d_hi = max(
+                float(np.linalg.norm(np.asarray(p, np.float64))),
+                float(np.linalg.norm(sm.astype(np.float64))),
+            ) + float(HEAD_RADIUS) + (vn + trans) * elapsed
+            if d_hi / C >= float(self._md_host[slot]) - elapsed - margin:
+                steady_p = max(steady_p, 1.0)
+                full_p = max(full_p, 1.0)
+            b = max(b, max(steady_p, min(full_p, max(b_cap, steady_p))))
+        return b
 
     def host_prepare(self, prev_rot, rot, interval, n, force=False):
         elapsed = float(np.float32(f32(interval) * np.float32(n)))
@@ -1223,22 +1464,50 @@ class _BufferedPoolDR(_DRPoolBase):
             "nw": np.int32(n_write),
             "wstart": np.int32(start_i),
         }
+        self._ds_small = self._ds_flag_sync(self.interval_inner)
+        # deltas ship (and mirror-update) BEFORE the tier choice: shipped
+        # motion applies on this block, so the walk bound must reflect the
+        # post-application trajectories
+        params = self._delta_params(params, force)
         # read-path tier: ring reads step at ds = (ring rate / scene rate)
         # x doppler (ring.rs:51-79 resamples at ANY ratio), so the chunk
-        # length and walk bound K adapt to the ratio; ratios beyond the
-        # kernel tiers take the exact elementwise read (correctness path)
+        # length and walk bound K adapt to the ratio AND to the scene's
+        # actual motion (exact host mirrors of the walk geometry); ratios/
+        # walks beyond the kernel tiers take the exact elementwise read
+        # (correctness path).  A voice whose propagation offset can clamp
+        # at -max_delay (spatial.rs:414-415) reads FROZEN (ds = 0): the
+        # bound goes >= 1 and only the 128-frame tier represents it.
         ratio = float(np.float32(self.rate) * f32(interval))
-        dmax = abs(ratio - 1.0) + 0.1 * ratio  # 0.1 = ~±34 m/s radial
+        pr = np.asarray(prev_rot, np.float64)
+        rr = np.asarray(rot, np.float64)
+        rot_sin_half = (
+            0.0
+            if np.array_equal(pr, rr)
+            else float(np.sqrt(max(0.0, 1.0 - min(1.0, np.dot(pr, rr) ** 2))))
+        )
+        b = max(
+            self._block_b(elapsed, n, ratio, rot_sin_half),
+            float(self._dmax_floor),
+        )
+        dmax = abs(ratio - 1.0) + b * ratio
+        tiers = ((512, 32), (512, 64), (512, 128), (256, 192), (128, 192))
+        if self._has_play:
+            # delta blocks skip the tight tier (pin at the K=64 class): a
+            # live scene then alternates between exactly two programs
+            # (idle@32 + delta@64) for the whole ±40 m/s envelope, with
+            # wider STANDING bounds (clamp/fast velocities) authoritative
+            tiers = tiers[1:]
         self._read_cfg = None
-        for n_c, k in ((512, 64), (512, 128), (256, 192), (128, 192)):
+        for n_c, k in tiers:
             if (
-                dmax * n_c <= k
+                dmax * min(n_c, max(n, 1)) <= k
                 and select_window(n_c, 127 + self.emax2, k) <= self.M_PAD
             ):
                 self._read_cfg = (n_c, k)
                 break
-        self._ds_small = self._ds_flag_sync(self.interval_inner)
-        params = self._delta_params(params, force)
+        # mirror the walk's smoothing-clock advance (step 3)
+        self._g_smdt = (self._g_smdt + np.float32(elapsed)).astype(np.float32)
+        self._t_scene += elapsed
         # fader bookkeeping rides the inner timebase (faders advance by the
         # ring-write frame count, like every inner node)
         self._fade_tick(
@@ -1561,6 +1830,17 @@ class SpatialScene(Signal):
                     for name in ("_fade_prog", "_fade_inc", "_fade_fading",
                                  "_fade_flip", "_fade_dur")
                 }
+                st["geom_mirror"] = {
+                    "prev": p._g_prev.copy(), "mpos": p._g_mpos.copy(),
+                    "mvel": p._g_mvel.copy(), "smdt": p._g_smdt.copy(),
+                    # the cached walk-bound verdict routes blocks between
+                    # the idle/delta programs (force_needed); restore it so
+                    # a resumed run replays the same program sequence
+                    "t_scene": float(p._t_scene),
+                    "b_cache": dict(p._b_cache) if p._b_cache else None,
+                }
+                if hasattr(p, "_md_host"):
+                    st["md_host"] = p._md_host.copy()
                 if hasattr(p, "_w_host"):
                     st["w_host"] = float(p._w_host)
                 if p.proto.batch:
@@ -1604,6 +1884,17 @@ class SpatialScene(Signal):
                 }
                 for name, saved in st.get("fade_mirrors", {}).items():
                     setattr(p, name, {k: np.copy(v) for k, v in saved.items()})
+                if "geom_mirror" in st:
+                    gm = st["geom_mirror"]
+                    p._g_prev = gm["prev"].copy()
+                    p._g_mpos = gm["mpos"].copy()
+                    p._g_mvel = gm["mvel"].copy()
+                    p._g_smdt = gm["smdt"].copy()
+                    p._t_scene = gm.get("t_scene", 0.0)
+                    bc = gm.get("b_cache")
+                    p._b_cache = dict(bc) if bc else None
+                if "md_host" in st:
+                    p._md_host = st["md_host"].copy()
                 if "w_host" in st:
                     p._w_host = np.float32(st["w_host"])
                 if "proto_host" in st:
@@ -1644,6 +1935,7 @@ class SpatialScene(Signal):
                 getattr(p, "_w_aligned", 0),
                 getattr(p, "_ds_small", True),
                 getattr(p, "_read_cfg", None),
+                getattr(p, "_use_strips", True),
             )
             for p in self._all_pools()
         )
@@ -1682,6 +1974,7 @@ class SpatialScene(Signal):
         force = rot_event or any(
             bool(p.pending_plays) or bool(p.pending_motion)
             or p._ctrl_pending_any() or p.force_deltas
+            or getattr(p, "force_needed", lambda: False)()
             for p in self._all_pools()
             if getattr(p, "is_dr", False)
         )

@@ -248,6 +248,88 @@ def test_golden_spatial_flyby_large_blocks(buffered):
     assert err <= 1e-5, (err, errs)
 
 
+@pytest.mark.parametrize("dr", [True, False])
+def test_golden_buffered_beyond_max_delay(dr):
+    """A voice farther than max_delay*c has BOTH ear offsets clamped at
+    -max_delay (spatial.rs:414-415): the read freezes (ds = 0) inside each
+    block, beyond the standard read tiers' walk windows.  The DR pool's
+    host walk bound must demote the tier; the host pool sees the true
+    per-voice ds and drops its strip kernels; audio must stay golden."""
+    RATE, BLOCK, NBLK = 8000, 512, 8
+    tt = np.arange(RATE, dtype=F) / F(RATE)
+    boop = np.sin(tt * F(500 * 2 * np.pi), dtype=F)
+    # 60 m > (10/343 + 0.1)*343 = 44.3 m -> frozen reads
+    pos = [60.0, 5.0, 0.0]
+
+    control, scene = ot.SpatialScene.new()
+    sig = ot.FramesSignal(ot.Frames.from_slice(RATE, boop), 0.0)
+    if not dr:
+        sig.dr_supported = lambda: False  # force the host pool
+    control.play_buffered(sig, ot.SpatialOptions(position=pos),
+                          max_distance=10.0, rate=RATE, buffer_duration=0.1)
+    r = ot.Renderer(scene, RATE)
+
+    oscene = ref.OSpatialScene(exact=True)
+    osig = ref.OFramesSignal(ref.OFrames(RATE, boop), 0.0, exact=True)
+    oscene.play_buffered(osig, pos, [0.0, 0.0, 0.0], 0.1,
+                         max_distance=10.0, rate=RATE, buffer_duration=0.1)
+
+    errs = []
+    for _ in range(NBLK):
+        eng = r.render_block(BLOCK)
+        buf = np.zeros((BLOCK, 2), F)
+        ref.oddio_run(oscene, RATE, buf)
+        errs.append(np.abs(eng - buf).max())
+    pool = list(scene._buffered_pools.values())[0]
+    if dr:
+        assert pool._read_cfg == (128, 192), pool._read_cfg
+    else:
+        assert not pool._use_strips
+    assert max(errs) <= 1e-5, errs
+    assert np.abs(buf).max() > 1e-4  # the frozen read carries audio
+
+
+def test_golden_slow_scene_tight_walk_tier():
+    """A scene whose voices all move slowly (|v| <= ~10 m/s) renders reads
+    on the tight K=32 tier (3-column select tables) chosen from the host
+    geometry mirrors; a motion refresh mid-run re-bounds the walk through
+    the smoothing transition and audio stays golden across every tier
+    switch."""
+    RATE, BLOCK, NBLK = 8000, 512, 16  # smoothing decays ~8 blocks after the delta
+    tt = np.arange(RATE, dtype=F) / F(RATE)
+    boop = np.sin(tt * F(500 * 2 * np.pi), dtype=F)
+
+    control, scene = ot.SpatialScene.new()
+    opts = ot.SpatialOptions(position=[-8.0, 2.0, 0.0], velocity=[4.0, 0.0, 0.0])
+    sig = ot.FramesSignal(ot.Frames.from_slice(RATE, boop), 0.0)
+    h = control.play_buffered(sig, opts, max_distance=60.0, rate=RATE,
+                              buffer_duration=0.1)
+    r = ot.Renderer(scene, RATE)
+
+    oscene = ref.OSpatialScene(exact=True)
+    osig = ref.OFramesSignal(ref.OFrames(RATE, boop), 0.0, exact=True)
+    ov = oscene.play_buffered(osig, [-8.0, 2.0, 0.0], [4.0, 0.0, 0.0], 0.1,
+                              max_distance=60.0, rate=RATE, buffer_duration=0.1)
+
+    pool = list(scene._buffered_pools.values())[0]
+    errs, tiers = [], []
+    for i in range(NBLK):
+        if i == 5:
+            # a 12 m jump smooths over 0.5 s: apparent speed ~24 m/s + |v|
+            # exceeds the K=32 budget until the transition decays
+            h.set_motion([4.0, 2.0, 0.0], [4.0, 0.0, 0.0], False)
+            ov.set_motion([4.0, 2.0, 0.0], [4.0, 0.0, 0.0], False)
+        eng = r.render_block(BLOCK)
+        buf = np.zeros((BLOCK, 2), F)
+        ref.oddio_run(oscene, RATE, buf)
+        errs.append(np.abs(eng - buf).max())
+        tiers.append(pool._read_cfg)
+    assert tiers[1] == (512, 32), tiers  # idle blocks ride the tight tier
+    assert tiers[5][1] > 32  # the transition re-bounds the walk
+    assert tiers[-1] == (512, 32), tiers  # and it decays back
+    assert max(errs) <= 1e-5, (errs, tiers)
+
+
 def test_golden_heavy_downsample():
     """ds = 8 resampling — beyond the resample kernel's window clamp
     (RESAMPLE_DSMAX): DR pools fall back to the exact whole-arena gather

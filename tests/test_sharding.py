@@ -205,6 +205,51 @@ def test_scenepack_dr_stream_ingest():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+def test_scenepack_walk_tier_uniform():
+    """ScenePack renders every scene with ONE program, so the motion-
+    adaptive read tier must agree across the pack: scene 0 is slow/near
+    (would pick the tight K=32 tier alone) while scene 1 holds a voice
+    beyond max_delay*c (frozen reads -> the 128-frame tier).  The pack-wide
+    floor must demote both, and the audio must match per-scene renderers."""
+    need_devices(8)
+
+    def build(far):
+        control, scene = ot.SpatialScene.new()
+        control.play_buffered(
+            ot.Sine(0.0, 440.0),
+            ot.SpatialOptions(position=[3.0, 0.0, -1.0], velocity=[4.0, 0.0, 0.0]),
+            max_distance=10.0, rate=8000, buffer_duration=0.1,
+        )
+        if far:
+            # 60 m > (10/343 + 0.1)*343 = 44.3 m: offsets clamp, reads freeze
+            control.play_buffered(
+                ot.Sine(1.0, 620.0),
+                ot.SpatialOptions(position=[60.0, 5.0, 0.0]),
+                max_distance=10.0, rate=8000, buffer_duration=0.1,
+            )
+        return scene
+
+    ref_out = []
+    scenes = [build(False), build(True)]
+    rs = [ot.Renderer(s, 8000) for s in scenes]
+    for _ in range(4):
+        ref_out.append(np.stack([np.asarray(r.render_block(512)) for r in rs]))
+    ref_out = np.concatenate(ref_out, axis=1)
+
+    scenes = [build(False), build(True)]
+    pack = ScenePack(scenes, 8000, make_mesh(2, 4))
+    outs = [pack.render_block(512) for _ in range(4)]
+    out = np.concatenate(outs, axis=1)
+    tiers = {
+        p._read_cfg
+        for s in scenes
+        for p in s._all_pools()
+        if hasattr(p, "_read_cfg")
+    }
+    assert tiers == {(128, 192)}, tiers  # the far scene's floor won
+    np.testing.assert_allclose(out, ref_out, atol=2e-5)
+
+
 def test_scenepack_sampler_seek_voices():
     """Sampler (FramesSignal) voices on the DR seek path under shard_map:
     the guarded-arena resample kernel runs per shard with replicated
