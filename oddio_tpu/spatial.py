@@ -1490,7 +1490,11 @@ class _BufferedPoolDR(_DRPoolBase):
             float(self._dmax_floor),
         )
         dmax = abs(ratio - 1.0) + b * ratio
-        tiers = ((512, 32), (512, 64), (512, 128), (256, 192), (128, 192))
+        # (256, 256) carries the full frozen-read family (|ds-1| <= 1, a
+        # clamped voice's walk <= n_c) at half the chunking overhead of
+        # (128, 192); its window is exactly M_PAD wide
+        tiers = ((512, 32), (512, 64), (512, 128), (256, 256), (256, 192),
+                 (128, 192))
         if self._has_play:
             # delta blocks skip the tight tier (pin at the K=64 class): a
             # live scene then alternates between exactly two programs

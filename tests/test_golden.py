@@ -282,7 +282,7 @@ def test_golden_buffered_beyond_max_delay(dr):
         errs.append(np.abs(eng - buf).max())
     pool = list(scene._buffered_pools.values())[0]
     if dr:
-        assert pool._read_cfg == (128, 192), pool._read_cfg
+        assert pool._read_cfg == (256, 256), pool._read_cfg
     else:
         assert not pool._use_strips
     assert max(errs) <= 1e-5, errs

@@ -246,7 +246,7 @@ def test_scenepack_walk_tier_uniform():
         for p in s._all_pools()
         if hasattr(p, "_read_cfg")
     }
-    assert tiers == {(128, 192)}, tiers  # the far scene's floor won
+    assert tiers == {(256, 256)}, tiers  # the far scene's floor won
     np.testing.assert_allclose(out, ref_out, atol=2e-5)
 
 
