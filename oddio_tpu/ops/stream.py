@@ -154,7 +154,13 @@ class Stream(Signal):
         V = self.batch[0] if self.batch else 1
         C = self.channels
         self._has_write = bool(self._dirty)
-        chunk = np.zeros((V, C, self.max_write if self._has_write else 0), np.float32)
+        # one spare column zero-TERMINATES each voice's chunk: the device
+        # write also refreshes the boundary lerp cell (get_pair's b at
+        # k == len, frames.rs:105-123), so no per-block ring scatter is
+        # needed on the read side — a ring-sized write+gather pair in one
+        # scan body re-materializes the whole ring every block
+        mw = (self.max_write + 1) if self._has_write else 0
+        chunk = np.zeros((V, C, mw), np.float32)
         counts = np.zeros(V, np.int32)
         lens = np.atleast_1d(self.buflen).copy()
         for v in sorted(self._dirty):
@@ -192,8 +198,8 @@ class Stream(Signal):
             "start": self.start.copy(),
         }
         if self._has_write:
-            params["chunk"] = chunk.reshape(self.batch + (C, self.max_write))
-            params["wcount"] = counts.reshape(self.batch)
+            params["chunk"] = chunk.reshape(self.batch + (C, mw))
+            params["wcount"] = (counts + 1).reshape(self.batch)
             params["wpos"] = write_pos.reshape(self.batch)
         # advance (stream.rs:63-69): next = t + dt*rate, release whole samples
         cnt = np.broadcast_to(f32(n if count is None else count), self.batch)
@@ -325,12 +331,13 @@ class Stream(Signal):
         ROWB = 128
         rpv = self._rows
         view = ring.reshape(V * rpv, ROWB)
-        # zero the first unwritten cell so the boundary lerp pair reads a
-        # true zero instead of stale data (get_pair's b at k == len)
-        cell = jnp.mod(params["start"] + params["len"], size)
+        # the boundary lerp cell (get_pair's b at k == len) is a true zero
+        # by WRITE-side invariant: every ingest chunk ships one spare
+        # zero-termination column (host_prepare / dr_ingest), so the read
+        # side never touches the ring — a ring-sized write+gather pair in
+        # one scan body would re-materialize the whole ring every block
+        # (~4.9 us/MB; 835 MB at 1024 six-second voices = ~5 ms/block)
         vbase = jnp.arange(V, dtype=jnp.int32) * rpv
-        view = view.at[vbase + cell // ROWB, cell % ROWB].set(0.0)
-
         ds_int, f_hi, f_lo = device_split_ds(params["ds"])
         row0 = params["start"] // ROWB
         extra = params["start"] - row0 * ROWB
