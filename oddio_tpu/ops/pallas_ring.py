@@ -52,6 +52,29 @@ def _tile_for(V):
     return max(t, 1)
 
 
+def _realign_rows(wide, b, width, H):
+    """win = wide[:, 128*b : 128*b + width] for a ROW-CONSTANT shift
+    ``b`` (tile, 1) int32 in [0, H): a ceil(log2(H))-stage comparison
+    shifter of static slices + broadcast selects.  Replaces the H-way
+    one-hot masked sum (2 vector ops x H x width) with ~log2(H) selects
+    of shrinking width — valid ONLY for row-constant shift amounts
+    (per-element shifts detach masks; see the module notes).  ``wide``
+    must be at least width + 128*(H-1) wide; every intermediate slice is
+    statically in-bounds (step = ceil(rem/2) keeps step + rem' = rem)."""
+    rem = H - 1
+    cur = wide[:, : width + 128 * rem]
+    while rem > 0:
+        step = (rem + 1) // 2
+        rem2 = max(step - 1, rem - step)
+        w2 = width + 128 * rem2
+        cond = b >= step
+        cur = jnp.where(cond, cur[:, 128 * step : 128 * step + w2],
+                        cur[:, :w2])
+        b = jnp.where(cond, b - step, b)
+        rem = rem2
+    return cur
+
+
 def _shift_right(x, k, width):
     """x shifted right by static k along the last axis, truncated to width."""
     if k == 0:
@@ -275,12 +298,7 @@ def _ear_pipeline(strips, scal, extra, *, n, K, SB=SELECT_SB, emax=PAGE):
         kmin = jnp.min(kk_sb, axis=-1, keepdims=True)
         shift = extra + kmin  # (tile, 1) in [0, emax-1 + 2K]
         b7 = shift >> 7
-        w1 = jnp.zeros((tile, SELECT_W), jnp.float32)
-        for h in range(H7):
-            off = sb * SB + 128 * h
-            w1 = w1 + strips[:, off : off + SELECT_W] * (b7 == h).astype(
-                jnp.float32
-            )
+        w1 = _realign_rows(strips[:, sb * SB :], b7, SELECT_W, H7)
         r = kk_sb - kmin  # [0, span]; the gather clamps the rare overflow
         m = (shift & 127) + jax.lax.broadcasted_iota(
             jnp.int32, (tile, SB), 1
@@ -499,14 +517,10 @@ def _select_tiles_kernel(s_ref, sh_ref, sc0_ref, sc1_ref, g0_ref, g1_ref,
     wide = s_ref[...]  # (tile, S2) tile-granule gathered spans
     b = sh_ref[...]    # (tile, 1) per-voice coarse shift, in rows
     # ONE per-voice coarse realign (the granule remainder is row-constant):
-    # H masked adds of WIN lanes, vs. paying the remainder inside every
-    # sub-block's lookup tables (probe13: tables at W=1408 cost more than
-    # the whole narrow pipeline)
-    win = jnp.zeros((wide.shape[0], WIN), jnp.float32)
-    for h in range(H):
-        win = win + wide[:, 128 * h : 128 * h + WIN] * (b == h).astype(
-            jnp.float32
-        )
+    # a log2(H)-stage comparison shifter, vs. paying the remainder inside
+    # every sub-block's lookup tables (probe13: tables at W=1408 cost more
+    # than the whole narrow pipeline)
+    win = _realign_rows(wide, b, WIN, H)
     rows = []
     for sc_ref, g_ref, e_ref in (
         (sc0_ref, g0_ref, e0_ref),
@@ -847,11 +861,7 @@ def _resample_kernel(s_ref, sc_ref, e_ref, out_ref, *, n):
         b7 = shift >> 7
         S = strips.shape[-1]
         Hmax = (S - W) // 128 + 1
-        w1 = jnp.zeros((tile, W), jnp.float32)
-        for h in range(Hmax):
-            w1 = w1 + strips[:, 128 * h : 128 * h + W] * (b7 == h).astype(
-                jnp.float32
-            )
+        w1 = _realign_rows(strips, b7, W, Hmax)
         m = p - (b7 << 7)
         a = _gatherW(w1, m, W)
         b = _gatherW(w1, m + 1, W)
