@@ -232,6 +232,16 @@ class DRCtrlMixin:
                 if self.mask_host[slot]:
                     b = max(b, spec.host_ds_bound(interval))
             self._ds_small = bool(b <= RESAMPLE_DSMAX)
+            # trace-static window-sizing tier: size the read kernels' row
+            # windows for the pool's ACTUAL step bound, not the worst case
+            # (rate-ratio-1 pools nearly halve their gathered bytes and
+            # in-kernel realign range)
+            # 1e-5 tolerance at the ratio-1 boundary: f32 interval*rate
+            # wobbles one ulp above 1.0 for rate-matched sources, and the
+            # window formulas carry >= 3 samples of slack per 512 frames
+            self._ds_tier = (
+                1 if b <= 1.0 + 1e-5 else 2 if b <= 2.0 else 4
+            )
             self._ds_dirty = False
             self._ds_interval = interval
         return self._ds_small
@@ -241,11 +251,14 @@ class DRCtrlMixin:
         onto every node of the proto chain (the samplers read it at trace
         time; it is part of the pool archetype, so flipping retraces)."""
         small = self._ds_bound_small(float(interval))
-        if getattr(self.proto, "_pool_ds_small", True) != small:
+        tier = self._ds_tier
+        if (getattr(self.proto, "_pool_ds_small", True) != small
+                or getattr(self.proto, "_pool_ds_tier", 4) != tier):
             stack = [self.proto]
             while stack:
                 node = stack.pop()
                 node._pool_ds_small = small
+                node._pool_ds_tier = tier
                 stack.extend(_dr_children(node).values())
         return small
 

@@ -341,17 +341,28 @@ class FramesSignal(Signal):
         return dstate, block
 
 
-def _dr_resample(garena, xg, lo, hi, o0, ds_int, f_hi, f_lo, n):
+def _pool_tier(node):
+    """Trace-static per-frame step bound for the windowed read kernels, in
+    {1, 2, 4}: the pool stamps ``_pool_ds_tier`` from the max
+    ``host_ds_bound`` over live voices (core/drctrl.py).  Sizing windows
+    for the actual bound instead of the worst case (RESAMPLE_DSMAX) nearly
+    halves the gathered bytes and the in-kernel realign range at the
+    common rate-ratio-1 shapes."""
+    return int(getattr(node, "_pool_ds_tier", 4))
+
+
+def _dr_resample(garena, xg, lo, hi, o0, ds_int, f_hi, f_lo, n, DS=4):
     """Shared DR wavetable read: clamp the trunc-form integer cursor into
     its (guarded or looped) region, fetch the covering row window, and run
     the strided resample kernel (ops/pallas_ring.py).  All array inputs are
     (V,) device values; ``o0`` is the trunc-form fraction (may be
     negative).  The window is biased one sample early so in-kernel indices
-    stay nonnegative when the relative offset truncates to -1."""
+    stay nonnegative when the relative offset truncates to -1.  ``DS`` is
+    the trace-static per-frame step bound (<= RESAMPLE_DSMAX) the window
+    is sized for."""
     import jax
 
     from ..ops.pallas_ring import (
-        RESAMPLE_DSMAX,
         RESAMPLE_W,
         pack_select_scalars,
         strip_resample,
@@ -361,7 +372,6 @@ def _dr_resample(garena, xg, lo, hi, o0, ds_int, f_hi, f_lo, n):
     xc = jnp.clip(xg - 1, lo, hi)
     row0 = xc // ROW
     extra = xc - row0 * ROW + 1
-    DS = int(RESAMPLE_DSMAX)
     S_req = max(
         ((256 + max(n - 128, 0) * DS) // 128) * 128 + RESAMPLE_W,
         256 + n * DS + 3,
@@ -467,7 +477,8 @@ class _FramesDR:
             def ev(cur, n_c):
                 b, o = cur
                 out = _dr_resample(
-                    ddata["garena"], goff + rep(b), lo, hi, rep(o), *dsf, n_c
+                    ddata["garena"], goff + rep(b), lo, hi, rep(o), *dsf,
+                    n_c, DS=_pool_tier(self),
                 )
                 return out if C == 1 else out.reshape(-1, C, n_c)
 
@@ -562,7 +573,10 @@ class _FramesDR:
 
         def ev(cur, n_c):
             b, o = cur
-            return _dr_resample(ddata["garena"], goff + b, lo, hi, o, *dsf, n_c)
+            return _dr_resample(
+                ddata["garena"], goff + b, lo, hi, o, *dsf, n_c,
+                DS=_pool_tier(self),
+            )
 
         def adv(cur, n_c):
             b, o = cur

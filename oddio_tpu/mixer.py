@@ -462,6 +462,7 @@ class Mixer(Signal):
                 getattr(p, "_has_play", False),
                 getattr(p, "_has_stop", False),
                 getattr(p, "_ds_small", True),
+                getattr(p, "_ds_tier", 4),
             )
             for p in self._pools.values()
         )

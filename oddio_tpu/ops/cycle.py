@@ -152,7 +152,7 @@ class Cycle(Signal):
         return device_split_ds(state["rate"] * interval)
 
     def dr_render(self, state, ddata, interval, n, count):
-        from ..core.frames import _dr_resample
+        from ..core.frames import _dr_resample, _pool_tier
         from ._dev import chunked_frames, device_advance
 
         ds_int, f_hi, f_lo = self._dr_step(state, interval)
@@ -167,7 +167,7 @@ class Cycle(Signal):
                 b, o = cur
                 return _dr_resample(
                     ddata["garena"], state["loff"] + b, lo, hi, o,
-                    ds_int, f_hi, f_lo, n_c,
+                    ds_int, f_hi, f_lo, n_c, DS=_pool_tier(self),
                 )
 
             def adv(cur, n_c):
@@ -234,7 +234,7 @@ class Cycle(Signal):
         return _FramesDR.dr_advance(self, state, seconds)
 
     def dr_warp_render(self, state, ddata, t0, dt, n):
-        from ..core.frames import _dr_resample
+        from ..core.frames import _dr_resample, _pool_tier
         from ._dev import chunked_frames, device_advance, device_split_ds
 
         V, E = t0.shape
@@ -259,7 +259,10 @@ class Cycle(Signal):
 
         def ev(cur, n_c):
             b, o = cur
-            return _dr_resample(ddata["garena"], loff + b, lo, hi, o, *dsf, n_c)
+            return _dr_resample(
+                ddata["garena"], loff + b, lo, hi, o, *dsf, n_c,
+                DS=_pool_tier(self),
+            )
 
         def adv(cur, n_c):
             b, o = cur

@@ -102,7 +102,8 @@ class Stream(Signal):
         # variants get their own jitted programs.
         return (self.size, self.max_write, self.channels,
                 getattr(self, "_has_write", False),
-                getattr(self, "_ds_small", True))
+                getattr(self, "_ds_small", True),
+                getattr(self, "_ds_tier", 4))
 
     def write_slot(self, i, spec, pool, gen):
         super().write_slot(i, spec, pool, gen)
@@ -190,7 +191,15 @@ class Stream(Signal):
         # kernel-path eligibility (trace-static via _arch_extra)
         from .pallas_ring import RESAMPLE_DSMAX
 
-        self._ds_small = bool(np.all(ds <= RESAMPLE_DSMAX))
+        dsmax = float(np.max(ds)) if ds.size else 1.0
+        self._ds_small = bool(dsmax <= RESAMPLE_DSMAX)
+        # window-sizing tier (trace-static via _arch_extra): size the read
+        # kernel's row window for the actual step bound, not the worst
+        # case; 1e-5 tolerance absorbs the one-ulp f32 wobble of
+        # rate-matched ratios (window formulas carry >= 3 samples slack)
+        self._ds_tier = (
+            1 if dsmax <= 1.0 + 1e-5 else 2 if dsmax <= 2.0 else 4
+        )
         params = {
             "t": self.t.copy(),
             "ds": ds,
@@ -309,7 +318,16 @@ class Stream(Signal):
                 k: v for k, v in params.items()
                 if k not in ("chunk", "wcount", "wpos")
             }
-        DS = int(RESAMPLE_DSMAX)
+        # window sized for the tightest available trace-static step bound:
+        # the spec's own per-block tier (host pools, set in host_prepare)
+        # or the pool-stamped tier (DR pools, core/drctrl.py) — both are
+        # upper bounds on ds, so the min is a valid bound
+        tiers = [
+            t for t in (getattr(self, "_ds_tier", None),
+                        getattr(self, "_pool_ds_tier", None))
+            if t is not None
+        ]
+        DS = min(tiers) if tiers else int(RESAMPLE_DSMAX)
         S_req = max(
             ((256 + max(n - 128, 0) * DS) // 128) * 128 + RESAMPLE_W,
             256 + n * DS + 3,

@@ -1938,6 +1938,7 @@ class SpatialScene(Signal):
                 getattr(p, "_has_mot", False),
                 getattr(p, "_w_aligned", 0),
                 getattr(p, "_ds_small", True),
+                getattr(p, "_ds_tier", 4),
                 getattr(p, "_read_cfg", None),
                 getattr(p, "_use_strips", True),
             )
