@@ -28,13 +28,17 @@ def _stack_params(params_list):
 
 
 class Renderer:
-    def __init__(self, signal, rate, sync_every=16):
+    def __init__(self, signal, rate, sync_every=16, scan_unroll=1):
         if signal._moved:
             raise RuntimeError("signal was moved into an engine; render the engine")
         self.signal = signal
         self.rate = int(rate)
         # lib.rs:91: interval = 1.0 / sample_rate as f32
         self.interval = np.float32(1.0) / np.float32(self.rate)
+        #: blocks unrolled per on-device scan iteration: >1 amortizes
+        #: per-op fixed costs across blocks for small scenes (identical
+        #: semantics; XLA unrolls the loop body)
+        self.scan_unroll = int(scan_unroll)
         # jitted steps keyed by (archetype, kind); archetype includes any
         # trace-relevant statics updated by host_prepare (e.g. ring write
         # bounds), so steps are resolved AFTER preparing the block.
@@ -62,13 +66,18 @@ class Renderer:
                 return step
             else:
 
+                unroll = self.scan_unroll
+
                 def step_fn(dstate, ddata, stacked, n, nblocks):
                     def body(d, p):
                         return sig.render(d, ddata, p, n)
 
                     # length is explicit: an all-idle run of a fully
                     # device-resident graph carries no per-block params
-                    return jax.lax.scan(body, dstate, stacked, length=nblocks)
+                    return jax.lax.scan(
+                        body, dstate, stacked, length=nblocks,
+                        unroll=min(unroll, max(nblocks, 1)),
+                    )
 
             step = jax.jit(step_fn, static_argnums=(3, 4), donate_argnums=0)
             self._steps[key] = step
