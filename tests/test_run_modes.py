@@ -94,3 +94,42 @@ def test_no_retrace_after_warmup():
                 h.set_motion(rng.uniform(-10, 10, 3), rng.uniform(-2, 2, 3), False)
         r.render_block(256)
     assert set(r._steps.keys()) == warm, "control events caused a retrace"
+
+
+def test_scan_unroll_parity():
+    """scan_unroll unrolls the on-device block scan (core/run.py); the
+    audio must match the rolled scan to ULP-scale tolerance (XLA fuses
+    the unrolled body differently, so exact bitwise equality is not the
+    contract), including across control events (segments shorter than
+    the unroll factor) and a spatialized buffered voice with mid-run
+    motion."""
+    def build_scene():
+        rng = np.random.default_rng(5)
+        control, scene = ot.SpatialScene.new(initial_capacity=16)
+        hs = []
+        for _ in range(4):
+            hs.append(control.play(
+                ot.Sine(rng.uniform(0, 6), rng.uniform(100, 900)),
+                ot.SpatialOptions(position=rng.uniform(-5, 5, 3)),
+            ))
+            hs.append(control.play_buffered(
+                ot.Sine(rng.uniform(0, 6), rng.uniform(100, 900)),
+                ot.SpatialOptions(position=rng.uniform(-5, 5, 3)),
+                max_distance=20.0, rate=8000, buffer_duration=0.05,
+            ))
+        return control, scene, hs
+
+    def run(unroll):
+        rng2 = np.random.default_rng(9)
+        control, scene, hs = build_scene()
+        r = ot.Renderer(scene, 8000, scan_unroll=unroll)
+        parts = [r.render_frames(256 * 6, block_size=256)]
+        hs[1].set_motion(rng2.uniform(-5, 5, 3), rng2.uniform(-1, 1, 3),
+                         False)
+        parts.append(r.render_frames(256 * 5, block_size=256))
+        return np.concatenate(parts)
+
+    a = run(1)
+    b = run(4)
+    assert a.shape == b.shape and np.isfinite(b).all()
+    assert np.abs(a - b).max() <= 1e-6
