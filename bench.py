@@ -14,6 +14,10 @@ Prints ONE JSON line with the flagship metric plus named secondary paths
                         tunnel (upload-bound HERE; PCIe-trivial in prod)
   buffered_xrt          4096-voice play_buffered() scene (delay rings —
                         the only path for streams/arbitrary sources)
+  subpass_xrt           the same at 4096 voices with 64 offset-clamped
+                        ones (family sub-pass: wide-walk voices render on
+                        a side wide-tier pass; the pool keeps its tight
+                        tier)
   densemix_xrt          1024 gain-controlled voices -> Reinhard -> Tanh
   wavetable_xrt         1024 Cycle+Speed wavetable voices
   agc_xrt               256 Adapt (per-frame EMA scan) voices
@@ -167,6 +171,39 @@ def bench_spatial(buffered, rng, with_live):
     return vel, live
 
 
+def bench_subpass(rng):
+    """4096 buffered voices of which 64 sit beyond max_delay*c (offset
+    clamped, frozen reads — spatial.rs:414-415): the family sub-pass
+    renders the clamped voices on the wide tier while the pool keeps the
+    tight (512, 32) tier.  Before the split, one such voice demoted all
+    4096 voices to the (256, 256) tier (~0.55x of the bounded rate)."""
+    import oddio_tpu as ot
+
+    control, scene = ot.SpatialScene.new(initial_capacity=VOICES)
+    for i in range(VOICES):
+        sig = ot.Sine(rng.uniform(0, 6), rng.uniform(100, 2000))
+        if i < 64:
+            # beyond (50/343 + 0.1)*343 = 84.3 m -> clamped, wide-listed
+            p = rng.uniform(100, 150, 3) * rng.choice([-1.0, 1.0], 3)
+            opts = ot.SpatialOptions(position=p)
+        else:
+            opts = ot.SpatialOptions(
+                position=rng.uniform(-15, 15, 3),
+                velocity=rng.uniform(-0.3, 0.3, 3),
+            )
+        control.play_buffered(
+            sig, opts, max_distance=50.0, rate=RATE, buffer_duration=0.1
+        )
+    r = ot.Renderer(scene, RATE)
+    warmup(r, scene, [], rng, "subpass")
+    pool = list(scene._buffered_pools.values())[0]
+    log(f"[subpass] read_cfg={pool._read_cfg} sub_cfg={pool._sub_cfg} "
+        f"listed={len(pool._sub_list)}")
+    assert pool._read_cfg is not None and pool._read_cfg[0] == 512
+    assert pool._sub_cfg is not None
+    return velocity_trials(r, scene, "subpass", ntrials=2, nchunks=16)
+
+
 def bench_densemix(rng):
     import oddio_tpu as ot
 
@@ -282,6 +319,7 @@ def main():
 
     seek_vel, seek_live = bench_spatial(False, rng, with_live=True)
     buf_vel, _ = bench_spatial(True, rng, with_live=False)
+    subpass = bench_subpass(rng)
     densemix = bench_densemix(rng)
     wavetable = bench_wavetable(rng)
     agc = bench_agc(rng)
@@ -299,6 +337,7 @@ def main():
         "live_trials": seek_live,
         "buffered_xrt": float(np.median(buf_vel)),
         "buffered_trials": buf_vel,
+        "subpass_xrt": float(np.median(subpass)),
         "densemix_xrt": float(np.median(densemix)),
         "wavetable_xrt": float(np.median(wavetable)),
         "agc_xrt": float(np.median(agc)),

@@ -1143,7 +1143,7 @@ class _BufferedPoolDR(_DRPoolBase):
     SpatialScene.sync()).
     """
 
-    ROW_KEYS = _DRPoolBase.GEOM_KEYS + ("max_delay", "phase")
+    ROW_KEYS = _DRPoolBase.GEOM_KEYS + ("max_delay", "phase", "tight")
 
     #: bounds the per-READ-CHUNK doppler walk handled by the select kernel:
     #: |ds-1|*chunk <= K (K=64 covers > ±40 m/s radial at 512@48k).  The
@@ -1164,6 +1164,15 @@ class _BufferedPoolDR(_DRPoolBase):
     #: full R_CHUNK at the 128-row stagger = 896) — wrapped reads land
     #: entirely in the mirror
     M_PAD = 1024
+    #: family sub-pass slot count: wide-walk voices (offset-clamped /
+    #: fast movers, spatial.rs:414-415) are host-listed into a fixed-size
+    #: side list and rendered by a small wide-tier read pass while the
+    #: main pool keeps its tight tier — one distant voice no longer
+    #: demotes the whole pool
+    SUBCAP = 256
+    #: read-tier ladder for the sub-pass ((256, 256) carries the full
+    #: frozen-read family exactly; (128, 192) extends to ~1.5x supersonic)
+    SUB_TIERS = ((256, 256), (128, 192))
 
     def __init__(self, name, spec, capacity, rate, cap_pool, k_motion=64, k_play=8):
         self._init_base(name, spec, capacity, k_motion, k_play)
@@ -1188,6 +1197,13 @@ class _BufferedPoolDR(_DRPoolBase):
         #: can hit the -max_delay clamp (spatial.rs:414-415) reads FROZEN
         #: (ds = 0), which only the small-chunk tier represents exactly
         self._md_host = np.zeros(capacity, np.float32)
+        #: family sub-pass: the SHIPPED wide-voice list (host-authoritative
+        #: twin of the device's sub_idx/sub_on/tight state), its read tier
+        #: for this block, and the ship-pending flag (membership changes
+        #: ride the delta program; see force_needed)
+        self._sub_list = np.zeros(0, np.int64)
+        self._sub_cfg = None
+        self._sub_dirty = False
 
     # -- state ---------------------------------------------------------------
 
@@ -1203,7 +1219,25 @@ class _BufferedPoolDR(_DRPoolBase):
             "ring": jnp.zeros(self._ring_shape(V), jnp.float32),
             "max_delay": jnp.zeros(V, jnp.float32),
             "phase": jnp.zeros(V, jnp.float32),
+            # family sub-pass state (fixed SUBCAP shape regardless of V so
+            # the state tree is stable across growth and ScenePack stacking)
+            "tight": jnp.ones(V, jnp.float32),
+            "sub_idx": jnp.zeros(self.SUBCAP, jnp.int32),
+            "sub_on": jnp.zeros(self.SUBCAP, jnp.float32),
         }
+
+    def _concat_state(self, st, fresh, old, new):
+        """Per-voice leaves concatenate; the fixed-shape sub-pass list
+        leaves carry over unchanged (growth invalidates the walk cache, so
+        the next ship refreshes membership against the new capacity)."""
+        st = dict(st)
+        fresh = dict(fresh)
+        keep = {k: st.pop(k) for k in ("sub_idx", "sub_on")}
+        for k in keep:
+            fresh.pop(k)
+        out = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), st, fresh)
+        out.update(keep)
+        return out
 
     # -- control side ----------------------------------------------------------
 
@@ -1237,6 +1271,7 @@ class _BufferedPoolDR(_DRPoolBase):
             (w0 - np.ceil(w0)) - (W - np.ceil(W))
         )
         row["max_delay"] = np.float32(max_delay)
+        row["tight"] = np.float32(1.0)  # reused slots rejoin the main pass
         row["inner"] = spec.dr_slot_row(self.interval_inner)
         self._md_host[i] = np.float32(max_delay)
         self._queue_play(i, row)
@@ -1246,6 +1281,7 @@ class _BufferedPoolDR(_DRPoolBase):
         row = super()._default_row()
         row["max_delay"] = np.float32(0)
         row["phase"] = np.float32(0)
+        row["tight"] = np.float32(1.0)
         return row
 
     def _clear_rows(self, S, idx):
@@ -1324,6 +1360,15 @@ class _BufferedPoolDR(_DRPoolBase):
             "valid_until": self._t_scene + horizon,
             "trans_until": self._t_scene + float(rem.max()),
             "d_hi_max": float(d_hi.max()),
+            # per-voice components (same sweep, same validity horizons) —
+            # the family sub-pass verdict derives from these
+            "pv": {
+                "live": live.copy(),
+                "vn": vn,
+                "trans": trans,
+                "clamp": (d_hi >= bnd) & live,
+                "d_hi": d_hi,
+            },
         }
         if clamp:
             steady = max(steady, 1.0)
@@ -1373,7 +1418,11 @@ class _BufferedPoolDR(_DRPoolBase):
         smoothing decays (smdt < T with a nonzero transition), the walk
         bound is temporarily wider, and riding the delta program — whose
         tier is pinned at the K=64 class — keeps live scenes on exactly two
-        jitted programs (the README:11 no-glitch contract)."""
+        jitted programs (the README:11 no-glitch contract).  A pending
+        family-sub-pass membership change also rides the delta program
+        (the list ships with the delta arrays)."""
+        if getattr(self, "_sub_dirty", False):
+            return True
         c = self._b_cache
         if c is None:
             return True  # mirrors just changed; re-bound on the delta program
@@ -1381,6 +1430,52 @@ class _BufferedPoolDR(_DRPoolBase):
             self._t_scene < c["trans_until"]
             and c["full"] > c["steady"] + 1e-6
         )
+
+    def _per_voice_bounds(self, elapsed, n, ratio, rot_sin_half):
+        """Per-voice analogue of ``_block_b``: returns ``(b_v, dmax_v,
+        live)`` numpy arrays (same sweep, caching and transient-capping
+        semantics — the max over live voices of ``b_v`` equals the pool
+        bound), or None when no voices are live.  Feeds the family
+        sub-pass verdict: a handful of wide-walk voices (offset-clamped or
+        fast movers) can be split out into a small wide-tier pass instead
+        of demoting the whole pool's read tier."""
+        c = self._b_cache
+        if (
+            c is None
+            or rot_sin_half > 0.0
+            or c["elapsed"] != elapsed
+            or self._t_scene >= c["valid_until"]
+        ):
+            self._walk_bound(elapsed, rot_sin_half)
+            c = self._b_cache
+        pv = c.get("pv")
+        if pv is None:
+            return None
+        C = float(SPEED_OF_SOUND)
+        live = pv["live"]
+        vn = pv["vn"]
+        trans = (
+            pv["trans"]
+            if self._t_scene < c["trans_until"]
+            else np.zeros_like(pv["trans"])
+        )
+        steady = (vn * np.float32(1.05) + np.float32(0.5)) / C
+        full = ((vn + trans) * np.float32(1.05) + np.float32(0.5)) / C
+        clamp_v = pv["clamp"]
+        steady = np.where(clamp_v, np.maximum(steady, 1.0), steady)
+        full = np.where(clamp_v, np.maximum(full, 1.0), full)
+        if rot_sin_half > 0.0 and elapsed > 0:
+            swing = 2.0 * np.minimum(
+                float(HEAD_RADIUS), pv["d_hi"] * np.float32(rot_sin_half)
+            )
+            full = full + np.float32(1.05) * swing / (C * elapsed)
+        b_cap = max(
+            0.0, (64.0 / min(512, max(n, 1)) - abs(ratio - 1.0)) / max(ratio, 1e-9)
+        )
+        b_v = np.maximum(steady, np.minimum(full, np.maximum(b_cap, steady)))
+        b_v = np.where(live, b_v, 0.0)
+        dmax_v = abs(ratio - 1.0) + b_v * ratio
+        return b_v, dmax_v, live
 
     def tier_bound(self, interval, n):
         """PRE-drain conservative walk bound for pack-wide tier agreement
@@ -1485,11 +1580,6 @@ class _BufferedPoolDR(_DRPoolBase):
             if np.array_equal(pr, rr)
             else float(np.sqrt(max(0.0, 1.0 - min(1.0, np.dot(pr, rr) ** 2))))
         )
-        b = max(
-            self._block_b(elapsed, n, ratio, rot_sin_half),
-            float(self._dmax_floor),
-        )
-        dmax = abs(ratio - 1.0) + b * ratio
         # (256, 256) carries the full frozen-read family (|ds-1| <= 1, a
         # clamped voice's walk <= n_c) at half the chunking overhead of
         # (128, 192); its window is exactly M_PAD wide
@@ -1501,14 +1591,7 @@ class _BufferedPoolDR(_DRPoolBase):
             # (idle@32 + delta@64) for the whole ±40 m/s envelope, with
             # wider STANDING bounds (clamp/fast velocities) authoritative
             tiers = tiers[1:]
-        self._read_cfg = None
-        for n_c, k in tiers:
-            if (
-                dmax * min(n_c, max(n, 1)) <= k
-                and select_window(n_c, 127 + self.emax2, k) <= self.M_PAD
-            ):
-                self._read_cfg = (n_c, k)
-                break
+        self._sub_plan(n, ratio, elapsed, rot_sin_half, params, tiers)
         # mirror the walk's smoothing-clock advance (step 3)
         self._g_smdt = (self._g_smdt + np.float32(elapsed)).astype(np.float32)
         self._t_scene += elapsed
@@ -1529,6 +1612,101 @@ class _BufferedPoolDR(_DRPoolBase):
                 np.where(self.mask_host, np.int32(n_write), np.int32(0)),
             )
         return params
+
+    def _pick_tier(self, d, n, ladder):
+        for n_c, k in ladder:
+            if (
+                d * min(n_c, max(n, 1)) <= k
+                and select_window(n_c, 127 + self.emax2, k) <= self.M_PAD
+            ):
+                return (n_c, k)
+        return None
+
+    def _sub_plan(self, n, ratio, elapsed, rot_sin_half, params, tiers):
+        """Pick the read tier(s) for this block, splitting wide-walk voices
+        into the family sub-pass when that keeps the main pool on a
+        512-frame tier.
+
+        A voice is WIDE when its standing walk bound exceeds the loosest
+        512-class tier (offset-clamped voices — frozen reads, ds = 0,
+        spatial.rs:414-415 — and movers beyond ~±80 m/s).  Wide voices are
+        host-listed (<= SUBCAP), masked out of the main pass via the
+        carried ``tight`` column, and rendered by a small wide-tier pass
+        over gathered rows.  Membership ships only on delta blocks (the
+        list rides the delta program's params; ``force_needed`` pulls the
+        next block onto it when a change is pending) — until it ships, the
+        stray voice demotes the main tier for a block, exactly like the
+        pre-split behavior.  Under a pack-wide floor the split is disabled
+        (packed scenes must agree on one program; they demote as before)."""
+        desired = self._EMPTY_SUB
+        pvb = None
+        if self._dmax_floor == 0.0 and n > 0:
+            pvb = self._per_voice_bounds(elapsed, n, ratio, rot_sin_half)
+        if pvb is not None:
+            b_v, dmax_v, live = pvb
+            wide_v = live & (dmax_v * min(512, max(n, 1)) > 128.0)
+            cand = np.nonzero(wide_v)[0]
+            if cand.size and cand.size <= self.SUBCAP:
+                sub_ok = self._pick_tier(
+                    float(dmax_v[cand].max()), n, self.SUB_TIERS
+                )
+                tb = float(np.where(wide_v, 0.0, b_v).max())
+                main = self._pick_tier(abs(ratio - 1.0) + tb * ratio, n, tiers)
+                # splitting pays only when it actually rescues a 512 tier
+                if sub_ok is not None and main is not None and main[0] == 512:
+                    desired = cand
+        # membership updates ride delta blocks (ship path); a stray change
+        # on an idle block leaves the shipped list authoritative and the
+        # main tier demoted for one block (exact, just slower)
+        if not np.array_equal(desired, self._sub_list):
+            if self._has_play:
+                self._sub_list = desired
+                self._sub_dirty = False
+            else:
+                self._sub_dirty = True
+        else:
+            self._sub_dirty = False
+        shipped = self._sub_list
+        if shipped.size:
+            if self._has_play:
+                # the delta program always carries the current list (one
+                # param structure per program)
+                idx = np.zeros(self.SUBCAP, np.int32)
+                on = np.zeros(self.SUBCAP, np.float32)
+                idx[: shipped.size] = shipped
+                on[: shipped.size] = 1.0
+                params["sub_idx"] = idx
+                params["sub_on"] = on
+            in_sub = np.zeros(self.capacity, bool)
+            in_sub[shipped] = True
+            if pvb is not None:
+                b_v, dmax_v, live = pvb
+                mb = float(np.where(in_sub, 0.0, b_v).max())
+                sd_live = dmax_v[shipped][live[shipped]]
+                sd = float(sd_live.max()) if sd_live.size else 0.0
+            else:
+                mb, sd = 0.0, 0.0
+            self._read_cfg = self._pick_tier(
+                abs(ratio - 1.0) + max(mb, float(self._dmax_floor)) * ratio,
+                n, tiers,
+            )
+            self._sub_cfg = self._pick_tier(sd, n, self.SUB_TIERS)
+            if self._read_cfg is None or self._sub_cfg is None:
+                # beyond every kernel tier: whole-pool exact fallback reads
+                # every voice (the sub split disengages)
+                self._read_cfg = None
+                self._sub_cfg = None
+        else:
+            b = max(
+                self._block_b(elapsed, n, ratio, rot_sin_half),
+                float(self._dmax_floor),
+            )
+            self._read_cfg = self._pick_tier(
+                abs(ratio - 1.0) + b * ratio, n, tiers
+            )
+            self._sub_cfg = None
+
+    _EMPTY_SUB = np.zeros(0, np.int64)
 
     def render(self, dstate, ddata, params, n):
         from .ops.geometry import ear_states
@@ -1609,7 +1787,6 @@ class _BufferedPoolDR(_DRPoolBase):
         # block size AND any ring/scene rate ratio renders on the same
         # kernels (chunk length + walk bound K from the tier picked in
         # host_prepare; exotic ratios take the exact elementwise read)
-        R_CHUNK, K = self._read_cfg if self._read_cfg else (n, 0)
         p_off, p_gain = ear_states(prev_pos, S["radius"])
         n_off, n_gain = ear_states(next_pos, S["radius"])
         p_off = jnp.maximum(p_off - elapsed, -S["max_delay"][:, None])
@@ -1644,20 +1821,72 @@ class _BufferedPoolDR(_DRPoolBase):
             return S, jnp.sum(contrib, axis=0)
         base = obase.astype(jnp.int32)
         frac = offset0 - obase
-        DMAX = self.emax2
-        # read windows come off the (8, 128)-TILE view of the ring: a
-        # tile-granular gather of 2 consecutive 1024-col granules per voice
-        # (the physically linear granule — ~9x cheaper per byte than row
-        # granules, tools/r3_probe13.py; per-voice dynamic_slice measured
-        # ~serial).  The granule remainder splits into a once-per-voice
-        # coarse realign inside the kernel (rowshift, multiples of 128)
-        # plus the sub-row part riding the per-ear stagger.
         PW = 128
         RPV = self.rowlen // PW
         assert RPV % 8 == 0  # rowlen = pow2 cap + 3*1024
-        GW = 8 * PW
         rows8 = ring.reshape(V * (RPV // 8), 8, PW)
         vb8 = jnp.arange(V, dtype=jnp.int32) * (RPV // 8)
+        sub_cfg = self._sub_cfg
+        if "sub_idx" in params:
+            # membership refresh (delta blocks): carry the list and the
+            # derived per-voice tight flags in state
+            S["sub_idx"] = jnp.asarray(params["sub_idx"], jnp.int32)
+            S["sub_on"] = jnp.asarray(params["sub_on"], jnp.float32)
+            hit = (
+                S["sub_idx"][:, None]
+                == jnp.arange(V, dtype=jnp.int32)[None, :]
+            ) & (S["sub_on"][:, None] > 0.0)
+            S["tight"] = 1.0 - hit.any(axis=0).astype(jnp.float32)
+        maskf_main = maskf * S["tight"] if sub_cfg is not None else maskf
+        out = self._windows_read(
+            rows8, vb8, base, frac, ds_int, f_hi, f_lo, p_gain, d_gain,
+            maskf_main, self._read_cfg, n, cap, FP, interp,
+        )
+        if sub_cfg is not None:
+            # family sub-pass: the host-listed wide-walk voices render at
+            # a wide tier over GATHERED rows (row-granular take of a
+            # 128-lane packed scalar matrix + the same granule gather the
+            # main pass uses), while the pool above kept its tight tier
+            bb = jax.lax.bitcast_convert_type(base, jnp.float32)
+            packc = jnp.concatenate(
+                [bb, frac, ds_int.astype(jnp.float32), f_hi, f_lo,
+                 p_gain, d_gain, maskf[:, None]],
+                axis=-1,
+            )  # (V, 15) -> padded to a 128-lane row for the row gather
+            packc = jnp.pad(packc, ((0, 0), (0, 128 - packc.shape[1])))
+            g = jnp.take(packc, S["sub_idx"], axis=0)
+            out = out + self._windows_read(
+                rows8,
+                S["sub_idx"] * np.int32(RPV // 8),
+                jax.lax.bitcast_convert_type(g[:, 0:2], jnp.int32),
+                g[:, 2:4],
+                g[:, 4:6].astype(jnp.int32),
+                g[:, 6:8],
+                g[:, 8:10],
+                g[:, 10:12],
+                g[:, 12:14],
+                g[:, 14] * S["sub_on"],
+                sub_cfg, n, cap, FP, interp,
+            )
+        return S, out
+
+    def _windows_read(self, rows8, vbase, base, frac, ds_int, f_hi, f_lo,
+                      p_gain, d_gain, maskf, cfg, n, cap, FP, interp):
+        """Tile-granule window gather + fractional per-ear select over one
+        voice set (the main pool or the family sub-pass list), mixed to
+        (2, n).  ``rows8`` is the (8, 128)-tile view of the full ring;
+        ``vbase`` maps each rendered row to its voice's first granule.
+
+        Windows come off whole 1024-col granules (the physically linear
+        unit — ~9x cheaper per byte than row granules,
+        tools/r3_probe13.py; per-voice dynamic_slice measured ~serial);
+        the granule remainder splits into a once-per-voice coarse realign
+        inside the kernel (rowshift, multiples of 128) plus the sub-row
+        part riding the per-ear stagger."""
+        R_CHUNK, K = cfg
+        DMAX = self.emax2
+        PW = 128
+        GW = 8 * PW
         emax2r = PW - 1 + self.emax2
         parts = []
         for j0 in range(0, n, R_CHUNK):
@@ -1679,9 +1908,11 @@ class _BufferedPoolDR(_DRPoolBase):
             ngr = -(-(GW - 1 + SREAD) // GW)
             r0 = rstart // GW
             ridx = (
-                vb8[:, None] + r0[:, None] + jnp.arange(ngr)[None, :]
+                vbase[:, None] + r0[:, None] + jnp.arange(ngr)[None, :]
             ).reshape(-1)
-            wide = jnp.take(rows8, ridx, axis=0).reshape(V, ngr * GW)
+            wide = jnp.take(rows8, ridx, axis=0).reshape(
+                base.shape[0], ngr * GW
+            )
             rowshift = (rstart - r0 * GW) // PW
             ex = jnp.mod(rstart, PW)[:, None] + dstart
             # the kernel reconstructs a_j = win[extra + j + kk_j] with
@@ -1697,8 +1928,7 @@ class _BufferedPoolDR(_DRPoolBase):
                 base, frac = device_advance(
                     base, frac, jnp.int32(n_c), ds_int, f_hi, f_lo
                 )
-        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-        return S, out
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 def _next_pow2(x):
@@ -1940,6 +2170,7 @@ class SpatialScene(Signal):
                 getattr(p, "_ds_small", True),
                 getattr(p, "_ds_tier", 4),
                 getattr(p, "_read_cfg", None),
+                getattr(p, "_sub_cfg", None),
                 getattr(p, "_use_strips", True),
             )
             for p in self._all_pools()

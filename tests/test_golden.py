@@ -282,11 +282,96 @@ def test_golden_buffered_beyond_max_delay(dr):
         errs.append(np.abs(eng - buf).max())
     pool = list(scene._buffered_pools.values())[0]
     if dr:
-        assert pool._read_cfg == (256, 256), pool._read_cfg
+        # the clamped voice is family-sub-pass-listed and reads on the
+        # wide frozen-read tier while the (otherwise empty) main pool
+        # keeps its tight tier
+        assert pool._sub_cfg == (256, 256), pool._sub_cfg
+        assert list(pool._sub_list) == [0]
+        assert pool._read_cfg == (512, 32), pool._read_cfg
     else:
         assert not pool._use_strips
     assert max(errs) <= 1e-5, errs
     assert np.abs(buf).max() > 1e-4  # the frozen read carries audio
+
+
+def test_golden_family_subpass_mixed_scene():
+    """A few wide-walk voices (offset-clamped beyond max_delay*c, or
+    moving at ~100 m/s) ride the family sub-pass on a wide read tier
+    while the rest of the pool keeps its 512-frame tight tier — one
+    distant voice no longer demotes the whole pool.  Membership changes
+    mid-run three ways: a motion delta pulls a clamped voice back inside
+    (delta-block ship), a delta pushes a near voice out, and one voice
+    drifts across the clamp boundary on its own velocity (the idle-block
+    path: one demoted block, then the list ships on the forced delta
+    program).  Audio stays golden throughout and the warmed program set
+    stops growing."""
+    RATE, BLOCK, NBLK = 8000, 512, 16
+    tt = np.arange(RATE, dtype=F) / F(RATE)
+    boop = np.sin(tt * F(500 * 2 * np.pi), dtype=F)
+    # max_distance 10 -> clamp boundary at (10/343 + 0.1)*343 = 44.3 m
+    voices = [
+        # (position, velocity): 3 near/slow (tight), 2 clamped, 1 fast,
+        # 1 drifting across the boundary mid-run
+        ([5.0, 2.0, 0.0], [2.0, 0.0, 0.0]),
+        ([-8.0, 1.0, 3.0], [0.0, 1.5, 0.0]),
+        ([0.0, -6.0, 2.0], [0.0, 0.0, 0.0]),
+        ([60.0, 5.0, 0.0], [0.0, 0.0, 0.0]),
+        ([-70.0, 0.0, 10.0], [0.0, 0.0, 0.0]),
+        ([4.0, 0.0, 0.0], [100.0, 0.0, 0.0]),
+        ([43.8, 0.0, 0.0], [2.0, 0.0, 0.0]),
+    ]
+    control, scene = ot.SpatialScene.new()
+    hs = []
+    oscene = ref.OSpatialScene(exact=True)
+    ovs = []
+    for pos, vel in voices:
+        sig = ot.FramesSignal(ot.Frames.from_slice(RATE, boop), 0.0)
+        hs.append(control.play_buffered(
+            sig, ot.SpatialOptions(position=pos, velocity=vel),
+            max_distance=10.0, rate=RATE, buffer_duration=0.1,
+        ))
+        osig = ref.OFramesSignal(ref.OFrames(RATE, boop), 0.0, exact=True)
+        ovs.append(oscene.play_buffered(
+            osig, pos, vel, 0.1,
+            max_distance=10.0, rate=RATE, buffer_duration=0.1,
+        ))
+    r = ot.Renderer(scene, RATE)
+    pool = list(scene._buffered_pools.values())[0]
+
+    errs, subs, mains = [], [], []
+    nsteps_mid = None
+    for i in range(NBLK):
+        if i == 4:
+            # clamped voice 3 jumps back inside (discontinuous: no
+            # smoothing transition) -> leaves the wide list
+            for t in (hs[3], ovs[3]):
+                t.set_motion([6.0, 1.0, 0.0], [0.0, 0.0, 0.0], True)
+        if i == 7:
+            # near voice 0 jumps beyond the boundary -> joins the list
+            for t in (hs[0], ovs[0]):
+                t.set_motion([80.0, 0.0, 0.0], [0.0, 0.0, 0.0], True)
+        eng = r.render_block(BLOCK)
+        buf = np.zeros((BLOCK, 2), F)
+        ref.oddio_run(oscene, RATE, buf)
+        errs.append(np.abs(eng - buf).max())
+        subs.append((pool._sub_cfg, tuple(pool._sub_list)))
+        mains.append(pool._read_cfg)
+        if i == 12:
+            nsteps_mid = len(r._steps)
+    assert max(errs) <= 1e-5, (errs, subs, mains)
+    assert np.abs(buf).max() > 1e-4
+    # the split engaged from the start and the main pool held a 512 tier
+    # on every block
+    assert all(s[0] is not None for s in subs), subs
+    assert all(m is not None and m[0] == 512 for m in mains), mains
+    # membership tracked the transitions: voice 3 left, voice 0 joined,
+    # voice 6 drifted in; the fast mover (5) and far voice (4) stayed
+    assert 3 in subs[0][1] and 5 in subs[0][1] and 4 in subs[0][1]
+    assert 3 not in subs[5][1]
+    assert 0 in subs[8][1]
+    assert 6 in subs[-1][1], subs[-1]
+    # no new programs compile after every transition has been seen
+    assert len(r._steps) == nsteps_mid, (len(r._steps), nsteps_mid)
 
 
 def test_golden_slow_scene_tight_walk_tier():
