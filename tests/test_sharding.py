@@ -58,6 +58,52 @@ def test_scenepack_matches_single_device(mesh_shape):
     np.testing.assert_allclose(got, expected, atol=2e-6)
 
 
+def test_scenepack_clamped_voice_disables_subpass():
+    """A scene with an offset-clamped voice rides the family sub-pass on
+    single-device renderers, but under a ScenePack the pack-wide tier
+    floor disables the split (every scene must share one program) and the
+    pack demotes to the wide tier — both paths are exact, so the audio
+    must still match."""
+    need_devices(4)
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        control, scene = ot.SpatialScene.new()
+        for _ in range(6):
+            control.play_buffered(
+                ot.Sine(rng.uniform(0, 6), rng.uniform(100, 1000)),
+                ot.SpatialOptions(position=rng.uniform(-10, 10, 3),
+                                  velocity=rng.uniform(-2, 2, 3)),
+                max_distance=10.0, rate=8000, buffer_duration=0.1,
+            )
+        if seed == 1:  # one scene carries a clamped voice (60 m > 44.3 m)
+            control.play_buffered(
+                ot.Sine(0.0, 700.0),
+                ot.SpatialOptions(position=[60.0, 0.0, 0.0]),
+                max_distance=10.0, rate=8000, buffer_duration=0.1,
+            )
+        return scene
+
+    S = 2
+    singles = [build(seed) for seed in range(S)]
+    expected = []
+    for scene in singles:
+        r = ot.Renderer(scene, 8000)
+        expected.append(np.concatenate([r.render_block(512) for _ in range(3)]))
+    expected = np.stack(expected)
+    sp = list(singles[1]._buffered_pools.values())[0]
+    assert sp._sub_cfg is not None and sp._read_cfg[0] == 512
+
+    packed = [build(seed) for seed in range(S)]
+    mesh = make_mesh(2, 2)
+    pack = ScenePack(packed, 8000, mesh)
+    got = np.concatenate([pack.render_block(512) for _ in range(3)], axis=1)
+    pp = list(packed[1]._buffered_pools.values())[0]
+    assert pp._sub_cfg is None and pp._read_cfg[0] < 512
+
+    np.testing.assert_allclose(got, expected, atol=2e-6)
+
+
 def test_scenepack_grow_and_eager_plays_mid_pack():
     """Plays past pool capacity (growth) and bulk plays (> k_play, the
     eager-apply path) landing BETWEEN packed blocks must not reset carried
