@@ -155,7 +155,37 @@ def wavetable():
     _measure("wavetable 1024v cycle+speed", r, mixer)
 
 
-ALL = {"densemix": densemix, "streams": streams, "wavetable": wavetable}
+def subpass():
+    """4096 buffered voices, 64 of them offset-clamped: the family
+    sub-pass keeps the pool on the tight (512, 32) tier.  Compare with
+    bench.py's buffered scene (no clamped voices) and the all-clamped
+    probe rate (12.5x at (256, 256))."""
+    import oddio_tpu as ot
+
+    rng = np.random.default_rng(5)
+    control, scene = ot.SpatialScene.new(initial_capacity=4096)
+    for i in range(4096):
+        if i < 64:
+            p = rng.uniform(100, 150, 3) * rng.choice([-1.0, 1.0], 3)
+            opts = ot.SpatialOptions(position=p)
+        else:
+            opts = ot.SpatialOptions(
+                position=rng.uniform(-15, 15, 3),
+                velocity=rng.uniform(-0.3, 0.3, 3),
+            )
+        control.play_buffered(
+            ot.Sine(rng.uniform(0, 6), rng.uniform(100, 2000)),
+            opts, max_distance=50.0, rate=RATE, buffer_duration=0.1,
+        )
+    r = ot.Renderer(scene, RATE)
+    _measure("subpass 4096v (64 clamped)", r, scene)
+    pool = list(scene._buffered_pools.values())[0]
+    log(f"[subpass] read_cfg={pool._read_cfg} sub_cfg={pool._sub_cfg} "
+        f"listed={len(pool._sub_list)}")
+
+
+ALL = {"densemix": densemix, "streams": streams, "wavetable": wavetable,
+       "subpass": subpass}
 
 if __name__ == "__main__":
     import jax
