@@ -1641,7 +1641,13 @@ class _BufferedPoolDR(_DRPoolBase):
         desired = self._EMPTY_SUB
         pvb = None
         if self._dmax_floor == 0.0 and n > 0:
-            pvb = self._per_voice_bounds(elapsed, n, ratio, rot_sin_half)
+            # the per-voice sweep costs O(V) numpy per block; run it only
+            # when the cheap pool-wide bound would demote the tier (or a
+            # list is already live) — the flagship fast path skips it
+            b_all = self._block_b(elapsed, n, ratio, rot_sin_half)
+            cfg_all = self._pick_tier(abs(ratio - 1.0) + b_all * ratio, n, tiers)
+            if cfg_all is None or cfg_all[0] < 512 or self._sub_list.size:
+                pvb = self._per_voice_bounds(elapsed, n, ratio, rot_sin_half)
         if pvb is not None:
             b_v, dmax_v, live = pvb
             wide_v = live & (dmax_v * min(512, max(n, 1)) > 128.0)
