@@ -6,11 +6,17 @@ moving average of the squared summed-channel level with time constant ``tau``
 pulling the average peak into [low, high], capped at ``max_gain``
 (adapt.rs:76-86).
 
-TPU form: the per-frame EMA is genuinely sequential and data-dependent, so it
-runs as a ``lax.scan`` over the frame axis with the ``avg_squared`` carry in
-device state (batched over voices by the pool vmap).  A ``count`` mask keeps
-the carry exact when fewer frames are actually consumed (spatial ring
-writers).
+TPU form: the per-frame EMA is a LINEAR recurrence (``avg' = avg*(1-a) +
+a*s^2`` — an affine map per frame), so instead of a 512-step sequential
+``lax.scan`` that leaves the VPU idle across the frame axis, it runs as a
+log-depth ``lax.associative_scan`` over the per-frame affine maps
+``(m, b) = (1-a_i, a_i*s_i^2)`` composed as ``(m1*m2, b1*m2 + b2)``.  The
+gain math is elementwise from the exclusive-scan carries.  Numerics match
+the sequential order up to tree-reassociation rounding (~1e-6 relative;
+the golden contract is 1e-5 — reference adapt.rs:69-88 itself rounds
+per frame).  A ``count`` mask keeps the carry exact when fewer frames are
+actually consumed (spatial ring writers): masked frames compose as the
+identity map, freezing the carry exactly like the sequential path.
 """
 
 from __future__ import annotations
@@ -25,6 +31,50 @@ from ..core.signal import Signal
 __all__ = ["Adapt", "AdaptOptions"]
 
 _SQRT2 = np.sqrt(np.float32(2.0), dtype=np.float32)
+
+
+def _ema_gain(avg0, s, alpha, count, low, high, max_gain, n):
+    """Shared EMA + gain pipeline over the frame axis (last axis of ``s``).
+
+    ``avg0`` (...,): the carried average-squared level; ``s`` (..., n):
+    summed-channel frame levels; ``alpha/low/high/max_gain`` (...,) or
+    scalars; ``count`` (...,) int32 consumed-frame bound.  Returns
+    (gains (..., n), new carry (...,)).
+
+    The recurrence ``avg_i = avg_{i-1}*(1-a) + a*s_i^2`` (adapt.rs:69-75)
+    runs as an associative scan of affine-map compositions; frames at
+    ``i >= count`` compose as the identity (a_eff = 0), so the carry
+    freezes exactly like the sequential mask did, while their OUTPUT gain
+    still sees a one-step EMA from the frozen carry (same semantics as
+    the reference's per-frame loop on a partial block)."""
+    s2 = s * s
+    i_n = jnp.arange(n, dtype=jnp.int32)
+    live = i_n < count[..., None]
+    a = alpha[..., None]
+    a_eff = jnp.where(live, a, 0.0)
+    m = 1.0 - a_eff
+    b = a_eff * s2
+
+    def comb(l, r):
+        ml, bl = l
+        mr, br = r
+        return ml * mr, bl * mr + br
+
+    mi, bi = jax.lax.associative_scan(comb, (m, b), axis=-1)
+    # exclusive carries: prev_i = composition of frames [0, i) applied to avg0
+    m_prev = jnp.concatenate([jnp.ones_like(mi[..., :1]), mi[..., :-1]], -1)
+    b_prev = jnp.concatenate([jnp.zeros_like(bi[..., :1]), bi[..., :-1]], -1)
+    prev = m_prev * avg0[..., None] + b_prev
+    avg2 = s2 * a + prev * (1.0 - a)  # true alpha: outputs past count too
+    avg_peak = jnp.sqrt(avg2) * _SQRT2
+    lo = low[..., None]
+    gain = jnp.where(
+        avg_peak < lo,
+        jnp.minimum(lo / avg_peak, max_gain[..., None]),
+        jnp.where(avg_peak > high[..., None], high[..., None] / avg_peak, 1.0),
+    )
+    carry = mi[..., -1] * avg0 + bi[..., -1]
+    return gain, carry
 
 
 class AdaptOptions:
@@ -92,32 +142,19 @@ class Adapt(Signal):
         d2, block = self.inner.render(
             dstate.get("inner", {}), ddata.get("inner", {}), params["inner"], n
         )
-        alpha = params["alpha"]
-        one_m = 1.0 - alpha
-
-        def step(avg, xi):
-            x, i = xi
-            s = jnp.sum(x)  # sum of channels (adapt.rs:73)
-            avg2 = s * s * alpha + avg * one_m
-            avg_peak = jnp.sqrt(avg2) * _SQRT2
-            gain = jnp.where(
-                avg_peak < params["low"],
-                jnp.minimum(params["low"] / avg_peak, params["max_gain"]),
-                jnp.where(avg_peak > params["high"], params["high"] / avg_peak, 1.0),
-            )
-            # don't advance the EMA past the consumed-frame count
-            carry = jnp.where(i < params["count"], avg2, avg)
-            return carry, x * gain
-
-        avg, out = jax.lax.scan(
-            step, dstate["avg"], (block.T, jnp.arange(n, dtype=jnp.int32))
+        s = jnp.sum(block, axis=0)  # (n,) sum of channels (adapt.rs:73)
+        gain, avg = _ema_gain(
+            dstate["avg"][None], s[None], params["alpha"][None],
+            jnp.asarray(params["count"], jnp.int32)[None],
+            params["low"][None], params["high"][None],
+            params["max_gain"][None], n,
         )
-        return {"avg": avg, "inner": d2}, out.T
+        return {"avg": avg[0], "inner": d2}, block * gain[0][None, :]
 
     # -- device-resident mode ------------------------------------------------
     # The EMA carry lives on device already; in DR pools the option columns
-    # join it and the scan runs batched over the whole pool (the same
-    # per-frame op order as the vmapped host path — bit-identical).
+    # join it and the associative scan runs batched over the whole pool
+    # (the same _ema_gain op order as the vmapped host path — bit-identical).
 
     def dr_supported(self):
         return self.channels == 1 and self.inner.dr_supported()
@@ -148,26 +185,16 @@ class Adapt(Signal):
         )
         # adapt.rs:70: alpha = 1 - exp(-interval / tau)
         alpha = 1.0 - jnp.exp(-jnp.asarray(interval, jnp.float32) / state["tau"])
-        one_m = 1.0 - alpha
-
-        def step(avg, xi):
-            s, i = xi  # (V,) mono frame, scalar index
-            avg2 = s * s * alpha + avg * one_m
-            avg_peak = jnp.sqrt(avg2) * _SQRT2
-            gain = jnp.where(
-                avg_peak < state["low"],
-                jnp.minimum(state["low"] / avg_peak, state["max_gain"]),
-                jnp.where(avg_peak > state["high"], state["high"] / avg_peak, 1.0),
-            )
-            carry = jnp.where(i < count, avg2, avg)
-            return carry, s * gain
-
-        avg, out = jax.lax.scan(
-            step, state["avg"], (samples.T, jnp.arange(n, dtype=jnp.int32))
+        cnt = jnp.broadcast_to(
+            jnp.asarray(count, jnp.int32), state["avg"].shape
+        )
+        gain, avg = _ema_gain(
+            state["avg"], samples, alpha, cnt,
+            state["low"], state["high"], state["max_gain"], n,
         )
         st = dict(state)
         st["avg"], st["inner"] = avg, d2
-        return st, out.T
+        return st, samples * gain
 
     def dr_is_finished(self, state):
         return self.inner.dr_is_finished(state["inner"])
