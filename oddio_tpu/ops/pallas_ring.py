@@ -203,7 +203,7 @@ def flat_append_aligned(ring, samples, pcol, pmir, *, interpret=False,
                 (tile, APPEND_PW), lambda i, j, leg, *_: (i, j),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (tile, APPEND_PW), ring_map, memory_space=pltpu.VMEM
@@ -648,9 +648,9 @@ def rows_append_dma(ring3, slab, r0, rmir0, *, interpret=False, tile=None):
                     (tile, nr, 128), lambda i, leg, *_: (i, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[pltpu.SemaphoreType.DMA(())],
         ),
         out_shape=jax.ShapeDtypeStruct((V, RPV, 128), jnp.float32),
@@ -761,7 +761,7 @@ def dma_window_select(ring, rstart, scal, gain0, d_gain, maskf, extra, *,
         num_scalar_prefetch=1,
         grid=(V // tile,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             ts(tile, 1),
             ts(tile, 4), ts(tile, 4),
             ts(tile, 2), ts(tile, 2),
