@@ -1543,7 +1543,17 @@ class _BufferedPoolDR(_DRPoolBase):
         # aligned fast path: when the shared cursor advances by whole
         # 128-lane rows (inner rate == scene rate, n a multiple of 128 —
         # the flagship config) and the slab does not wrap, the append is
-        # one strided DMA per voice tile instead of a read-modify-write
+        # one strided DMA per voice tile instead of a read-modify-write.
+        # The mirror-maintenance leg writes the SAME width at +cap (when
+        # the slab touches [0, M)) or into the dump slack (when it does
+        # not), so the slab must also fit that leg's room: M + W_CHUNK
+        # columns past start_i in the first case, W_CHUNK in the second —
+        # wider slabs (huge blocks) take the chunked general path below.
+        mirror_fits = (
+            start_i + n_write <= self.M_PAD + self.W_CHUNK
+            if start_i < self.M_PAD
+            else n_write <= self.W_CHUNK
+        )
         self._w_aligned = (
             n_write
             if (
@@ -1551,6 +1561,7 @@ class _BufferedPoolDR(_DRPoolBase):
                 and n_write % 128 == 0
                 and start_i % 128 == 0
                 and start_i + n_write <= cap
+                and mirror_fits
             )
             else 0
         )

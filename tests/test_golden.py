@@ -248,6 +248,51 @@ def test_golden_spatial_flyby_large_blocks(buffered):
     assert err <= 1e-5, (err, errs)
 
 
+def test_golden_buffered_huge_blocks_wrapped_reads():
+    """2048-frame blocks on the DR buffered pool: the second block's append
+    starts at start_i = 2048 >= M_PAD with n_write = 2048 > W_CHUNK, where
+    the aligned fast path's mirror/dump DMA leg has no room — it must fall
+    back to the chunked general path (a too-wide dump leg would overflow
+    the per-voice ring rows and corrupt the mirror).  The source sits at
+    25 m so its reads WRAP past the ring end into the mirror whenever the
+    write cursor is near 0 — exactly the reads a corrupted mirror breaks."""
+    RATE, BLOCK, NBLK = 8000, 2048, 6
+    tt = np.arange(2 * RATE, dtype=F) / F(RATE)
+    boop = np.sin(tt * F(500 * 2 * np.pi), dtype=F)
+    pos = [25.0, 2.0, 0.0]
+
+    control, scene = ot.SpatialScene.new()
+    sig = ot.FramesSignal(ot.Frames.from_slice(RATE, boop), 0.0)
+    h = control.play_buffered(
+        sig, ot.SpatialOptions(position=pos, velocity=[-3.0, 0.0, 0.0]),
+        max_distance=60.0, rate=RATE, buffer_duration=0.1)
+    r = ot.Renderer(scene, RATE)
+
+    oscene = ref.OSpatialScene(exact=True)
+    osig = ref.OFramesSignal(ref.OFrames(RATE, boop), 0.0, exact=True)
+    ov = oscene.play_buffered(osig, pos, [-3.0, 0.0, 0.0], 0.1,
+                              max_distance=60.0, rate=RATE,
+                              buffer_duration=0.1)
+
+    pool = list(scene._buffered_pools.values())[0]
+    assert pool.cap_pool == 4096 and pool.M_PAD == 1024  # scenario holds
+    errs = []
+    for i in range(NBLK):
+        if i == 3:
+            h.set_motion([20.0, 2.0, 0.0], [2.0, 0.0, 0.0], False)
+            ov.set_motion([20.0, 2.0, 0.0], [2.0, 0.0, 0.0], False)
+        eng = r.render_block(BLOCK)
+        buf = np.zeros((BLOCK, 2), F)
+        ref.oddio_run(oscene, RATE, buf)
+        errs.append(np.abs(eng - buf).max())
+        if i >= 1:
+            # start_i alternates 0/2048; the 2048-start blocks must not
+            # claim the aligned DMA path (mirror leg would overflow)
+            assert pool._w_aligned == (2048 if i % 2 == 0 else 0)
+    err = max(errs)
+    assert err <= 1e-5, (err, errs)
+
+
 @pytest.mark.parametrize("dr", [True, False])
 def test_golden_buffered_beyond_max_delay(dr):
     """A voice farther than max_delay*c has BOTH ear offsets clamped at
