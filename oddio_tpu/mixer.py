@@ -335,7 +335,11 @@ class PoolDR(DRCtrlMixin):
         # fader bookkeeping: release waiting fades into delta lanes (only
         # on control-event blocks, keeping two step variants) + advance
         # the deterministic progress mirrors every block
-        self._fade_tick(params if has else None, self._interval, n)
+        # NB: mirrors advance by the CONSUMED frame count (count < n when a
+        # buffered spatial voice wraps this mixer), matching dr_render's
+        # device-side progress advance — an n-based tick would run the host
+        # mirror ahead and flip fade banks out of sync with the device
+        self._fade_tick(params if has else None, self._interval, self._count)
         # stream ingest + cursor-mirror shadow (order mirrors render:
         # ingest grows len, then the advance releases consumed samples)
         if self.proto.batch:

@@ -528,3 +528,45 @@ def test_fader_dr_checkpoint_pending_fade():
     r.render_frames(512)
     got = np.asarray(r.render_block(64))
     np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_fader_mirror_count_sync_in_submix():
+    """Host fade-progress mirrors must advance by the CONSUMED frame count,
+    not the rendered length: a Mixer played via play_buffered consumes
+    count = n_write but renders n_inner = n_write + 1 frames per block, so
+    an n-advanced mirror completes a fade one block before the device and
+    releases a waiting fade into the wrong bank — inverting host/device
+    bank selection for that slot forever (fader.rs:38-47 waiting fades,
+    fader.rs:66-70 completion swap)."""
+    from oddio_tpu.core.drctrl import _at_path
+
+    RATE, BLOCK = 8000, 512
+    mc, mixer = ot.Mixer.new(channels=1)
+    fh, fsig = ot.Fader.new(ot.Sine(0.0, 300.0))
+    mc.play(fsig)
+    sc, scene = ot.SpatialScene.new()
+    sc.play_buffered(mixer, ot.SpatialOptions(position=[0.0, 0.0, -2.0]),
+                     max_distance=20.0, rate=RATE)
+    r = ot.Renderer(scene, RATE)
+    r.render_frames(BLOCK)
+    # fade 1 duration D with 512k < D <= 513k (k = 8): an n-advanced
+    # mirror "completes" after 8 blocks (8*513 >= D) while the device
+    # needs 9 (8*512 < D); fade 2 queues immediately and waits, so it
+    # releases exactly in that disagreement window
+    D = 4100
+    fh.fade_to(ot.Sine(0.0, 520.0), D / RATE)
+    r.render_frames(BLOCK)  # fade 1 ships (a later queue would replace it)
+    fh.fade_to(ot.Sine(0.0, 700.0), 0.25)  # waits until fade 1 completes
+    out = r.render_frames(BLOCK * 16)
+    mp = next(p for p in mixer._pools.values()
+              if getattr(p, "fade_paths", None))
+    path = mp.fade_paths[0]
+    dev = _at_path(mp.state["inner"], path)
+    np.testing.assert_array_equal(
+        np.asarray(dev["flip"])[:1], mp._fade_flip[path][:1]
+    )
+    assert not bool(np.asarray(dev["fading"])[0])  # both fades resolved
+    # the voice must end up on fade 2's target
+    tail = out[-2048:, 0]
+    spec = np.abs(np.fft.rfft(tail))
+    assert abs(np.argmax(spec) * RATE / 2048 - 700) < 8
