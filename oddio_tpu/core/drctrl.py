@@ -139,7 +139,7 @@ class DRCtrlMixin:
         #: plays / speed-class control writes so the sampler kernels can
         #: fall back to the exact whole-arena gather past RESAMPLE_DSMAX
         self._slot_specs = {}
-        self._extra_specs = {}  # (slot, fade path) -> incoming fade spec
+        self._extra_specs = {}  # (slot, fade path, bank) -> fade spec
         self._ds_fields = {
             k for k in self.ctrl_keys
             if k[1] in getattr(_at_path_spec(proto, k[0]), "_dr_ds_fields", ())
@@ -209,7 +209,8 @@ class DRCtrlMixin:
         onto the next tenant."""
         for p in self.fade_paths:
             self.pending_fades[p].pop(int(slot), None)
-            self._extra_specs.pop((int(slot), p), None)
+            for bank in ("a", "b"):
+                self._extra_specs.pop((int(slot), p, bank), None)
 
     def _track_spec(self, slot, spec):
         """Retain a played spec for ds-bound queries (its control mirrors
@@ -228,7 +229,7 @@ class DRCtrlMixin:
             for slot, spec in self._slot_specs.items():
                 if self.mask_host[slot]:
                     b = max(b, spec.host_ds_bound(interval))
-            for (slot, _p), spec in self._extra_specs.items():
+            for (slot, _p, _bank), spec in self._extra_specs.items():
                 if self.mask_host[slot]:
                     b = max(b, spec.host_ds_bound(interval))
             self._ds_small = bool(b <= RESAMPLE_DSMAX)
@@ -336,7 +337,12 @@ class DRCtrlMixin:
                     idx[t] = slot
                     incv[t] = inc_s
                     rows.append(spec.dr_slot_row(interval))
-                    self._extra_specs[(slot, path)] = spec
+                    # keyed per BANK: the previous tenant of the OTHER bank
+                    # (the fade's outgoing signal) keeps rendering with
+                    # nonzero weight for the whole crossfade, so it must
+                    # stay in the ds-bound sweep; only the bank this spec
+                    # replaces drops out
+                    self._extra_specs[(slot, path, bank)] = spec
                     self._ds_dirty = True
                     prog[slot] = 0.0
                     inc[slot] = inc_s

@@ -294,7 +294,6 @@ class PoolDR(DRCtrlMixin):
         #: ring lookahead but advances only the written count)
         self._count = int(n if count is None else count)
         self._prep_count = getattr(self, "_prep_count", 0) + 1
-        self._ds_small = self._ds_flag_sync(self._interval)
         params = {}
         if len(self.pending_plays) > self.k_play:
             self._apply_plays_eager(self._interval)
@@ -340,6 +339,10 @@ class PoolDR(DRCtrlMixin):
         # device-side progress advance — an n-based tick would run the host
         # mirror ahead and flip fade banks out of sync with the device
         self._fade_tick(params if has else None, self._interval, self._count)
+        # the read-path flag syncs AFTER fade releases: a shipped fade row
+        # renders THIS block, so a heavy (ds > tier) incoming spec must
+        # widen the windows before the step is traced, not one block late
+        self._ds_small = self._ds_flag_sync(self._interval)
         # stream ingest + cursor-mirror shadow (order mirrors render:
         # ingest grows len, then the advance releases consumed samples)
         if self.proto.batch:

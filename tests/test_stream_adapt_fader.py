@@ -570,3 +570,45 @@ def test_fader_mirror_count_sync_in_submix():
     tail = out[-2048:, 0]
     spec = np.abs(np.fft.rfft(tail))
     assert abs(np.argmax(spec) * RATE / 2048 - 700) < 8
+
+
+def test_fader_outgoing_heavy_target_keeps_exact_path():
+    """A completed fade's target keeps rendering as the OUTGOING bank of
+    the next fade (weight sqrt(1-p) > 0 for the whole crossfade,
+    fader.rs:58-60), so its step bound must stay in the pool's
+    downsampling-bound sweep: fading from a heavy (speed 8 > RESAMPLE_DSMAX)
+    target back to a light one must hold the DR pool on the exact-gather
+    read path until the crossfade ends — a last-wins spec table would
+    shrink the read windows mid-fade and clamp the heavy bank's positions."""
+    RATE = 8000
+    tt = np.arange(16 * RATE, dtype=np.float32) / np.float32(RATE)
+    data = np.sin(tt * np.float32(2 * np.pi * 400)).astype(np.float32)
+
+    def run(cls):
+        def voice():
+            return ot.Speed.new(
+                ot.FramesSignal(ot.Frames.from_slice(RATE, data), 0.0)
+            )
+
+        mc, mixer = ot.Mixer.new(channels=1)
+        _, s0 = voice()
+        fc, f = cls.new(s0)
+        mc.play(f)
+        r = ot.Renderer(mixer, RATE)
+        out = [r.render_frames(512)]
+        sc1, s1 = voice()
+        sc1.set_speed(8.0)  # heavy: ds = 8 > RESAMPLE_DSMAX
+        fc.fade_to(s1, 0.05)
+        out.append(r.render_frames(1024))  # fade 1 completes
+        _, s2 = voice()
+        fc.fade_to(s2, 0.25)  # long crossfade away from the heavy target
+        out.append(r.render_frames(2048))  # heavy bank audible throughout
+        return np.concatenate(out)
+
+    a = run(_HostPoolFader)
+    b = run(ot.Fader)
+    err = np.abs(a - b).max()
+    # 1e-3 tolerates the speed-8 device-cursor drift vs the host pool's
+    # f64 cursors (~2e-4 here, PARITY.md); the clamped-window bug this
+    # test pins reads ~1.8 absolute
+    assert err < 1e-3, err
