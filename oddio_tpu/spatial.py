@@ -1313,7 +1313,7 @@ class _BufferedPoolDR(_DRPoolBase):
             self._b_cache = {
                 "elapsed": elapsed, "steady": 0.0, "full": 0.0,
                 "clamp": False, "valid_until": np.inf, "trans_until": 0.0,
-                "d_hi_max": 0.0,
+                "d_hi_max": 0.0, "spd_max": 0.0, "t": self._t_scene,
             }
             return 0.0, 0.0
         livef = live.astype(np.float32)
@@ -1359,7 +1359,13 @@ class _BufferedPoolDR(_DRPoolBase):
             "clamp": clamp,
             "valid_until": self._t_scene + horizon,
             "trans_until": self._t_scene + float(rem.max()),
+            # rotation blocks ride the cache: the ear-swing term needs only
+            # max distance, inflated conservatively by the max speed times
+            # the cache age (see _block_b) — without these, every rotating-
+            # listener block would pay the full O(V) sweep
             "d_hi_max": float(d_hi.max()),
+            "spd_max": float(spd.max()),
+            "t": self._t_scene,
             # per-voice components (same sweep, same validity horizons) —
             # the family sub-pass verdict derives from these
             "pv": {
@@ -1395,7 +1401,6 @@ class _BufferedPoolDR(_DRPoolBase):
         c = self._b_cache
         if (
             c is None
-            or rot_sin_half > 0.0
             or c["elapsed"] != elapsed
             or self._t_scene >= c["valid_until"]
         ):
@@ -1407,6 +1412,19 @@ class _BufferedPoolDR(_DRPoolBase):
             if c["clamp"]:
                 steady = max(steady, 1.0)
                 full = max(full, 1.0)
+            if rot_sin_half > 0.0 and elapsed > 0:
+                # rotation ear swing from the CACHED max distance, inflated
+                # by max-speed x cache-age (a conservative upper bound on
+                # drift since the sweep; the min with 2*HEAD caps any
+                # overestimate) — a rotating listener would otherwise force
+                # the O(V) sweep on every block of its turn
+                d_hi = c["d_hi_max"] + c["spd_max"] * max(
+                    0.0, self._t_scene + elapsed - c["t"]
+                )
+                swing = 2.0 * min(
+                    float(HEAD_RADIUS), d_hi * float(rot_sin_half)
+                )
+                full += 1.05 * swing / (float(SPEED_OF_SOUND) * elapsed)
         b_cap = max(
             0.0, (64.0 / min(512, max(n, 1)) - abs(ratio - 1.0)) / max(ratio, 1e-9)
         )
@@ -1442,7 +1460,6 @@ class _BufferedPoolDR(_DRPoolBase):
         c = self._b_cache
         if (
             c is None
-            or rot_sin_half > 0.0
             or c["elapsed"] != elapsed
             or self._t_scene >= c["valid_until"]
         ):
@@ -1465,8 +1482,13 @@ class _BufferedPoolDR(_DRPoolBase):
         steady = np.where(clamp_v, np.maximum(steady, 1.0), steady)
         full = np.where(clamp_v, np.maximum(full, 1.0), full)
         if rot_sin_half > 0.0 and elapsed > 0:
+            # cached per-voice distances, inflated by per-voice speed x
+            # cache age (same conservative rotation-swing bound as
+            # _block_b's cache-hit branch)
+            age = np.float32(max(0.0, self._t_scene + elapsed - c["t"]))
+            d_hi = pv["d_hi"] + (vn + pv["trans"]) * age
             swing = 2.0 * np.minimum(
-                float(HEAD_RADIUS), pv["d_hi"] * np.float32(rot_sin_half)
+                float(HEAD_RADIUS), d_hi * np.float32(rot_sin_half)
             )
             full = full + np.float32(1.05) * swing / (C * elapsed)
         b_cap = max(
@@ -1570,11 +1592,19 @@ class _BufferedPoolDR(_DRPoolBase):
             "nw": np.int32(n_write),
             "wstart": np.int32(start_i),
         }
-        self._ds_small = self._ds_flag_sync(self.interval_inner)
         # deltas ship (and mirror-update) BEFORE the tier choice: shipped
         # motion applies on this block, so the walk bound must reflect the
         # post-application trajectories
         params = self._delta_params(params, force)
+        # fader bookkeeping rides the inner timebase (faders advance by the
+        # ring-write frame count, like every inner node); it runs BEFORE
+        # the read-path flag sync because a released fade's incoming spec
+        # renders THIS block — a heavy (ds > tier) target must widen the
+        # windows now, not one block late
+        self._fade_tick(
+            params if self._has_play else None, self.interval_inner, n_write
+        )
+        self._ds_small = self._ds_flag_sync(self.interval_inner)
         # read-path tier: ring reads step at ds = (ring rate / scene rate)
         # x doppler (ring.rs:51-79 resamples at ANY ratio), so the chunk
         # length and walk bound K adapt to the ratio AND to the scene's
@@ -1594,8 +1624,10 @@ class _BufferedPoolDR(_DRPoolBase):
         # (256, 256) carries the full frozen-read family (|ds-1| <= 1, a
         # clamped voice's walk <= n_c) at half the chunking overhead of
         # (128, 192); its window is exactly M_PAD wide
-        tiers = ((512, 32), (512, 64), (512, 128), (256, 256), (256, 192),
-                 (128, 192))
+        # ((256, 192) would be dead here: (256, 256) accepts a strict
+        # superset of bounds and its window also fits M_PAD at all
+        # realistic rates)
+        tiers = ((512, 32), (512, 64), (512, 128), (256, 256), (128, 192))
         if self._has_play:
             # delta blocks skip the tight tier (pin at the K=64 class): a
             # live scene then alternates between exactly two programs
@@ -1606,11 +1638,6 @@ class _BufferedPoolDR(_DRPoolBase):
         # mirror the walk's smoothing-clock advance (step 3)
         self._g_smdt = (self._g_smdt + np.float32(elapsed)).astype(np.float32)
         self._t_scene += elapsed
-        # fader bookkeeping rides the inner timebase (faders advance by the
-        # ring-write frame count, like every inner node)
-        self._fade_tick(
-            params if self._has_play else None, self.interval_inner, n_write
-        )
         # stream ingest + cursor-mirror shadow (ingest grows len first,
         # then the advance releases — the order dr_render uses in-graph);
         # counts mirror the device's mask gate (idle slots hold cursors)
