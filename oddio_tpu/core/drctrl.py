@@ -105,6 +105,17 @@ def rows_scatter(state, rows, idx, wrote=None):
     return jnp.where(m, upd, state)
 
 
+@jax.jit
+def _sync_digest(mask, stopped):
+    """Pack the two handle-visible flag columns into one bit array: the
+    device->host sync of a 4096-voice pool shrinks from 8 KB in two
+    transfers to 1 KB in one — the readback twin of the packed parameter
+    upload (core/run.py)."""
+    import jax.numpy as jnp
+
+    return jnp.packbits(jnp.concatenate([mask, stopped]))
+
+
 class DRCtrlMixin:
     """Shared by device-resident voice pools (spatial + mixer)."""
 
@@ -112,6 +123,32 @@ class DRCtrlMixin:
     k_ctrl = 64
     #: per-block fade-start lanes per fader path
     k_fade = 8
+
+    # -- packed handle-state sync ------------------------------------------
+
+    def _sync_start(self):
+        """Begin the async device->host copy of the packed (mask, stopped)
+        digest for the CURRENT state version."""
+        st = self.state
+        if st is None:
+            return
+        key = st["mask"]
+        packed = _sync_digest(key, st["stopped"])
+        packed.copy_to_host_async()
+        self._sync_pack = (key, packed)
+
+    def _sync_read(self):
+        """(mask, stopped) numpy bool columns of the current state, via the
+        packed digest (reusing a prefetched one when still current)."""
+        st = self.state
+        pk = getattr(self, "_sync_pack", None)
+        if pk is None or pk[0] is not st["mask"]:
+            self._sync_start()
+            pk = self._sync_pack
+        self._sync_pack = None
+        bits = np.unpackbits(np.asarray(pk[1]))
+        V = st["mask"].shape[0]
+        return bits[:V].astype(bool), bits[V : 2 * V].astype(bool)
 
     def _init_ctrl(self, proto):
         self.ctrl_keys = walk_ctrl_keys(proto)

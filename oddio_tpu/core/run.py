@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from .hostmath import f32
 
@@ -27,8 +28,76 @@ def _stack_params(params_list):
     return jax.tree.map(lambda *xs: np.stack(xs), *params_list)
 
 
+# -- single-buffer parameter upload -------------------------------------------
+# The reference's control plane hands the audio thread a handful of atomics
+# per block; this harness's analogue is the per-block parameter pytree.  A
+# delta block's tree has dozens of small leaves (motion arrays, padded play
+# rows, ctrl lanes) and each leaf is a separate host->device transfer — over
+# a relay tunnel (or PCIe doorbells) the per-transfer overhead dominates the
+# bytes.  The Renderer therefore ships ONE contiguous f32 buffer per dispatch
+# and the jitted step unpacks it with static slices/bitcasts (free after XLA
+# fusion).  swap.rs:36-48 semantics are preserved: latest value per block,
+# bulk-delivered.
+
+
+def _pack_spec(params):
+    """(treedef, ((shape, dtype-str), ...)) for a params pytree, or None
+    when a leaf dtype has no f32 bit-packing (falls back to raw leaves)."""
+    leaves, treedef = jax.tree.flatten(params)
+    spec = []
+    for l in leaves:
+        a = np.asarray(l)
+        if a.dtype == np.float32 or a.dtype == np.bool_:
+            pass
+        elif a.dtype.kind in "iu" and a.dtype.itemsize <= 8:
+            pass
+        else:
+            return None
+        spec.append((a.shape, a.dtype.str))
+    return treedef, tuple(spec)
+
+
+def _pack_row(params):
+    """Flatten one block's params into a single f32 vector (bitwise for
+    ints, 0/1 for bools)."""
+    parts = []
+    for l in jax.tree.leaves(params):
+        a = np.asarray(l)
+        if a.dtype == np.float32:
+            parts.append(a.ravel())
+        elif a.dtype == np.bool_:
+            parts.append(a.astype(np.float32).ravel())
+        else:  # integer: 32-bit bit-pattern (indices/counts all fit)
+            parts.append(
+                np.ascontiguousarray(a.astype(np.int32).ravel()).view(
+                    np.float32
+                )
+            )
+    if not parts:
+        return np.zeros(0, np.float32)
+    return np.concatenate(parts)
+
+
+def _unpack_row(buf, treedef, spec):
+    """Traced inverse of _pack_row: static slices + bitcasts."""
+    out = []
+    off = 0
+    for shape, dstr in spec:
+        size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        x = jax.lax.slice(buf, (off,), (off + size,))
+        dt = np.dtype(dstr)
+        if dt.kind in "iu":
+            x = jax.lax.bitcast_convert_type(x, jnp.int32)
+        elif dt == np.bool_:
+            x = x > 0.5
+        out.append(x.reshape(shape))
+        off += size
+    return jax.tree.unflatten(treedef, out)
+
+
 class Renderer:
-    def __init__(self, signal, rate, sync_every=16, scan_unroll=1):
+    def __init__(self, signal, rate, sync_every=16, scan_unroll=1,
+                 scan_buckets=None):
         if signal._moved:
             raise RuntimeError("signal was moved into an engine; render the engine")
         self.signal = signal
@@ -39,6 +108,16 @@ class Renderer:
         #: per-op fixed costs across blocks for small scenes (identical
         #: semantics; XLA unrolls the loop body)
         self.scan_unroll = int(scan_unroll)
+        #: optional descending dispatch-size quantization, e.g.
+        #: (188, 47, 12, 3, 1): equal-archetype runs split greedily into
+        #: these scan lengths so the set of compiled programs stays BOUNDED
+        #: when control deltas cut dispatches at arbitrary points (a live
+        #: scene otherwise compiles a fresh scan program per remainder
+        #: length — minutes each through a remote-compile service).  None =
+        #: one scan per run (offline/tests).
+        self.scan_buckets = (
+            tuple(sorted(scan_buckets, reverse=True)) if scan_buckets else None
+        )
         # jitted steps keyed by (archetype, kind); archetype includes any
         # trace-relevant statics updated by host_prepare (e.g. ring write
         # bounds), so steps are resolved AFTER preparing the block.
@@ -51,14 +130,20 @@ class Renderer:
         self.sync_every = int(sync_every)
         self._since_sync = 0
 
-    def _get_step(self, kind, arch=None):
-        key = (arch if arch is not None else self.signal.archetype(), kind)
+    def _get_step(self, kind, arch=None, pack=None):
+        """``pack``: (treedef, spec) when params ship as one packed buffer
+        (see _pack_row), or None for raw pytree params (fallback for leaf
+        dtypes the packer does not cover)."""
+        key = (arch if arch is not None else self.signal.archetype(), kind,
+               pack)
         step = self._steps.get(key)
         if step is None:
             sig = self.signal
             if kind == "single":
 
                 def step_fn(dstate, ddata, params, n):
+                    if pack is not None:
+                        params = _unpack_row(params, *pack)
                     return sig.render(dstate, ddata, params, n)
 
                 step = jax.jit(step_fn, static_argnums=3, donate_argnums=0)
@@ -70,6 +155,8 @@ class Renderer:
 
                 def step_fn(dstate, ddata, stacked, n, nblocks):
                     def body(d, p):
+                        if pack is not None:
+                            p = _unpack_row(p, *pack)
                         return sig.render(d, ddata, p, n)
 
                     # length is explicit: an all-idle run of a fully
@@ -87,7 +174,10 @@ class Renderer:
         """Render one block of ``n`` frames; returns float32 (n, C)."""
         sig = self.signal
         params = sig.host_prepare(self.interval if interval is None else f32(interval), n)
-        step = self._get_step("single")
+        pack = _pack_spec(params)
+        if pack is not None:
+            params = _pack_row(params)
+        step = self._get_step("single", sig.archetype(), pack)
         d2, block = step(sig.device_collect(), sig.device_data(), params, n)
         sig.device_store(d2)
         sync = getattr(sig, "sync", None)
@@ -118,17 +208,42 @@ class Renderer:
             nonlocal pend, pend_arch
             if not pend:
                 return
+            if self.scan_buckets and len(pend) > 1:
+                segs, i = [], 0
+                while i < len(pend):
+                    for b in self.scan_buckets:
+                        if b <= len(pend) - i:
+                            segs.append(pend[i : i + b])
+                            i += b
+                            break
+                    else:  # no bucket fits (buckets lack 1): take the rest
+                        segs.append(pend[i:])
+                        i = len(pend)
+            else:
+                segs = [pend]
+            arch = pend_arch
+            pend, pend_arch = [], None
+            for seg in segs:
+                _dispatch(seg, arch)
+
+        def _dispatch(pend, pend_arch):
+            pack = _pack_spec(pend[0])
             if len(pend) == 1:
-                step = self._get_step("single", pend_arch)
+                step = self._get_step("single", pend_arch, pack)
+                p = _pack_row(pend[0]) if pack is not None else pend[0]
                 d2, block = step(
-                    sig.device_collect(), sig.device_data(), pend[0], block_size
+                    sig.device_collect(), sig.device_data(), p, block_size
                 )
                 blocks = block[None]
             else:
-                step = self._get_step("scan", pend_arch)
+                step = self._get_step("scan", pend_arch, pack)
+                if pack is not None:
+                    stacked = np.stack([_pack_row(p) for p in pend])
+                else:
+                    stacked = _stack_params(pend)
                 d2, blocks = step(
                     sig.device_collect(), sig.device_data(),
-                    _stack_params(pend), block_size, len(pend),
+                    stacked, block_size, len(pend),
                 )
             sig.device_store(d2)
             consume(blocks)

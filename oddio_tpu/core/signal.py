@@ -339,10 +339,69 @@ class Signal:
 
     def dr_needs_ingest(self):
         """Whether this chain needs a per-block host->device data channel
-        while device-resident (Stream PCM ingest).  Pools only accept
-        ingest-needing chains when the TOP node manages the channel itself
-        (a bare Stream); wrapped streams fall back to host pools."""
+        while device-resident (Stream PCM ingest)."""
         return any(c.dr_needs_ingest() for c in self.children().values())
+
+    #: True on wrappers whose ``dr_render`` passes (interval, n, count)
+    #: UNCHANGED to a single, structurally fixed child — the condition for
+    #: routing a pool's ingest channel THROUGH the node (Gain/FixedGain/
+    #: Adapt/Reinhard/Tanh/MonoToStereo/Downmix).  False on Speed (warps the
+    #: inner timebase, which would desync the host cursor mirrors that back
+    #: StreamControl.free()'s backpressure) and Fader (bank swaps change
+    #: which subtree the leaf lives in).
+    _dr_ingest_transparent = False
+
+    def dr_ingest_ok(self):
+        """True when a DR pool may accept this chain WITH its ingest
+        channel: at most one ingest-needing subtree, every wrapper on the
+        path to it interval-preserving and structurally fixed.  The
+        reference composes Stream under any filter (stream.rs:6,
+        gain.rs:58-127); chains this predicate rejects (Speed/Fader over a
+        Stream) keep the host-pool path."""
+        ing = [c for c in self.children().values() if c.dr_needs_ingest()]
+        if not ing:
+            return True
+        return (
+            len(ing) == 1
+            and self._dr_ingest_transparent
+            and ing[0].dr_ingest_ok()
+        )
+
+    # Ingest plumbing: pools call these on the BATCHED proto chain; the
+    # generic forms route through transparent wrappers to the Stream leaf
+    # (which overrides them with the real channel logic).
+
+    def dr_ingest_params(self):
+        """Drain producer queues into this block's ingest chunk (or None)."""
+        for c in self.children().values():
+            if c.dr_needs_ingest():
+                return c.dr_ingest_params()
+        return None
+
+    def dr_host_tick(self, interval, counts):
+        """Advance host cursor mirrors by ``counts`` consumed frames."""
+        for c in self.children().values():
+            if c.dr_needs_ingest():
+                c.dr_host_tick(interval, counts)
+
+    def dr_ingest(self, state, ing):
+        """In-graph ingest: scatter the shipped chunk at the leaf's device
+        write cursors, routed through the chain's state tree."""
+        out = dict(state)
+        for k, c in self.children().items():
+            if c.dr_needs_ingest():
+                out[k] = c.dr_ingest(state[k], ing)
+        return out
+
+    def dr_bind_slot(self, i, spec, pool, gen):
+        """Adopt a played spec's host mirrors into slot ``i`` of this
+        BATCHED proto chain (ingest pools keep a host shadow of the stream
+        cursors + producer queues).  Wrappers recurse; the Stream leaf
+        overrides with the real mirror adoption."""
+        for (k, mine), theirs in zip(
+            self.children().items(), spec.children().values()
+        ):
+            mine.dr_bind_slot(i, theirs, pool, gen)
 
     def dr_state_init(self, V):
         """Benign default device state for V slots (numpy pytree)."""
@@ -358,10 +417,20 @@ class Signal:
 
     def dr_default_row(self, interval):
         """Benign padding row for unfilled play/fade delta lanes — same tree
-        structure as ``dr_slot_row``."""
+        structure as ``dr_slot_row``.  Chains recurse per child so leaf
+        overrides (e.g. Stream, whose slot rows omit the ring leaf and must
+        pad closed=1) keep the row tree stackable with real slot rows."""
         import jax
 
-        return jax.tree.map(lambda x: np.asarray(x[0]), self.dr_state_init(1))
+        kids = self.children()
+        row = {
+            k: jax.tree.map(lambda x: np.asarray(x[0]), v)
+            for k, v in self.dr_state_init(1).items()
+            if k not in kids
+        }
+        for k, c in kids.items():
+            row[k] = c.dr_default_row(interval)
+        return row
 
     def dr_render(self, state, ddata, interval, n, count):
         """Batched pure render: (state', samples (V, n)) advancing each voice

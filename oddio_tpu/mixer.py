@@ -268,15 +268,12 @@ class PoolDR(DRCtrlMixin):
         self.state = S
 
     def sync_prefetch(self):
-        if self.state is not None:
-            self.state["mask"].copy_to_host_async()
-            self.state["stopped"].copy_to_host_async()
+        self._sync_start()
 
     def sync(self):
         if self.state is None:
             return
-        mask = np.asarray(self.state["mask"])
-        stopped = np.asarray(self.state["stopped"])
+        mask, stopped = self._sync_read()
         pending = {i for i, _ in self.pending_plays}
         for i in range(self.capacity):
             if i in pending:
@@ -432,14 +429,11 @@ class Mixer(Signal):
             self._pools[("singleton", name)] = pool
             slot, gen = pool.play(spec)
             return Mixed(pool, slot, gen)
-        from .ops.stream import Stream
-
-        # ingest-needing chains (streams) go DR only when the TOP node is
-        # the stream itself — it owns the per-block PCM channel; wrapped
+        # ingest-needing chains (streams, stream.rs:6 under any filter) go
+        # DR when the route to the stream leaf is clean (single leaf,
+        # interval-preserving wrappers — dr_ingest_ok); Speed/Fader-wrapped
         # streams keep the host-pool path
-        dr = spec.dr_supported() and (
-            not spec.dr_needs_ingest() or type(spec) is Stream
-        )
+        dr = spec.dr_supported() and spec.dr_ingest_ok()
         arch = (spec.archetype(), dr)
         pool = self._pools.get(arch)
         if pool is None:
@@ -485,10 +479,19 @@ class Mixer(Signal):
                 return True
         return False
 
-    def host_prepare(self, interval, n, count=None):
+    def host_wants_deltas(self):
+        """Pack-coordination predicate; see SpatialScene.host_wants_deltas."""
+        return any(
+            bool(p.pending_plays) or bool(p.pending_stops)
+            or p._ctrl_pending_any() or p.force_deltas
+            for p in self._pools.values()
+            if p.is_dr
+        )
+
+    def host_prepare(self, interval, n, count=None, force=False):
         # scene-global control-event flag (retrace containment; see
-        # SpatialScene.host_prepare)
-        force = any(
+        # SpatialScene.host_prepare); ``force`` adds pack-level events
+        force = force or any(
             bool(p.pending_plays) or bool(p.pending_stops)
             or p._ctrl_pending_any()
             for p in self._pools.values()

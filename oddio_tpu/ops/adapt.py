@@ -89,6 +89,7 @@ class AdaptOptions:
 
 class Adapt(Signal):
     _host_fields = ("tau", "max_gain", "low", "high", "avg0")
+    _dr_ingest_transparent = True
 
     def __init__(self, signal, initial_rms, options=None):
         super().__init__()
@@ -157,7 +158,7 @@ class Adapt(Signal):
     # (the same _ema_gain op order as the vmapped host path — bit-identical).
 
     def dr_supported(self):
-        return self.channels == 1 and self.inner.dr_supported()
+        return self.inner.dr_supported()
 
     def dr_state_init(self, V):
         return {
@@ -188,13 +189,17 @@ class Adapt(Signal):
         cnt = jnp.broadcast_to(
             jnp.asarray(count, jnp.int32), state["avg"].shape
         )
+        # frame-generic: the level is the summed-channel frame (adapt.rs:73),
+        # one gain per frame scales every channel (adapt.rs:84-86)
+        s = samples if samples.ndim == 2 else jnp.sum(samples, axis=1)
         gain, avg = _ema_gain(
-            state["avg"], samples, alpha, cnt,
+            state["avg"], s, alpha, cnt,
             state["low"], state["high"], state["max_gain"], n,
         )
         st = dict(state)
         st["avg"], st["inner"] = avg, d2
-        return st, samples * gain
+        g = gain if samples.ndim == 2 else gain[:, None, :]
+        return st, samples * g
 
     def dr_is_finished(self, state):
         return self.inner.dr_is_finished(state["inner"])

@@ -21,6 +21,8 @@ __all__ = ["MonoToStereo", "Downmix"]
 
 
 class _Wrapper(Signal):
+    _dr_ingest_transparent = True
+
     def __init__(self, signal):
         super().__init__()
         self.inner = signal

@@ -28,6 +28,8 @@ SMOOTHING_PERIOD = np.float32(0.1)
 
 
 class FixedGain(Signal):
+    _dr_ingest_transparent = True
+
     """Constant gain in decibels; seekable when the inner signal is."""
 
     _host_fields = ("gain",)
@@ -127,6 +129,8 @@ class FixedGain(Signal):
 
 class Gain(Signal):
     """Dynamically controlled gain with 0.1 s smoothing (gain.rs:58-127)."""
+
+    _dr_ingest_transparent = True
 
     _host_fields = ("shared", "prev", "next", "progress")
 

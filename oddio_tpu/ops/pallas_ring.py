@@ -420,20 +420,64 @@ def _ear_pipeline_flat(strips, scal, extra, *, n, K, W, SB=SELECT_SB):
     return out[:, :n]
 
 
+def _gather_pair(w1, w1s, m, W):
+    """(a, b) = (w1[m], w1[m+1]) for m in [0, W-2], sharing ONE set of
+    per-element indices: b rides the pre-shifted twin ``w1s`` (w1s[k] =
+    w1[k+1]) at the SAME index, so the pair costs 2W/128 gathers but only
+    one index/select pipeline.  No clips: m & 127 is always a valid lane
+    and m >> 7 selects the table (callers guarantee m in range)."""
+    idx = m & 127
+    hi = m >> 7
+    a = jnp.take_along_axis(w1[:, 0:128], idx, axis=-1)
+    b = jnp.take_along_axis(w1s[:, 0:128], idx, axis=-1)
+    for c in range(1, W // 128):
+        sel = hi == c
+        ga = jnp.take_along_axis(w1[:, 128 * c : 128 * (c + 1)], idx, axis=-1)
+        gb = jnp.take_along_axis(w1s[:, 128 * c : 128 * (c + 1)], idx, axis=-1)
+        a = jnp.where(sel, ga, a)
+        b = jnp.where(sel, gb, b)
+    return a, b
+
+
+def _ears_pipeline_flat(strips, scals, extras, *, n, K, W, SB=SELECT_SB):
+    """Both ears' fractional reads from one shared window, with the
+    per-sub-block lookup tables (and their +1-shifted lerp twins) built
+    once and shared across ears.  Output-identical to calling
+    _ear_pipeline_flat per ear; ~40% fewer VPU ops on the gather leg
+    (shared index math, no clips, pre-shifted b tables)."""
+    tile = strips.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1)
+    outs = ([], [])
+    for sb in range(-(-n // SB)):
+        w1 = strips[:, sb * SB : sb * SB + W]
+        # b's max index is W-2 (select_tables carries the +1), so the
+        # zero pad in the shifted twin's last lane is never read
+        w1s = jnp.concatenate(
+            [w1[:, 1:], jnp.zeros((tile, 1), jnp.float32)], axis=-1
+        )
+        for e in range(2):
+            kk_sb, fr_sb = _positions_sb(scals[e], sb * SB, SB, K)
+            m = extras[e] + iota + kk_sb
+            a_sb, b_sb = _gather_pair(w1, w1s, m, W)
+            outs[e].append(a_sb + fr_sb * (b_sb - a_sb))
+    return tuple(
+        jnp.concatenate(p, axis=-1)[:, :n] if len(p) > 1 else p[0][:, :n]
+        for p in outs
+    )
+
+
 def _select_flat_kernel(s_ref, sc0_ref, sc1_ref, g0_ref, g1_ref, mask_ref,
                         e0_ref, e1_ref, out_ref, *, n, K, W):
     i = pl.program_id(0)
     jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     m = mask_ref[...]
     strips = s_ref[...]  # ONE window per voice, shared by both ears
+    samps = _ears_pipeline_flat(
+        strips, (sc0_ref[...], sc1_ref[...]), (e0_ref[...], e1_ref[...]),
+        n=n, K=K, W=W,
+    )
     rows = []
-    for sc_ref, g_ref, e_ref in (
-        (sc0_ref, g0_ref, e0_ref),
-        (sc1_ref, g1_ref, e1_ref),
-    ):
-        samp = _ear_pipeline_flat(
-            strips, sc_ref[...], e_ref[...], n=n, K=K, W=W
-        )
+    for samp, g_ref in zip(samps, (g0_ref, g1_ref)):
         g = g_ref[...]
         gains = g[:, 0:1] + jn * g[:, 1:2]
         rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
@@ -521,14 +565,12 @@ def _select_tiles_kernel(s_ref, sh_ref, sc0_ref, sc1_ref, g0_ref, g1_ref,
     # every sub-block's lookup tables (probe13: tables at W=1408 cost more
     # than the whole narrow pipeline)
     win = _realign_rows(wide, b, WIN, H)
+    samps = _ears_pipeline_flat(
+        win, (sc0_ref[...], sc1_ref[...]), (e0_ref[...], e1_ref[...]),
+        n=n, K=K, W=W,
+    )
     rows = []
-    for sc_ref, g_ref, e_ref in (
-        (sc0_ref, g0_ref, e0_ref),
-        (sc1_ref, g1_ref, e1_ref),
-    ):
-        samp = _ear_pipeline_flat(
-            win, sc_ref[...], e_ref[...], n=n, K=K, W=W
-        )
+    for samp, g_ref in zip(samps, (g0_ref, g1_ref)):
         g = g_ref[...]
         gains = g[:, 0:1] + jn * g[:, 1:2]
         rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))

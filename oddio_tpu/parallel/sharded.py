@@ -50,8 +50,6 @@ class ScenePack:
                         "scenes containing non-batchable (submix) voices "
                         "cannot be packed: their params carry no voice axis"
                     )
-                if hasattr(pool, "force_deltas"):
-                    pool.force_deltas = True
                 if hasattr(pool, "_unpack_hook"):
                     # any out-of-graph pool-state mutation (grow, eager
                     # plays) must first pull the pack's carried device state
@@ -176,12 +174,33 @@ class ScenePack:
             for p in grp:
                 p._dmax_floor = floor
 
+    def _pack_force(self):
+        """Any scene with queued control events forces EVERY scene onto the
+        delta step variant this block (stacked param trees must be uniform
+        across scenes); all-idle pack blocks ship no delta arrays at all.
+        NB: stream INGEST stays per-scene-dirty — scenes in a pack must
+        share a write schedule (all write in a block or none), like every
+        other structural agreement the pack requires."""
+        return any(
+            getattr(s, "host_wants_deltas", lambda: False)()
+            for s in self.scenes
+        )
+
+    def _prepare(self, n):
+        force = self._pack_force()
+        return [
+            s.host_prepare(self.interval, n, force=force)
+            if hasattr(s, "host_wants_deltas")
+            else s.host_prepare(self.interval, n)
+            for s in self.scenes
+        ]
+
     def render_block(self, n):
         """Render one block for every scene; returns float32 (S, n, C)."""
         from .context import voice_axis
 
         self._tier_floors(n)
-        per_scene = [s.host_prepare(self.interval, n) for s in self.scenes]
+        per_scene = self._prepare(n)
         self._params_single = per_scene[0]
         params = _stack(per_scene)
         self._ensure_state()
@@ -190,6 +209,97 @@ class ScenePack:
         with voice_axis(VOICE_AXIS):
             self._dstate, blocks = step(self._dstate, ddata, params)
         return np.moveaxis(np.asarray(blocks), 1, 2)
+
+    def _get_scan_step(self, arch, n, nblocks):
+        key = (arch, n, nblocks, "scan")
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        proto = self.scenes[0]
+
+        def shard_fn(dstate, ddata, stacked):
+            def body(d, p):
+                def one_scene(dd, pp):
+                    return proto.render(dd, ddata, pp, n)
+
+                d2, blocks = jax.vmap(one_scene)(d, p)
+                return d2, jax.lax.psum(blocks, VOICE_AXIS)
+
+            return jax.lax.scan(body, dstate, stacked, length=nblocks)
+
+        vflags = proto.params_voice_axes(self._params_single)
+        pspecs = jax.tree.map(
+            lambda f: P(None, SCENE_AXIS, VOICE_AXIS) if f
+            else P(None, SCENE_AXIS),
+            vflags,
+        )
+        sspecs = self._state_specs()
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(
+                sspecs,
+                self._specs(proto.device_data(), ()),
+                pspecs,
+            ),
+            out_specs=(
+                sspecs,
+                P(None, SCENE_AXIS),
+            ),
+            check_vma=False,
+        )
+        step = jax.jit(mapped, donate_argnums=0)
+        self._steps[key] = step
+        return step
+
+    def render_frames_device(self, total, block_size=512):
+        """Offline pack render that keeps audio on device: batches runs of
+        equal-archetype blocks into on-device scans (the pack analogue of
+        Renderer.render_frames_device) and returns a list of (B, S, C, n)
+        device arrays.  With the all-idle fast path above, a control-free
+        pack scan ships ~no parameter bytes per block."""
+        from .context import voice_axis
+
+        nblocks, rem = divmod(total, block_size)
+        if rem:
+            raise ValueError("total must be a multiple of block_size")
+        out = []
+        pend = []
+        pend_arch = None
+        pend_single = None
+
+        def flush():
+            nonlocal pend, pend_arch, pend_single
+            if not pend:
+                return
+            self._ensure_state()
+            self._arch = pend_arch
+            self._params_single = pend_single
+            stacked = _stack(pend)
+            step = self._get_scan_step(pend_arch, block_size, len(pend))
+            ddata = self.scenes[0].device_data()
+            with voice_axis(VOICE_AXIS):
+                self._dstate, blocks = step(self._dstate, ddata, stacked)
+            out.append(blocks)
+            pend, pend_arch, pend_single = [], None, None
+
+        for _ in range(nblocks):
+            if pend and any(
+                getattr(s, "host_structure_event", lambda: False)()
+                for s in self.scenes
+            ):
+                flush()
+            self._tier_floors(block_size)
+            per_scene = self._prepare(block_size)
+            a = self.scenes[0].archetype()
+            if pend and a != pend_arch:
+                flush()
+            if not pend:
+                pend_single = per_scene[0]
+            pend.append(_stack(per_scene))
+            pend_arch = a
+        flush()
+        return out
 
     def sync(self):
         """Pull handle-visible device state back into each scene's host

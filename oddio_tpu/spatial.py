@@ -883,17 +883,15 @@ class _DRPoolBase(DRCtrlMixin):
 
     def sync_prefetch(self):
         """Start the device->host copy of handle-visible state so a
-        following sync() doesn't stall the render pipeline."""
-        if self.state is not None:
-            self.state["mask"].copy_to_host_async()
-            self.state["stopped"].copy_to_host_async()
+        following sync() doesn't stall the render pipeline (packed: one
+        ~V/4-byte transfer instead of two V-byte columns)."""
+        self._sync_start()
 
     def sync(self):
         """Pull mask/stopped back from the device; reclaim freed slots."""
         if self.state is None:
             return
-        mask = np.asarray(self.state["mask"])
-        stopped = np.asarray(self.state["stopped"])
+        mask, stopped = self._sync_read()
         pending = {i for i, _ in self.pending_plays}
         for i in range(self.capacity):
             if i in pending:
@@ -2046,14 +2044,11 @@ class SpatialScene(Signal):
             self._buffered_pools[("singleton", name)] = pool
             i, gen = pool.play(spec, options, max_delay)
             return Spatial(pool, i, gen)
-        from .ops.stream import Stream
-
-        # ingest-needing chains (streams) go DR only when the TOP node is
-        # the stream itself — it owns the per-block PCM channel; wrapped
+        # ingest-needing chains (streams, stream.rs:6 under any filter) go
+        # DR when the route to the stream leaf is clean (single leaf,
+        # interval-preserving wrappers — dr_ingest_ok); Speed/Fader-wrapped
         # streams keep the host-pool path
-        dr = spec.dr_supported() and (
-            not spec.dr_needs_ingest() or type(spec) is Stream
-        )
+        dr = spec.dr_supported() and spec.dr_ingest_ok()
         key = (spec.archetype(), int(rate), bucket, dr)
         pool = self._buffered_pools.get(key)
         if pool is None:
@@ -2231,7 +2226,20 @@ class SpatialScene(Signal):
                 return True
         return False
 
-    def host_prepare(self, interval, n, count=None):
+    def host_wants_deltas(self):
+        """True when the NEXT block would ship control-delta arrays — the
+        pack-coordination predicate (ScenePack ORs it across scenes so
+        every scene takes the same step variant on a given block, while
+        all-idle pack blocks ship nothing)."""
+        return self._rot_pending is not None or any(
+            bool(p.pending_plays) or bool(p.pending_motion)
+            or p._ctrl_pending_any() or p.force_deltas
+            or getattr(p, "force_needed", lambda: False)()
+            for p in self._all_pools()
+            if getattr(p, "is_dr", False)
+        )
+
+    def host_prepare(self, interval, n, count=None, force=False):
         # listener rotation swap refresh (spatial.rs:382-386).  The host
         # keeps the authoritative mirror; device-resident pools read the
         # device copy ("_rot" state leaf, updated via a delta only when a
@@ -2250,8 +2258,9 @@ class SpatialScene(Signal):
         # scene-global control-event flag: when ANY device-resident pool has
         # queued events, every DR pool ships (padded) delta arrays, so a live
         # scene alternates between exactly two step variants regardless of
-        # which pool the events hit (retrace containment)
-        force = rot_event or any(
+        # which pool the events hit (retrace containment).  ``force`` is the
+        # pack-level equivalent (an event in a SIBLING scene).
+        force = force or rot_event or any(
             bool(p.pending_plays) or bool(p.pending_motion)
             or p._ctrl_pending_any() or p.force_deltas
             or getattr(p, "force_needed", lambda: False)()

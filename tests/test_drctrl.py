@@ -285,6 +285,41 @@ def test_stereo_dr_constant_and_channel_adapters():
     np.testing.assert_allclose(out2[:, 0], -0.25, atol=1e-6)
 
 
+def test_stereo_dr_adapt_matches_host():
+    """Frame-generic DR Adapt (adapt.rs:63-88 is generic over Frame):
+    stereo Adapt(FramesSignal) rides the DR mixer pool and matches the
+    host pool — the summed-channel level drives one gain per frame that
+    scales both channels."""
+    rng = np.random.default_rng(11)
+    data = (rng.standard_normal((4000, 2)) * 0.4).astype(np.float32)
+    # make the AGC actually move: a loud then quiet section
+    data[:1500] *= 2.0
+    data[1500:] *= 0.1
+    snd = ot.Frames.from_slice(8000, data)
+
+    def build(cls):
+        mc, mixer = ot.Mixer.new(channels=2)
+        for i in range(3):
+            mc.play(ot.Adapt(
+                cls(snd, -0.01 * i), 0.2,
+                ot.AdaptOptions(tau=0.05, low=0.1, high=0.3, max_gain=3.0),
+            ))
+        return mixer
+
+    outs = []
+    for cls in (ot.FramesSignal, _HostFrames):
+        mixer = build(cls)
+        pool = next(iter(mixer._pools.values()))
+        assert pool.is_dr == (cls is ot.FramesSignal)
+        r = ot.Renderer(mixer, 8000)
+        outs.append(np.concatenate([r.render_frames(512),
+                                    r.render_frames(1024)]))
+    assert np.abs(outs[0]).max() > 0.01
+    # same tolerance rationale as test_stereo_dr_mixer_pool_matches_host
+    # (f64-cursor vs snapped device-cursor fractional positions on noise)
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-3)
+
+
 def test_buffered_spatial_retrace_containment():
     """A live buffered DR scene alternates between exactly two step
     variants (idle + control-delta): plays, set_motion, set_gain and

@@ -174,6 +174,36 @@ def test_mixer_pack():
     np.testing.assert_allclose(got, expected, atol=1e-5)
 
 
+def test_scenepack_device_scan_matches_render_block():
+    """ScenePack.render_frames_device (on-device scans with the all-idle
+    no-delta fast path) matches per-block render_block exactly, across the
+    play-delta -> idle archetype boundary."""
+    need_devices(8)
+    S = 2
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        control, mixer = ot.Mixer.new(channels=1)
+        for _ in range(8):
+            gc, g = ot.Gain.new(
+                ot.Sine(rng.uniform(0, 6), rng.uniform(100, 900))
+            )
+            gc.set_gain(-3.0)
+            control.play(g)
+        return mixer
+
+    pack = ScenePack([build(s) for s in range(S)], 8000, make_mesh(2, 4))
+    a = np.concatenate([pack.render_block(512) for _ in range(3)], axis=1)
+
+    pack2 = ScenePack([build(s) for s in range(S)], 8000, make_mesh(2, 4))
+    outs = pack2.render_frames_device(3 * 512)
+    b = np.concatenate([np.asarray(x) for x in outs], axis=0)  # (B, S, C, n)
+    b = b.transpose(1, 0, 3, 2).reshape(S, -1, b.shape[2])
+    assert np.abs(a).max() > 0.01
+    # scan-fused vs per-block programs reassociate the gain ramp (~1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_streaming_agc_scene_pack():
     """BASELINE config 5 (scaled): scenes x stream voices with adapt AGC,
     block-pipelined through a sharded pack."""

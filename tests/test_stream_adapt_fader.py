@@ -336,24 +336,29 @@ def test_stream_batched_kernel_matches_vmap():
     assert err < 5e-5, err
 
 
+class _HostStream(ot.Stream):
+    """Forces the host-pool path for comparison."""
+
+    def dr_supported(self):
+        return False
+
+
 def test_stream_dr_spatial_matches_host_pool():
-    """A bare Stream spatial voice rides the DR pool; the same stream under
-    an identity FixedGain(0 dB) wrapper keeps the host-pool path.  Both
-    must produce the same audio (the wrapped path's per-voice f32 position
-    walk wobbles by ~n*eps*ds vs the kernel's exact split)."""
+    """A bare Stream spatial voice rides the DR pool and must produce the
+    same audio as the host-pool path (whose per-voice f32 position walk
+    wobbles by ~n*eps*ds vs the kernel's exact split)."""
     rng = np.random.default_rng(21)
     data = (rng.standard_normal(6000) * 0.2).astype(np.float32)
 
-    def run(wrap):
+    def run(cls):
         control, scene = ot.SpatialScene.new()
-        ctl, s = ot.Stream.new(8000, 8192)
-        spec = ot.FixedGain(s, 0.0) if wrap else s
+        ctl, s = cls.new(8000, 8192)
         control.play_buffered(
-            spec, ot.SpatialOptions(position=[1.0, 0.0, -2.0]),
+            s, ot.SpatialOptions(position=[1.0, 0.0, -2.0]),
             max_distance=10.0, rate=8000, buffer_duration=0.1,
         )
         pool = list(scene._buffered_pools.values())[0]
-        assert getattr(pool, "is_dr", False) == (not wrap)
+        assert getattr(pool, "is_dr", False) == (cls is ot.Stream)
         ctl.write(data[:4000])
         r = ot.Renderer(scene, 8000)
         out = [r.render_block(512) for _ in range(3)]
@@ -361,10 +366,107 @@ def test_stream_dr_spatial_matches_host_pool():
         out += [r.render_block(512) for _ in range(5)]
         return np.concatenate(out)
 
-    a = run(False)
-    b = run(True)
+    a = run(ot.Stream)
+    b = run(_HostStream)
     err = np.abs(a - b).max()
     assert err < 5e-5, err
+
+
+def test_wrapped_stream_pool_routing():
+    """stream.rs:6 composes Stream under any filter.  Chains whose route to
+    the stream leaf is interval-preserving (Gain, FixedGain, Adapt,
+    Reinhard/Tanh) ride the DR pools — the chain routes the pool's ingest
+    channel to its leaf; Speed/Fader wrappers keep the host pool (warped
+    timebase / bank swaps would desync the ingest mirrors)."""
+    control, mixer = ot.Mixer.new(channels=1)
+    hs = [
+        control.play(ot.Gain.new(ot.Stream.new(8000, 2048)[1])[1]),
+        control.play(ot.Adapt(ot.Stream.new(8000, 2048)[1], 0.1)),
+        control.play(ot.Tanh(ot.FixedGain(ot.Stream.new(8000, 2048)[1], -3.0))),
+        control.play(ot.Speed.new(ot.Stream.new(8000, 2048)[1])[1]),
+        control.play(ot.Fader.new(ot.Stream.new(8000, 2048)[1])[1]),
+    ]
+    assert len(hs) == 5
+    flags = [p.is_dr for p in mixer._pools.values()]
+    assert flags == [True, True, True, False, False]
+
+
+def test_gain_stream_dr_matches_host_pool():
+    """Gain(Stream) in a DR mixer pool (ingest routed through the chain)
+    matches the host pool, including a smoothed set_gain mid-flight,
+    mid-run ingest, and the close-and-drain underrun tail."""
+    rng = np.random.default_rng(5)
+    data = (rng.standard_normal(6000) * 0.3).astype(np.float32)
+
+    def run(cls):
+        control, mixer = ot.Mixer.new(channels=1)
+        gcs, ctls = [], []
+        for i in range(3):
+            ctl, s = cls.new(8000, 8192)
+            gc, g = ot.Gain.new(s)
+            gc.set_gain(-2.0 * i)
+            control.play(g)
+            gcs.append(gc)
+            ctls.append(ctl)
+        pool = next(iter(mixer._pools.values()))
+        assert pool.is_dr == (cls is ot.Stream)
+        for ctl in ctls:
+            ctl.write(data[:3000])
+        r = ot.Renderer(mixer, 8000)
+        out = [r.render_frames(1024)]
+        gcs[0].set_gain(-6.0)
+        for ctl in ctls:
+            ctl.write(data[3000:])
+        out.append(r.render_frames(2048))
+        ctls[1].close()  # drain past the end: underrun zero-pad
+        out.append(r.render_frames(4096))
+        return np.concatenate(out)
+
+    a = run(ot.Stream)
+    b = run(_HostStream)
+    err = np.abs(a - b).max()
+    assert np.abs(a).max() > 0.01
+    assert err < 1e-4, err
+
+
+def test_adapt_stream_dr_spatial_matches_host_pool():
+    """Adapt(Stream) spatial voices ride the DR buffered pool and match
+    the host pool (the AGC carry advances by the ring-write counts on
+    both paths)."""
+    rng = np.random.default_rng(8)
+    data = (rng.standard_normal(6000) * 0.5).astype(np.float32)
+    data[2000:] *= 0.15
+
+    def run(cls):
+        control, scene = ot.SpatialScene.new()
+        ctls = []
+        for i in range(2):
+            ctl, s = cls.new(8000, 8192)
+            spec = ot.Adapt(
+                s, 0.2, ot.AdaptOptions(tau=0.05, low=0.1, high=0.3,
+                                        max_gain=3.0)
+            )
+            control.play_buffered(
+                spec, ot.SpatialOptions(position=[1.0 + i, 0.0, -2.0]),
+                max_distance=10.0, rate=8000, buffer_duration=0.1,
+            )
+            ctls.append(ctl)
+        pool = list(scene._buffered_pools.values())[0]
+        assert getattr(pool, "is_dr", False) == (cls is ot.Stream)
+        for ctl in ctls:
+            ctl.write(data[:4000])
+        r = ot.Renderer(scene, 8000)
+        out = [r.render_block(512) for _ in range(3)]
+        for ctl in ctls:
+            ctl.write(data[4000:])  # mid-run ingest
+        out += [r.render_block(512) for _ in range(5)]
+        return np.concatenate(out)
+
+    a = run(ot.Stream)
+    b = run(_HostStream)
+    err = np.abs(a - b).max()
+    assert np.abs(a).max() > 0.001
+    assert err < 1e-4, err
 
 
 def test_stream_dr_close_reclaims_and_slot_reuse():
