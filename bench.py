@@ -14,13 +14,21 @@ Prints ONE JSON line with the flagship metric plus named secondary paths
                         tunnel (upload-bound HERE; PCIe-trivial in prod)
   buffered_xrt          4096-voice play_buffered() scene (delay rings —
                         the only path for streams/arbitrary sources)
-  subpass_xrt           the same at 4096 voices with 64 offset-clamped
-                        ones (family sub-pass: wide-walk voices render on
-                        a side wide-tier pass; the pool keeps its tight
+  buffered_mixed_xrt    the same with seek-scene motion (±5 m/s, ±30 m):
+                        voices cross the max_delay*c clamp boundary
+                        mid-run — the tier ladder + family sub-pass under
+                        realistic game motion
+  subpass_xrt           4096 buffered voices with 64 offset-clamped ones
+                        (family sub-pass: wide-walk voices render on a
+                        side wide-tier pass; the pool keeps its tight
                         tier)
   densemix_xrt          1024 gain-controlled voices -> Reinhard -> Tanh
   wavetable_xrt         1024 Cycle+Speed wavetable voices
   agc_xrt               256 Adapt (per-frame EMA scan) voices
+  scenepack_xrt         16-scene ScenePack x 256 voices (Adapt(Stream)
+                        prefilled + Adapt(Sine)), single-chip (1,1) mesh,
+                        on-device pack scans — BASELINE config 5 scaled
+                        to one chip; xrt is per-scene audio over wall
   streams_mixer_xrt     64 prefilled Stream voices in a Mixer (drain)
   streams_spatial_xrt   64 prefilled Stream voices spatialized (drain)
 
@@ -42,8 +50,15 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 VOICES = 4096
 RATE = 48000
 BLOCK = 512
-CHUNK = 47  # blocks per scan dispatch (~0.5 s)
-NCHUNKS = 32  # ~16 s of audio per trial
+CHUNK = 47  # blocks per live-tick dispatch (~0.5 s)
+#: blocks per velocity-trial dispatch (~2 s of audio): amortizes the relay's
+#: per-dispatch cost — tools/r4_probe1.py measured the seek scene at
+#: 98-122x with 47-block dispatches vs 135-146x at 188 on identical code
+VCHUNK = 188
+NVCHUNKS = 8  # ~16 s of audio per velocity trial
+#: dispatch-size quantization (core/run.py): keeps the compiled scan set
+#: bounded when mid-run control deltas (sub-pass membership) split runs
+BUCKETS = (VCHUNK, CHUNK, CHUNK - 1, 12, 3, 1)
 
 
 def log(*a):
@@ -82,18 +97,18 @@ def build_spatial(buffered):
     return control, scene, handles
 
 
-def velocity_trials(r, scene, label, ntrials=3, nchunks=NCHUNKS):
+def velocity_trials(r, scene, label, ntrials=3, nchunks=NVCHUNKS):
     """Sustained pipelined render rate, motion velocity-driven on device
     (reference semantics, spatial.rs:501-511): no per-tick control uploads
     in the loop — the number a PCIe-attached production host sees."""
     import jax.numpy as jnp
 
-    audio = nchunks * CHUNK * BLOCK / RATE
+    audio = nchunks * VCHUNK * BLOCK / RATE
     trials = []
     for _ in range(ntrials):
         t0 = time.time()
         for _ in range(nchunks):
-            blocks = r.render_frames_device(BLOCK * CHUNK, sync=False)
+            blocks = r.render_frames_device(BLOCK * VCHUNK, sync=False)
         total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
         assert np.isfinite(total)
         trials.append(round(audio / (time.time() - t0), 2))
@@ -104,7 +119,8 @@ def velocity_trials(r, scene, label, ntrials=3, nchunks=NCHUNKS):
     return trials
 
 
-def warmup(r, scene, handles, rng, label, p_lim=30.0, v_lim=5.0):
+def warmup(r, scene, handles, rng, label, p_lim=30.0, v_lim=5.0,
+           live=False, buckets=False):
     import jax.numpy as jnp
 
     t0 = time.time()
@@ -112,14 +128,25 @@ def warmup(r, scene, handles, rng, label, p_lim=30.0, v_lim=5.0):
     assert np.isfinite(first).all() and np.abs(first).max() > 0
     # warm every variant the timed loops use: a motion-delta block followed
     # by zero-delta scan blocks (audio kept on device) plus the digest op
-    if handles:
+    if live and handles:
         for h in handles[:64]:
             h.set_motion(rng.uniform(-p_lim, p_lim, 3),
                          rng.uniform(-v_lim, v_lim, 3), False)
-    blocks = r.render_frames_device(BLOCK * CHUNK)
-    blocks = r.render_frames_device(BLOCK * CHUNK)  # idle full-chunk scan
+        r.render_frames_device(BLOCK * CHUNK)  # delta single + bucket scans
+        r.render_frames_device(BLOCK * CHUNK)  # idle tick-width scan
+    if buckets:
+        # scenes whose control plane splits dispatches mid-run (sub-pass
+        # membership): compile every bucket size before the timed loop
+        for b in (CHUNK, 12, 3, 1):
+            r.render_frames_device(BLOCK * b)
+    blocks = r.render_frames_device(BLOCK * VCHUNK)
+    blocks = r.render_frames_device(BLOCK * VCHUNK)  # idle wide scan
     float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     log(f"[{label}] warmup incl. compile: {time.time()-t0:.1f}s")
+
+
+#: game ticks per live trial (~16 s of audio at 47-block ticks)
+LTICKS = 32
 
 
 def live_trials(r, scene, handles, rng, label, ntrials=5):
@@ -127,12 +154,12 @@ def live_trials(r, scene, handles, rng, label, ntrials=5):
     tick shipped over the relay tunnel (upload weather dominates here)."""
     import jax.numpy as jnp
 
-    audio = NCHUNKS * CHUNK * BLOCK / RATE
+    audio = LTICKS * CHUNK * BLOCK / RATE
     trials = []
     upd = 0
     for _ in range(ntrials):
         t0 = time.time()
-        for _ in range(NCHUNKS):
+        for _ in range(LTICKS):
             for h in handles[upd : upd + 64]:
                 h.set_motion(rng.uniform(-30, 30, 3), rng.uniform(-5, 5, 3),
                              False)
@@ -155,11 +182,12 @@ def bench_spatial(buffered, rng, with_live):
     t0 = time.time()
     control, scene, handles = build_spatial(buffered)
     log(f"built {VOICES}-voice {label} scene in {time.time()-t0:.1f}s")
-    r = ot.Renderer(scene, RATE)
+    r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS)
     if buffered:
-        warmup(r, scene, handles, rng, label, p_lim=15.0, v_lim=0.3)
+        warmup(r, scene, handles, rng, label, p_lim=15.0, v_lim=0.3,
+               live=with_live)
     else:
-        warmup(r, scene, handles, rng, label)
+        warmup(r, scene, handles, rng, label, live=with_live)
     live = live_trials(r, scene, handles, rng, label) if with_live else None
     vel = velocity_trials(r, scene, label, ntrials=5)
     # end-to-end incl. bulk PCM egress (stderr only; tunnel-bound here)
@@ -194,14 +222,98 @@ def bench_subpass(rng):
         control.play_buffered(
             sig, opts, max_distance=50.0, rate=RATE, buffer_duration=0.1
         )
-    r = ot.Renderer(scene, RATE)
+    r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS)
     warmup(r, scene, [], rng, "subpass")
     pool = list(scene._buffered_pools.values())[0]
     log(f"[subpass] read_cfg={pool._read_cfg} sub_cfg={pool._sub_cfg} "
         f"listed={len(pool._sub_list)}")
     assert pool._read_cfg is not None and pool._read_cfg[0] == 512
     assert pool._sub_cfg is not None
-    return velocity_trials(r, scene, "subpass", ntrials=2, nchunks=16)
+    return velocity_trials(r, scene, "subpass", ntrials=2, nchunks=4)
+
+
+def bench_buffered_mixed(rng):
+    """4096 buffered voices under SEEK-scene motion (±5 m/s velocities,
+    ±30 m positions): voices drift across the max_delay*c clamp boundary
+    mid-run, so the family sub-pass membership changes while the clock is
+    running — the tier machinery's real cost under game-like motion
+    (spatial.rs:414-415 clamping; VERDICT r3 item 3a)."""
+    import oddio_tpu as ot
+
+    control, scene = ot.SpatialScene.new(initial_capacity=VOICES)
+    for _ in range(VOICES):
+        control.play_buffered(
+            ot.Sine(rng.uniform(0, 6), rng.uniform(100, 2000)),
+            ot.SpatialOptions(position=rng.uniform(-30, 30, 3),
+                              velocity=rng.uniform(-5, 5, 3)),
+            max_distance=50.0, rate=RATE, buffer_duration=0.1,
+        )
+    r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS)
+    warmup(r, scene, [], rng, "buffered_mixed", buckets=True)
+    pool = list(scene._buffered_pools.values())[0]
+    log(f"[buffered_mixed] read_cfg={pool._read_cfg} sub_cfg={pool._sub_cfg} "
+        f"listed={len(pool._sub_list)}")
+    return velocity_trials(r, scene, "buffered_mixed", ntrials=3)
+
+
+def bench_scenepack(rng):
+    """BASELINE config 5 scaled to one chip: a 16-scene ScenePack of 256
+    voices each (32 Adapt(Stream) prefilled with 0.3 s of 8 kHz PCM + 224
+    Adapt(Sine)), rendered through on-device pack scans on a (1, 1) mesh.
+    xrt = per-scene audio seconds over wall seconds (all 16 scenes render
+    concurrently, so >= 1x means the whole pack holds real time)."""
+    import jax.numpy as jnp
+
+    import oddio_tpu as ot
+    from oddio_tpu.parallel.mesh import make_mesh
+    from oddio_tpu.parallel.sharded import ScenePack
+
+    S, V, NS, FILL = 16, 256, 32, 2400
+
+    def build(seed):
+        rng2 = np.random.default_rng(seed)
+        # stream-pool capacity == NS keeps the one-shot prefill chunk dense
+        # (the ingest upload pads to pool capacity)
+        mixer = ot.Mixer(1, initial_capacity=NS)
+        control = ot.MixerControl(mixer)
+        ctls = []
+        for i in range(V):
+            opt = ot.AdaptOptions(tau=0.1, max_gain=4.0)
+            if i < NS:
+                stream = ot.Stream(8000, FILL + 128, max_write_per_block=FILL)
+                ctls.append(stream.control)
+                control.play(ot.Adapt(stream, 0.1, opt))
+            else:
+                control.play(ot.Adapt(
+                    ot.Sine(rng2.uniform(0, 6), rng2.uniform(50, 2000)),
+                    0.1, opt,
+                ))
+        return mixer, ctls
+
+    scenes, ctls = zip(*[build(s) for s in range(S)])
+    pack = ScenePack(list(scenes), RATE, make_mesh(1, 1))
+    pcm = rng.standard_normal((S * NS, FILL)).astype(np.float32) * 0.1
+    for j, ctl in enumerate(c for group in ctls for c in group):
+        ctl.write(pcm[j])
+    t0 = time.time()
+    blocks = pack.render_frames_device(BLOCK * 8)
+    blocks = pack.render_frames_device(BLOCK * CHUNK)
+    float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
+    log(f"[scenepack] warmup incl. compile + PCM upload: {time.time()-t0:.1f}s")
+    trials = []
+    nch = 4
+    audio = nch * CHUNK * BLOCK / RATE
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(nch):
+            blocks = pack.render_frames_device(BLOCK * CHUNK)
+        total = float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
+        assert np.isfinite(total)
+        trials.append(round(audio / (time.time() - t0), 2))
+    pack.sync()
+    log(f"[scenepack] {S} scenes x {V} voices -> "
+        + ", ".join(f"{x:.1f}" for x in trials) + "x RT per scene")
+    return trials
 
 
 def bench_densemix(rng):
@@ -215,9 +327,9 @@ def bench_densemix(rng):
         gcs.append(gc)
         control.play(g)
     chain = ot.Tanh(ot.Reinhard(mixer))
-    r = ot.Renderer(chain, RATE)
+    r = ot.Renderer(chain, RATE, scan_buckets=BUCKETS)
     warmup(r, mixer, [], rng, "densemix")
-    return velocity_trials(r, mixer, "densemix", ntrials=2, nchunks=16)
+    return velocity_trials(r, mixer, "densemix", ntrials=2, nchunks=4)
 
 
 def bench_agc(rng):
@@ -232,9 +344,9 @@ def bench_agc(rng):
             ot.Sine(rng.uniform(0, 6), rng.uniform(50, 2000)),
             0.1, ot.AdaptOptions(tau=0.1, max_gain=4.0),
         ))
-    r = ot.Renderer(mixer, RATE)
+    r = ot.Renderer(mixer, RATE, scan_buckets=BUCKETS)
     warmup(r, mixer, [], rng, "agc")
-    return velocity_trials(r, mixer, "agc", ntrials=2, nchunks=16)
+    return velocity_trials(r, mixer, "agc", ntrials=2, nchunks=4)
 
 
 def bench_wavetable(rng):
@@ -249,9 +361,9 @@ def bench_wavetable(rng):
         c = ot.Cycle(frames)
         c.seek(float(rng.uniform(0, 0.04)))
         control.play(ot.Speed.new(c)[1])
-    r = ot.Renderer(mixer, RATE)
+    r = ot.Renderer(mixer, RATE, scan_buckets=BUCKETS)
     warmup(r, mixer, [], rng, "wavetable")
-    return velocity_trials(r, mixer, "wavetable", ntrials=2, nchunks=16)
+    return velocity_trials(r, mixer, "wavetable", ntrials=2, nchunks=4)
 
 
 def bench_streams(rng, spatial):
@@ -283,7 +395,7 @@ def bench_streams(rng, spatial):
     data = rng.standard_normal((n_streams, fill)).astype(np.float32) * 0.05
     for j, ctl in enumerate(ctls):
         ctl.write(data[j])
-    r = ot.Renderer(scene, RATE)
+    r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS)
     # 2x-wide dispatches: at 64 voices a CHUNK-block dispatch costs about
     # the relay round trip, so the drain rate would measure the tunnel,
     # not the engine (observed 2x swings on identical code)
@@ -319,10 +431,12 @@ def main():
 
     seek_vel, seek_live = bench_spatial(False, rng, with_live=True)
     buf_vel, _ = bench_spatial(True, rng, with_live=False)
+    buf_mixed = bench_buffered_mixed(rng)
     subpass = bench_subpass(rng)
     densemix = bench_densemix(rng)
     wavetable = bench_wavetable(rng)
     agc = bench_agc(rng)
+    scenepack = bench_scenepack(rng)
     sm = bench_streams(rng, spatial=False)
     ss = bench_streams(rng, spatial=True)
 
@@ -337,10 +451,14 @@ def main():
         "live_trials": seek_live,
         "buffered_xrt": float(np.median(buf_vel)),
         "buffered_trials": buf_vel,
+        "buffered_mixed_xrt": float(np.median(buf_mixed)),
+        "buffered_mixed_trials": buf_mixed,
         "subpass_xrt": float(np.median(subpass)),
         "densemix_xrt": float(np.median(densemix)),
         "wavetable_xrt": float(np.median(wavetable)),
         "agc_xrt": float(np.median(agc)),
+        "scenepack_xrt": float(np.median(scenepack)),
+        "scenepack_trials": scenepack,
         "streams_mixer_xrt": sm,
         "streams_spatial_xrt": ss,
     }))
