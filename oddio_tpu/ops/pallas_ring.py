@@ -904,9 +904,26 @@ def _resample_kernel(s_ref, sc_ref, e_ref, out_ref, *, n):
         S = strips.shape[-1]
         Hmax = (S - W) // 128 + 1
         w1 = _realign_rows(strips, b7, W, Hmax)
-        m = p - (b7 << 7)
-        a = _gatherW(w1, m, W)
-        b = _gatherW(w1, m + 1, W)
+        m = p - (b7 << 7)  # >= 0 (nondecreasing); may overrun W (clamped)
+        # paired a/b gather with ONE index pipeline: b rides the shifted
+        # twin (w1s[k] = w1[k+1], self-padded so the W-1 clamp matches
+        # _gatherW's saturate-at-window-end semantics exactly)
+        w1s = jnp.concatenate([w1[:, 1:], w1[:, W - 1 : W]], axis=-1)
+        mc = jnp.minimum(m, W - 1)
+        idx = mc & 127
+        hi = mc >> 7
+        a = jnp.take_along_axis(w1[:, 0:128], idx, axis=-1)
+        b = jnp.take_along_axis(w1s[:, 0:128], idx, axis=-1)
+        for c in range(1, W // 128):
+            sel = hi == c
+            ga = jnp.take_along_axis(
+                w1[:, 128 * c : 128 * (c + 1)], idx, axis=-1
+            )
+            gb = jnp.take_along_axis(
+                w1s[:, 128 * c : 128 * (c + 1)], idx, axis=-1
+            )
+            a = jnp.where(sel, ga, a)
+            b = jnp.where(sel, gb, b)
         parts.append(a + fr * (b - a))
     out_ref[...] = jnp.concatenate(parts, axis=-1)[:, :n]
 
