@@ -330,6 +330,8 @@ class DRCtrlMixin:
         release waiting fades on idle voices into padded delta lanes (when
         ``params`` is not None), emulate the start-of-block completion
         flips, and advance the progress mirrors by ``count`` frames."""
+        if not self.fade_paths:
+            return
         iv = np.float32(interval)
         cf = np.float32(count)
         for j, path in enumerate(self.fade_paths):

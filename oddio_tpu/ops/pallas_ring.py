@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -239,22 +241,31 @@ def _positions_sb(scal, j0, SB, K):
     arithmetic below is term-for-term identical to ``exact_positions``, so
     device cursor positions match the XLA path bit-for-bit.
 
-    Returns (kk, fr): kk = clip(whole - j + K, 0, 2K) in [0, 2K], fr in
-    [0, 1)."""
+    Returns (kk, fr): kk = clip(whole - j + K, 0, 2K) in [0, 2K] as f32
+    (an exact small integer — callers convert where an index is needed),
+    fr in [0, 1).
+
+    The pipeline is all-f32 (no int32 round trips): every quantity is an
+    integer below 2^23 so products/sums are exact, and using floor(H)
+    where the int32 path truncated is bit-identical — for negative
+    non-integer H, u and fl_u both shift by +1 and the shift cancels in
+    ``whole`` while fr is unchanged."""
     tile = scal.shape[0]
     o0 = scal[:, 0:1]
     f_hi = scal[:, 1:2]
     f_lo = scal[:, 2:3]
-    ds_int = scal[:, 3:4].astype(jnp.int32)
-    t_i = jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1) + j0
-    t_f = t_i.astype(jnp.float32)
+    dsm1 = scal[:, 3:4] - 1.0  # ds_int - 1 (exact small int as f32)
+    t_f = (
+        jax.lax.broadcasted_iota(jnp.float32, (tile, SB), 1) + np.float32(j0)
+    )
     H = t_f * f_hi  # exact f32 product for t < 4096 (12-bit f_hi)
-    Hint = H.astype(jnp.int32)
-    u = (H - Hint.astype(jnp.float32)) + (o0 + t_f * f_lo)
+    Hf = jnp.floor(H)
+    u = (H - Hf) + (o0 + t_f * f_lo)
     fl_u = jnp.floor(u)
     fr = u - fl_u
-    whole = t_i * ds_int + Hint + fl_u.astype(jnp.int32)
-    kk = jnp.clip(whole - t_i + K, 0, 2 * K)
+    kk = jnp.clip(
+        t_f * dsm1 + Hf + fl_u + np.float32(K), 0.0, np.float32(2 * K)
+    )
     return kk, fr
 
 
@@ -292,7 +303,8 @@ def _ear_pipeline(strips, scal, extra, *, n, K, SB=SELECT_SB, emax=PAGE):
     )
     parts = []
     for sb in range(nsb):
-        kk_sb, fr_sb = _positions_sb(scal, sb * SB, SB, K)
+        kk_f, fr_sb = _positions_sb(scal, sb * SB, SB, K)
+        kk_sb = kk_f.astype(jnp.int32)  # exact small ints
         # kk is monotone in j (linear read positions), so the row min is at
         # an end; jnp.min keeps this robust to clipping either way.
         kmin = jnp.min(kk_sb, axis=-1, keepdims=True)
@@ -412,7 +424,7 @@ def _ear_pipeline_flat(strips, scal, extra, *, n, K, W, SB=SELECT_SB):
     for sb in range(-(-n // SB)):
         kk_sb, fr_sb = _positions_sb(scal, sb * SB, SB, K)
         w1 = strips[:, sb * SB : sb * SB + W]
-        m = extra + jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1) + kk_sb
+        m = extra + jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1) + kk_sb.astype(jnp.int32)
         a_sb = _gatherW(w1, m, W)
         b_sb = _gatherW(w1, m + 1, W)
         parts.append(a_sb + fr_sb * (b_sb - a_sb))
@@ -447,17 +459,21 @@ def _ears_pipeline_flat(strips, scals, extras, *, n, K, W, SB=SELECT_SB):
     (shared index math, no clips, pre-shifted b tables)."""
     tile = strips.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1)
+    # ONE +1-shifted lerp twin over the whole window, sliced per sub-block
+    # (b's max index is W-2 — select_tables carries the +1 — so neither
+    # the final zero lane nor a non-final sub-block's W-1 lane, which here
+    # holds the next real sample instead of the old per-sub-block zero
+    # pad, is ever read)
+    s1 = jnp.concatenate(
+        [strips[:, 1:], jnp.zeros((tile, 1), jnp.float32)], axis=-1
+    )
     outs = ([], [])
     for sb in range(-(-n // SB)):
         w1 = strips[:, sb * SB : sb * SB + W]
-        # b's max index is W-2 (select_tables carries the +1), so the
-        # zero pad in the shifted twin's last lane is never read
-        w1s = jnp.concatenate(
-            [w1[:, 1:], jnp.zeros((tile, 1), jnp.float32)], axis=-1
-        )
+        w1s = s1[:, sb * SB : sb * SB + W]
         for e in range(2):
             kk_sb, fr_sb = _positions_sb(scals[e], sb * SB, SB, K)
-            m = extras[e] + iota + kk_sb
+            m = extras[e] + iota + kk_sb.astype(jnp.int32)
             a_sb, b_sb = _gather_pair(w1, w1s, m, W)
             outs[e].append(a_sb + fr_sb * (b_sb - a_sb))
     return tuple(
@@ -466,22 +482,46 @@ def _ears_pipeline_flat(strips, scals, extras, *, n, K, W, SB=SELECT_SB):
     )
 
 
-def _select_flat_kernel(s_ref, sc0_ref, sc1_ref, g0_ref, g1_ref, mask_ref,
+#: voice-mix reduction on the MXU (two (1, tile) x (tile, n) matvecs per
+#: ear — the gain ramp distributes: sum_v (g0_v + j dg_v) s_vj =
+#: (g0.S)_j + j (dg.S)_j) instead of a VPU broadcast-multiply + sublane
+#: reduction.  Bit-parity caveat: the MXU's f32 accumulation order may
+#: differ from the VPU tree sum by ~1 ulp per voice tile (well inside the
+#: 1e-5 golden contract); flip off for bit-exact VPU reduction.
+SELECT_MXU_REDUCE = True
+
+
+def _mix_rows(samps, g_refs, n):
+    """Mask-premultiplied gain-ramped voice mix: (2, n) from per-ear
+    (tile, n) samples and (tile, 2) [gain0*mask, d_gain*mask] rows."""
+    jn = jax.lax.broadcasted_iota(jnp.float32, (1, n), 1)
+    rows = []
+    for samp, g_ref in zip(samps, g_refs):
+        g = g_ref[...]
+        if SELECT_MXU_REDUCE:
+            dn = (((0,), (0,)), ((), ()))
+            m0 = jax.lax.dot_general(
+                g[:, 0:1], samp, dn, preferred_element_type=jnp.float32
+            )
+            m1 = jax.lax.dot_general(
+                g[:, 1:2], samp, dn, preferred_element_type=jnp.float32
+            )
+            rows.append(m0 + jn * m1)
+        else:
+            gains = g[:, 0:1] + jn * g[:, 1:2]
+            rows.append(jnp.sum(samp * gains, axis=0, keepdims=True))
+    return jnp.concatenate(rows, axis=0)  # (2, n)
+
+
+def _select_flat_kernel(s_ref, sc0_ref, sc1_ref, g0_ref, g1_ref,
                         e0_ref, e1_ref, out_ref, *, n, K, W):
     i = pl.program_id(0)
-    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
-    m = mask_ref[...]
     strips = s_ref[...]  # ONE window per voice, shared by both ears
     samps = _ears_pipeline_flat(
         strips, (sc0_ref[...], sc1_ref[...]), (e0_ref[...], e1_ref[...]),
         n=n, K=K, W=W,
     )
-    rows = []
-    for samp, g_ref in zip(samps, (g0_ref, g1_ref)):
-        g = g_ref[...]
-        gains = g[:, 0:1] + jn * g[:, 1:2]
-        rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
-    contrib = jnp.concatenate(rows, axis=0)  # (2, n)
+    contrib = _mix_rows(samps, (g0_ref, g1_ref), n)
 
     @pl.when(i == 0)
     def _():
@@ -518,7 +558,9 @@ def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
     W = SELECT_W if emax2 is None else select_tables(emax2, K)
     if tile is None:
         tile = _tile_for(V)
-    gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
+    # mask folds into the gains (exact: maskf is 0/1), so the kernel mixes
+    # without a separate mask operand/multiply
+    gain = jnp.stack([gain0, d_gain], axis=-1) * maskf[:, None, None]
 
     def ts(*shape):
         return pl.BlockSpec(
@@ -532,7 +574,6 @@ def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
             ts(tile, S),
             ts(tile, 4), ts(tile, 4),
             ts(tile, 2), ts(tile, 2),
-            ts(tile, 1),
             ts(tile, 1), ts(tile, 1),
         ],
         out_specs=pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -547,17 +588,14 @@ def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
         windows,
         scal[:, 0], scal[:, 1],
         gain[:, 0], gain[:, 1],
-        maskf[:, None],
         e[:, 0:1], e[:, 1:2],
     )
 
 
 def _select_tiles_kernel(s_ref, sh_ref, sc0_ref, sc1_ref, g0_ref, g1_ref,
-                         mask_ref, e0_ref, e1_ref, out_ref,
+                         e0_ref, e1_ref, out_ref,
                          *, n, K, W, H, WIN):
     i = pl.program_id(0)
-    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
-    m = mask_ref[...]
     wide = s_ref[...]  # (tile, S2) tile-granule gathered spans
     b = sh_ref[...]    # (tile, 1) per-voice coarse shift, in rows
     # ONE per-voice coarse realign (the granule remainder is row-constant):
@@ -569,12 +607,7 @@ def _select_tiles_kernel(s_ref, sh_ref, sc0_ref, sc1_ref, g0_ref, g1_ref,
         win, (sc0_ref[...], sc1_ref[...]), (e0_ref[...], e1_ref[...]),
         n=n, K=K, W=W,
     )
-    rows = []
-    for samp, g_ref in zip(samps, (g0_ref, g1_ref)):
-        g = g_ref[...]
-        gains = g[:, 0:1] + jn * g[:, 1:2]
-        rows.append(jnp.sum(samp * gains * m, axis=0, keepdims=True))
-    contrib = jnp.concatenate(rows, axis=0)  # (2, n)
+    contrib = _mix_rows(samps, (g0_ref, g1_ref), n)
 
     @pl.when(i == 0)
     def _():
@@ -605,7 +638,8 @@ def window_select_tiles(wide, rowshift, scal, gain0, d_gain, maskf, extra,
     assert S2 >= WIN
     if tile is None:
         tile = _tile_for(V)
-    gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
+    # mask folds into the gains (exact: maskf is 0/1) — no kernel operand
+    gain = jnp.stack([gain0, d_gain], axis=-1) * maskf[:, None, None]
 
     def ts(*shape):
         return pl.BlockSpec(
@@ -620,7 +654,6 @@ def window_select_tiles(wide, rowshift, scal, gain0, d_gain, maskf, extra,
             ts(tile, 1),
             ts(tile, 4), ts(tile, 4),
             ts(tile, 2), ts(tile, 2),
-            ts(tile, 1),
             ts(tile, 1), ts(tile, 1),
         ],
         out_specs=pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -638,7 +671,6 @@ def window_select_tiles(wide, rowshift, scal, gain0, d_gain, maskf, extra,
         rowshift.astype(jnp.int32)[:, None],
         scal[:, 0], scal[:, 1],
         gain[:, 0], gain[:, 1],
-        maskf[:, None],
         e[:, 0:1], e[:, 1:2],
     )
 

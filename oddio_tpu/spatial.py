@@ -1537,29 +1537,41 @@ class _BufferedPoolDR(_DRPoolBase):
         return b
 
     def host_prepare(self, prev_rot, rot, interval, n, force=False):
-        elapsed = float(np.float32(f32(interval) * np.float32(n)))
+        # per-(interval, n) invariants (elapsed, inner frame count, cursor
+        # advance, rate ratio): scalar np.float32 chains cost ~1 us each
+        # through the ufunc machinery, far too hot per block
+        key = (float(interval), n)
+        if getattr(self, "_prep_key", None) == key:
+            elapsed, n_inner, advf, ratio = self._prep_inv
+        else:
+            elapsed = float(np.float32(f32(interval) * np.float32(n)))
+            n_inner = (
+                int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
+            )
+            advf = float(np.float32(np.float32(elapsed) * np.float32(self.rate)))
+            ratio = float(np.float32(self.rate) * f32(interval))
+            self._prep_key = key
+            self._prep_inv = (elapsed, n_inner, advf, ratio)
         self._elapsed = elapsed
-        self._n_inner = (
-            int(np.ceil(np.float64(elapsed) * self.rate)) + 1 if n > 0 else 1
-        )
+        self._n_inner = n_inner
         # shared ring cursor bookkeeping (ring.rs:18-41), host-authoritative:
         # all voices write at the pool cursor's phase (the zeroed band at
         # play supplies the pre-delay history), so these are four scalars
         # instead of per-voice columns and the append is a slab write
         cap = self.cap_pool
-        capf = np.float32(cap)
-        adv = np.float32(np.float32(self._elapsed) * np.float32(self.rate))
-        w0 = np.float32(self._w_host)
-        # UNWRAPPED advance: blocks may exceed the ring modulus (elapsed >
-        # max_delay is legal for large n), where a wrapped end == start
-        # would alias to "no write"; cap is a pow2 integer and w0 + adv <
-        # 2*cap, so the mod below is exact and ceil(end) stays consistent
-        # with the unwrapped count across blocks
-        w_un = np.float32(w0 + adv)
-        end = np.float32(np.mod(w_un, capf))
-        start_i = int(np.ceil(w0))
-        n_write = int(np.ceil(w_un)) - start_i
-        self._w_host = end
+        w0f = float(self._w_host)
+        if advf.is_integer() and w0f.is_integer():
+            # integer fast path (the flagship config: rate-matched blocks,
+            # aligned cursor): every f32 op below is exact on integers
+            # < 2^24, so plain int arithmetic reproduces it bit-for-bit
+            w_uni = int(w0f) + int(advf)
+            endi = w_uni % cap
+            start_i = int(w0f)
+            n_write = int(advf)
+            end = np.float32(endi)
+            self._w_host = end
+        else:
+            end, start_i, n_write = self._prepare_cursor_f32(advf)
         # aligned fast path: when the shared cursor advances by whole
         # 128-lane rows (inner rate == scene rate, n a multiple of 128 —
         # the flagship config) and the slab does not wrap, the append is
@@ -1611,14 +1623,16 @@ class _BufferedPoolDR(_DRPoolBase):
         # (correctness path).  A voice whose propagation offset can clamp
         # at -max_delay (spatial.rs:414-415) reads FROZEN (ds = 0): the
         # bound goes >= 1 and only the 128-frame tier represents it.
-        ratio = float(np.float32(self.rate) * f32(interval))
-        pr = np.asarray(prev_rot, np.float64)
-        rr = np.asarray(rot, np.float64)
-        rot_sin_half = (
-            0.0
-            if np.array_equal(pr, rr)
-            else float(np.sqrt(max(0.0, 1.0 - min(1.0, np.dot(pr, rr) ** 2))))
-        )
+        if prev_rot is rot:
+            rot_sin_half = 0.0
+        else:
+            pr = np.asarray(prev_rot, np.float64)
+            rr = np.asarray(rot, np.float64)
+            rot_sin_half = (
+                0.0
+                if np.array_equal(pr, rr)
+                else float(np.sqrt(max(0.0, 1.0 - min(1.0, np.dot(pr, rr) ** 2))))
+            )
         # (256, 256) carries the full frozen-read family (|ds-1| <= 1, a
         # clamped voice's walk <= n_c) at half the chunking overhead of
         # (128, 192); its window is exactly M_PAD wide
@@ -1633,8 +1647,9 @@ class _BufferedPoolDR(_DRPoolBase):
             # wider STANDING bounds (clamp/fast velocities) authoritative
             tiers = tiers[1:]
         self._sub_plan(n, ratio, elapsed, rot_sin_half, params, tiers)
-        # mirror the walk's smoothing-clock advance (step 3)
-        self._g_smdt = (self._g_smdt + np.float32(elapsed)).astype(np.float32)
+        # mirror the walk's smoothing-clock advance (step 3); f32 array +
+        # f32 scalar stays f32 (no astype copy needed)
+        self._g_smdt = self._g_smdt + np.float32(elapsed)
         self._t_scene += elapsed
         # stream ingest + cursor-mirror shadow (ingest grows len first,
         # then the advance releases — the order dr_render uses in-graph);
@@ -1649,14 +1664,44 @@ class _BufferedPoolDR(_DRPoolBase):
             )
         return params
 
+    def _prepare_cursor_f32(self, advf):
+        """General (fractional-cursor) f32 cursor advance — the exact
+        original np.float32 chain, for non-rate-matched configs."""
+        capf = np.float32(self.cap_pool)
+        adv = np.float32(advf)
+        w0 = np.float32(self._w_host)
+        # UNWRAPPED advance: blocks may exceed the ring modulus (elapsed >
+        # max_delay is legal for large n), where a wrapped end == start
+        # would alias to "no write"; cap is a pow2 integer and w0 + adv <
+        # 2*cap, so the mod below is exact and ceil(end) stays consistent
+        # with the unwrapped count across blocks
+        w_un = np.float32(w0 + adv)
+        end = np.float32(np.mod(w_un, capf))
+        start_i = int(np.ceil(w0))
+        n_write = int(np.ceil(w_un)) - start_i
+        self._w_host = end
+        return end, start_i, n_write
+
     def _pick_tier(self, d, n, ladder):
+        memo = getattr(self, "_tier_memo", None)
+        if memo is None:
+            memo = self._tier_memo = {}
+        key = (d, n, ladder)
+        hit = memo.get(key, False)
+        if hit is not False:
+            return hit
+        out = None
         for n_c, k in ladder:
             if (
                 d * min(n_c, max(n, 1)) <= k
                 and select_window(n_c, 127 + self.emax2, k) <= self.M_PAD
             ):
-                return (n_c, k)
-        return None
+                out = (n_c, k)
+                break
+        if len(memo) > 256:
+            memo.clear()
+        memo[key] = out
+        return out
 
     def _sub_plan(self, n, ratio, elapsed, rot_sin_half, params, tiers):
         """Pick the read tier(s) for this block, splitting wide-walk voices
@@ -1700,7 +1745,9 @@ class _BufferedPoolDR(_DRPoolBase):
         # membership updates ride delta blocks (ship path); a stray change
         # on an idle block leaves the shipped list authoritative and the
         # main tier demoted for one block (exact, just slower)
-        if not np.array_equal(desired, self._sub_list):
+        if (desired.size or self._sub_list.size) and not np.array_equal(
+            desired, self._sub_list
+        ):
             if self._has_play:
                 self._sub_list = desired
                 self._sub_dirty = False
