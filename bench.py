@@ -51,11 +51,13 @@ VOICES = 4096
 RATE = 48000
 BLOCK = 512
 CHUNK = 47  # blocks per live-tick dispatch (~0.5 s)
-#: blocks per velocity-trial dispatch (~2 s of audio): amortizes the relay's
+#: blocks per velocity-trial dispatch (~4 s of audio): amortizes the relay's
 #: per-dispatch cost — tools/r4_probe1.py measured the seek scene at
-#: 98-122x with 47-block dispatches vs 135-146x at 188 on identical code
-VCHUNK = 188
-NVCHUNKS = 8  # ~16 s of audio per velocity trial
+#: 98-122x with 47-block dispatches vs 135-146x at 188; the r4_probe4
+#: width sweep peaks at ~376 (0.072 ms/block vs 0.073 at 188, degrading
+#: beyond 752 — the relay serializes one giant dispatch's upload)
+VCHUNK = 376
+NVCHUNKS = 4  # ~16 s of audio per velocity trial
 #: dispatch-size quantization (core/run.py): keeps the compiled scan set
 #: bounded when mid-run control deltas (sub-pass membership) split runs
 BUCKETS = (VCHUNK, CHUNK, CHUNK - 1, 12, 3, 1)
@@ -395,7 +397,9 @@ def bench_streams(rng, spatial):
     data = rng.standard_normal((n_streams, fill)).astype(np.float32) * 0.05
     for j, ctl in enumerate(ctls):
         ctl.write(data[j])
-    r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS)
+    # 64-voice scenes are per-block fixed-cost bound: unrolling 4 blocks
+    # per scan iteration amortizes it (r4_probe2: spatial drain 21 -> 33x)
+    r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS, scan_unroll=4)
     # 2x-wide dispatches: at 64 voices a CHUNK-block dispatch costs about
     # the relay round trip, so the drain rate would measure the tunnel,
     # not the engine (observed 2x swings on identical code)

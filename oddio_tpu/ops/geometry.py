@@ -110,3 +110,82 @@ def ear_states(position, radius):
     d = v3_dot(ear_dir[None, :, :], scaled)
     stereo_gain = 0.5 + jnp.where(distance < 1e-3, jnp.float32(0.5), d)
     return offset, stereo_gain * distance_gain
+
+
+# --- component-split twins -----------------------------------------------------
+#
+# (V, 3)/(V, 2) arrays tile as (8, 128) with 125+ dead lanes per tile, so
+# every elementwise op on them runs at ~2-3% lane occupancy (V/8 native
+# vector ops each).  The twins below carry vectors as tuples of (V,)
+# components (lane-major: V/128 native ops per op — 16x denser) with the
+# SAME f32 expression trees term for term, so results are bit-identical;
+# callers stack back to packed shapes only at kernel operand boundaries.
+
+
+def unstack3(p):
+    """(V, 3) -> ((V,), (V,), (V,)) component views."""
+    return p[:, 0], p[:, 1], p[:, 2]
+
+
+def v3_norm_c(p3):
+    x, y, z = p3
+    return jnp.sqrt(x * x + (y * y + z * z))
+
+
+def smoothed_position_c(prev3, state_dt, dt_extra, mp3, mv3):
+    """smoothed_position on component tuples; bit-identical."""
+    dt = state_dt + jnp.float32(dt_extra)
+    r = jnp.minimum(dt / POSITION_SMOOTHING_PERIOD, 1.0)
+    one_r = 1.0 - r
+    out = []
+    for pv, mp, mv in zip(prev3, mp3, mv3):
+        change = mv * dt
+        out.append(one_r * (pv + change) + r * (mp + change))
+    return tuple(out)
+
+
+def quat_rotate_c(rot, p3):
+    """quat_rotate for a SHARED rotation: rot (4,) scalars, p3 component
+    tuple.  The expression tree mirrors quat_mul(rot, quat_mul(pq,
+    quat_invert(rot)))[1:] term for term (incl. the literal zero products
+    of pq's scalar part), so it is bit-identical to quat_rotate."""
+    rs, rx, ry, rz = rot[0], rot[1], rot[2], rot[3]
+    nrx, nry, nrz = rx * jnp.float32(-1.0), ry * jnp.float32(-1.0), rz * jnp.float32(-1.0)
+    x, y, z = p3
+    z0 = jnp.zeros_like(x)
+    # A = quat_mul(pq, quat_invert(rot)), pq = (0, x, y, z)
+    As = z0 * rs - x * nrx - y * nry - z * nrz
+    Ax = z0 * nrx + x * rs + y * nrz - z * nry
+    Ay = z0 * nry - x * nrz + y * rs + z * nrx
+    Az = z0 * nrz + x * nry - y * nrx + z * rs
+    # out = quat_mul(rot, A)[1:]
+    Ox = rs * Ax + rx * As + ry * Az - rz * Ay
+    Oy = rs * Ay - rx * Az + ry * As + rz * Ax
+    Oz = rs * Az + rx * Ay - ry * Ax + rz * As
+    return Ox, Oy, Oz
+
+
+def ear_states_c(p3, radius):
+    """ear_states on a component tuple; returns per-ear lists
+    ([off_L, off_R], [gain_L, gain_R]) of (V,) arrays, bit-identical to
+    the packed form (the literal ear-constant zero terms are kept)."""
+    x, y, z = p3
+    offs, gains = [], []
+    for e in range(2):
+        ex = jnp.float32(EAR_POS[e, 0])
+        ey = jnp.float32(EAR_POS[e, 1])
+        ez = jnp.float32(EAR_POS[e, 2])
+        relx, rely, relz = x - ex, y - ey, z - ez
+        distance = jnp.sqrt(relx * relx + (rely * rely + relz * relz))
+        offset = distance * jnp.float32(np.float32(-1.0) / SPEED_OF_SOUND)
+        distance_gain = radius / jnp.maximum(distance, radius)
+        inv = jnp.float32(0.5) / distance
+        sx, sy, sz = x * inv, y * inv, z * inv
+        edx = jnp.float32(EAR_DIR[e, 0])
+        edy = jnp.float32(EAR_DIR[e, 1])
+        edz = jnp.float32(EAR_DIR[e, 2])
+        d = edx * sx + (edy * sy + edz * sz)
+        stereo_gain = 0.5 + jnp.where(distance < 1e-3, jnp.float32(0.5), d)
+        offs.append(offset)
+        gains.append(stereo_gain * distance_gain)
+    return offs, gains

@@ -636,10 +636,34 @@ def window_select_tiles(wide, rowshift, scal, gain0, d_gain, maskf, extra,
     if hmax is not None:
         H = min(H, hmax)
     assert S2 >= WIN
-    if tile is None:
-        tile = _tile_for(V)
     # mask folds into the gains (exact: maskf is 0/1) — no kernel operand
     gain = jnp.stack([gain0, d_gain], axis=-1) * maskf[:, None, None]
+    e = extra.astype(jnp.int32)
+    return window_select_tiles_ears(
+        wide, rowshift,
+        (scal[:, 0], scal[:, 1]),
+        (gain[:, 0], gain[:, 1]),
+        (e[:, 0:1], e[:, 1:2]),
+        n=n, K=K, emax2=emax2, interpret=interpret, tile=tile, hmax=hmax,
+    )
+
+
+def window_select_tiles_ears(wide, rowshift, scal01, g01, e01, *, n, K,
+                             emax2, interpret=False, tile=None, hmax=None):
+    """window_select_tiles with PER-EAR operands — the kernel consumes
+    per-ear refs anyway, so component-split callers skip the (V, 2, ...)
+    stack/slice relayout round trip.  scal01: two (V, 4) packed cursor
+    rows; g01: two (V, 2) [gain0, d_gain] rows with the voice mask already
+    folded in; e01: two (V, 1) int32 staggers."""
+    V, S2 = wide.shape
+    W = select_tables(emax2, K)
+    WIN = select_window(n, emax2, K)
+    H = (S2 - WIN) // 128 + 1
+    if hmax is not None:
+        H = min(H, hmax)
+    assert S2 >= WIN
+    if tile is None:
+        tile = _tile_for(V)
 
     def ts(*shape):
         return pl.BlockSpec(
@@ -658,7 +682,6 @@ def window_select_tiles(wide, rowshift, scal, gain0, d_gain, maskf, extra,
         ],
         out_specs=pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
-    e = extra.astype(jnp.int32)
     return pl.pallas_call(
         functools.partial(
             _select_tiles_kernel, n=n, K=K, W=W, H=H, WIN=WIN
@@ -669,9 +692,9 @@ def window_select_tiles(wide, rowshift, scal, gain0, d_gain, maskf, extra,
     )(
         wide,
         rowshift.astype(jnp.int32)[:, None],
-        scal[:, 0], scal[:, 1],
-        gain[:, 0], gain[:, 1],
-        e[:, 0:1], e[:, 1:2],
+        scal01[0], scal01[1],
+        g01[0], g01[1],
+        e01[0], e01[1],
     )
 
 
@@ -915,21 +938,26 @@ def _resample_kernel(s_ref, sc_ref, e_ref, out_ref, *, n):
     o0 = scal[:, 0:1]
     f_hi = scal[:, 1:2]
     f_lo = scal[:, 2:3]
-    ds_int = scal[:, 3:4].astype(jnp.int32)
+    dsf = scal[:, 3:4]  # ds_int as f32 (exact small int)
     parts = []
     for sb in range(-(-n // SB)):
-        t_i = jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1) + sb * SB
-        t_f = t_i.astype(jnp.float32)
+        # all-f32 position math (exact on ints < 2^23; floor(H) where the
+        # int path truncated is bit-identical — the negative-H shift
+        # cancels in wr while fr is unchanged, see _positions_sb)
+        t_f = (
+            jax.lax.broadcasted_iota(jnp.float32, (tile, SB), 1)
+            + np.float32(sb * SB)
+        )
         H = t_f * f_hi  # exact f32 product for t < 4096 (12-bit f_hi)
-        Hint = H.astype(jnp.int32)
-        u = (H - Hint.astype(jnp.float32)) + (o0 + t_f * f_lo)
+        Hf = jnp.floor(H)
+        u = (H - Hf) + (o0 + t_f * f_lo)
         fl_u = jnp.floor(u)
         fr = u - fl_u
-        wr = t_i * ds_int + Hint + fl_u.astype(jnp.int32)
-        adjust = (wr < 0) & (fr > 0.0)
-        wr = jnp.where(adjust, wr + 1, wr)
+        wr = t_f * dsf + Hf + fl_u
+        adjust = (wr < 0.0) & (fr > 0.0)
+        wr = jnp.where(adjust, wr + 1.0, wr)
         fr = jnp.where(adjust, fr - 1.0, fr)
-        p = extra + wr
+        p = extra + wr.astype(jnp.int32)
         # row-constant coarse realign (positions are nondecreasing: min at 0)
         shift = p[:, 0:1]
         b7 = shift >> 7

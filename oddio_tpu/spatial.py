@@ -56,6 +56,7 @@ from .ops.pallas_ring import (
     strip_place,
     strip_select,
     window_select_tiles,
+    window_select_tiles_ears,
 )
 
 __all__ = [
@@ -980,8 +981,14 @@ class _DRPoolBase(DRCtrlMixin):
     def _walk_device(self, S, params, elapsed):
         """In-graph control walk: apply play/motion deltas, smooth + rotate
         positions, handle lingering reclamation (spatial.rs:204-261).
-        Returns (S, mask, prev_pos, next_pos)."""
-        from .ops.geometry import quat_rotate, smoothed_position, v3_norm as jnorm
+        Returns (S, mask, prev_pos, next_pos) with the positions as
+        component tuples ((V,), (V,), (V,)) — lane-major geometry (the
+        packed (V, 3) forms run at ~2% lane occupancy; ops/geometry.py
+        component-split notes)."""
+        from .ops.geometry import (
+            smoothed_position, smoothed_position_c, quat_rotate_c,
+            unstack3, v3_norm_c,
+        )
         from .parallel.context import localize_index
 
         V = S["mask"].shape[0]
@@ -1018,19 +1025,18 @@ class _DRPoolBase(DRCtrlMixin):
             S["motion_pos"] = jnp.where(upd[:, None], pend_pos, S["motion_pos"])
             S["motion_vel"] = jnp.where(upd[:, None], pend_vel, S["motion_vel"])
 
-        # 3. geometry (spatial.rs:228-238)
-        sm0 = smoothed_position(
-            S["prev_position"], S["smdt"], 0.0, S["motion_pos"], S["motion_vel"]
-        )
-        sm1 = smoothed_position(
-            S["prev_position"], S["smdt"], elapsed, S["motion_pos"], S["motion_vel"]
-        )
-        prev_pos = quat_rotate(params["rot_prev"][None, :], sm0)
-        next_pos = quat_rotate(params["rot"][None, :], sm1)
+        # 3. geometry (spatial.rs:228-238), component-split
+        prev3 = unstack3(S["prev_position"])
+        mp3 = unstack3(S["motion_pos"])
+        mv3 = unstack3(S["motion_vel"])
+        sm0 = smoothed_position_c(prev3, S["smdt"], 0.0, mp3, mv3)
+        sm1 = smoothed_position_c(prev3, S["smdt"], elapsed, mp3, mv3)
+        prev_pos = quat_rotate_c(params["rot_prev"], sm0)
+        next_pos = quat_rotate_c(params["rot"], sm1)
         S["smdt"] = S["smdt"] + elapsed
 
         # 4. lingering reclamation (spatial.rs:241-261)
-        dist = jnorm(prev_pos)
+        dist = v3_norm_c(prev_pos)
         inner_fin = self.proto.dr_is_finished(S["inner"])
         ff = S["finished_for"]
         lingering = ~jnp.isnan(ff)
@@ -1083,18 +1089,26 @@ class _SeekPoolDR(_DRPoolBase):
         return params
 
     def render(self, dstate, ddata, params, n):
-        from .ops.geometry import ear_states
+        from .ops.geometry import ear_states_c
 
         S = dict(dstate)
         elapsed = np.float32(self._elapsed)
         S, mask, prev_pos, next_pos = self._walk_device(S, params, elapsed)
 
-        # per-ear offsets/gains and warp rates (spatial.rs:445-453)
-        p_off, p_gain = ear_states(prev_pos, S["radius"])
-        n_off, n_gain = ear_states(next_pos, S["radius"])
+        # per-ear offsets/gains and warp rates (spatial.rs:445-453),
+        # component-split then stacked once for the bulk warp render
+        p_off_c, p_gain_c = ear_states_c(prev_pos, S["radius"])
+        n_off_c, n_gain_c = ear_states_c(next_pos, S["radius"])
         nf = np.float32(n) if n > 0 else np.float32(1.0)
-        dt_e = ((elapsed + n_off) - p_off) / nf
-        d_gain = (n_gain - p_gain) / nf
+        p_off = jnp.stack(p_off_c, axis=-1)
+        p_gain = jnp.stack(p_gain_c, axis=-1)
+        dt_e = jnp.stack(
+            [((elapsed + n_off_c[e]) - p_off_c[e]) / nf for e in range(2)],
+            axis=-1,
+        )
+        d_gain = jnp.stack(
+            [(n_gain_c[e] - p_gain_c[e]) / nf for e in range(2)], axis=-1
+        )
 
         # sample both ears at cursor + p_off + j*dt (spatial.rs:455-463),
         # then advance the real cursor by the block (spatial.rs:465-468)
@@ -1798,7 +1812,7 @@ class _BufferedPoolDR(_DRPoolBase):
     _EMPTY_SUB = np.zeros(0, np.int64)
 
     def render(self, dstate, ddata, params, n):
-        from .ops.geometry import ear_states
+        from .ops.geometry import ear_states_c
 
         S = dict(dstate)
         V = S["mask"].shape[0]
@@ -1876,21 +1890,36 @@ class _BufferedPoolDR(_DRPoolBase):
         # block size AND any ring/scene rate ratio renders on the same
         # kernels (chunk length + walk bound K from the tier picked in
         # host_prepare; exotic ratios take the exact elementwise read)
-        p_off, p_gain = ear_states(prev_pos, S["radius"])
-        n_off, n_gain = ear_states(next_pos, S["radius"])
-        p_off = jnp.maximum(p_off - elapsed, -S["max_delay"][:, None])
-        n_off = jnp.maximum(n_off, -S["max_delay"][:, None])
+        # component-split per ear: every array below is (V,) lane-major
+        # (see ops/geometry.py component notes); ears stack only at kernel
+        # operand boundaries
+        p_off_c, p_gain_c = ear_states_c(prev_pos, S["radius"])
+        n_off_c, n_gain_c = ear_states_c(next_pos, S["radius"])
+        nmd = -S["max_delay"]
+        p_off_c = [jnp.maximum(po - elapsed, nmd) for po in p_off_c]
+        n_off_c = [jnp.maximum(no, nmd) for no in n_off_c]
         nf = np.float32(n) if n > 0 else np.float32(1.0)
-        dt_e = (n_off - p_off) / nf
-        d_gain = (n_gain - p_gain) / nf
-        offset0 = jnp.mod((w_end + S["phase"])[:, None] + p_off * ratef, capf)
-        obase = jnp.floor(offset0)
-        ds = dt_e * ratef
-        ds_int, f_hi, f_lo = device_split_ds(ds)
+        d_gain_c = [(n_gain_c[e] - p_gain_c[e]) / nf for e in range(2)]
+        wp = w_end + S["phase"]
+        offset0_c = [
+            jnp.mod(wp + p_off_c[e] * ratef, capf) for e in range(2)
+        ]
+        obase_c = [jnp.floor(o) for o in offset0_c]
+        split_c = [
+            device_split_ds(((n_off_c[e] - p_off_c[e]) / nf) * ratef)
+            for e in range(2)
+        ]
         maskf = mask.astype(jnp.float32)
         if self._read_cfg is None:
             # exotic rate ratio: exact elementwise read of the flat ring
             # (slow on TPU but any-ratio correct, frames.rs-style lerp)
+            p_gain = jnp.stack(p_gain_c, axis=-1)
+            d_gain = jnp.stack(d_gain_c, axis=-1)
+            offset0 = jnp.stack(offset0_c, axis=-1)
+            obase = jnp.stack(obase_c, axis=-1)
+            ds_int = jnp.stack([s[0] for s in split_c], axis=-1)
+            f_hi = jnp.stack([s[1] for s in split_c], axis=-1)
+            f_lo = jnp.stack([s[2] for s in split_c], axis=-1)
             jn = jnp.arange(n, dtype=jnp.float32)
             gains = (
                 p_gain[:, :, None] + jn[None, None, :] * d_gain[:, :, None]
@@ -1908,8 +1937,8 @@ class _BufferedPoolDR(_DRPoolBase):
             s = a + fr * (b - a)
             contrib = jnp.where(mask[:, None, None], s * gains, 0.0)
             return S, jnp.sum(contrib, axis=0)
-        base = obase.astype(jnp.int32)
-        frac = offset0 - obase
+        base_c = [o.astype(jnp.int32) for o in obase_c]
+        frac_c = [offset0_c[e] - obase_c[e] for e in range(2)]
         PW = 128
         RPV = self.rowlen // PW
         assert RPV % 8 == 0  # rowlen = pow2 cap + 3*1024
@@ -1928,7 +1957,7 @@ class _BufferedPoolDR(_DRPoolBase):
             S["tight"] = 1.0 - hit.any(axis=0).astype(jnp.float32)
         maskf_main = maskf * S["tight"] if sub_cfg is not None else maskf
         out = self._windows_read(
-            rows8, vb8, base, frac, ds_int, f_hi, f_lo, p_gain, d_gain,
+            rows8, vb8, base_c, frac_c, split_c, p_gain_c, d_gain_c,
             maskf_main, self._read_cfg, n, cap, FP, interp,
         )
         if sub_cfg is not None:
@@ -1936,35 +1965,46 @@ class _BufferedPoolDR(_DRPoolBase):
             # a wide tier over GATHERED rows (row-granular take of a
             # 128-lane packed scalar matrix + the same granule gather the
             # main pass uses), while the pool above kept its tight tier
-            bb = jax.lax.bitcast_convert_type(base, jnp.float32)
-            packc = jnp.concatenate(
-                [bb, frac, ds_int.astype(jnp.float32), f_hi, f_lo,
-                 p_gain, d_gain, maskf[:, None]],
+            packc = jnp.stack(
+                [jax.lax.bitcast_convert_type(base_c[0], jnp.float32),
+                 jax.lax.bitcast_convert_type(base_c[1], jnp.float32),
+                 frac_c[0], frac_c[1],
+                 split_c[0][0].astype(jnp.float32),
+                 split_c[1][0].astype(jnp.float32),
+                 split_c[0][1], split_c[1][1],
+                 split_c[0][2], split_c[1][2],
+                 p_gain_c[0], p_gain_c[1],
+                 d_gain_c[0], d_gain_c[1],
+                 maskf],
                 axis=-1,
             )  # (V, 15) -> padded to a 128-lane row for the row gather
             packc = jnp.pad(packc, ((0, 0), (0, 128 - packc.shape[1])))
             g = jnp.take(packc, S["sub_idx"], axis=0)
+            gi = jax.lax.bitcast_convert_type(g, jnp.int32)
             out = out + self._windows_read(
                 rows8,
                 S["sub_idx"] * np.int32(RPV // 8),
-                jax.lax.bitcast_convert_type(g[:, 0:2], jnp.int32),
-                g[:, 2:4],
-                g[:, 4:6].astype(jnp.int32),
-                g[:, 6:8],
-                g[:, 8:10],
-                g[:, 10:12],
-                g[:, 12:14],
+                [gi[:, 0], gi[:, 1]],
+                [g[:, 2], g[:, 3]],
+                [(g[:, 4].astype(jnp.int32), g[:, 6], g[:, 8]),
+                 (g[:, 5].astype(jnp.int32), g[:, 7], g[:, 9])],
+                [g[:, 10], g[:, 11]],
+                [g[:, 12], g[:, 13]],
                 g[:, 14] * S["sub_on"],
                 sub_cfg, n, cap, FP, interp,
             )
         return S, out
 
-    def _windows_read(self, rows8, vbase, base, frac, ds_int, f_hi, f_lo,
-                      p_gain, d_gain, maskf, cfg, n, cap, FP, interp):
+    def _windows_read(self, rows8, vbase, base_c, frac_c, split_c,
+                      p_gain_c, d_gain_c, maskf, cfg, n, cap, FP, interp):
         """Tile-granule window gather + fractional per-ear select over one
         voice set (the main pool or the family sub-pass list), mixed to
         (2, n).  ``rows8`` is the (8, 128)-tile view of the full ring;
         ``vbase`` maps each rendered row to its voice's first granule.
+        Cursor args are per-ear (V,) component lists (base_c, frac_c,
+        p_gain_c, d_gain_c; split_c = [(ds_int, f_hi, f_lo)] x 2) — the
+        whole prep stays lane-major and the kernel takes per-ear operands
+        directly (ops/geometry.py component notes).
 
         Windows come off whole 1024-col granules (the physically linear
         unit — ~9x cheaper per byte than row granules,
@@ -1977,18 +2017,19 @@ class _BufferedPoolDR(_DRPoolBase):
         PW = 128
         GW = 8 * PW
         emax2r = PW - 1 + self.emax2
+        base_c, frac_c = list(base_c), list(frac_c)
         parts = []
         for j0 in range(0, n, R_CHUNK):
             n_c = min(R_CHUNK, n - j0)
-            ob = jnp.mod(base, cap)
-            dlr = jnp.mod(ob[:, 0] - ob[:, 1], cap)
+            ob0 = jnp.mod(base_c[0], cap)
+            ob1 = jnp.mod(base_c[1], cap)
+            dlr = jnp.mod(ob0 - ob1, cap)
             l_ahead = dlr <= DMAX
-            cm = jnp.where(l_ahead, ob[:, 1], ob[:, 0])
-            dstart = jnp.stack(
-                [jnp.where(l_ahead, dlr, 0), jnp.where(l_ahead, 0, cap - dlr)],
-                axis=-1,
-            )
-            dstart = jnp.clip(dstart, 0, DMAX)
+            cm = jnp.where(l_ahead, ob1, ob0)
+            dstart = [
+                jnp.clip(jnp.where(l_ahead, dlr, 0), 0, DMAX),
+                jnp.clip(jnp.where(l_ahead, 0, cap - dlr), 0, DMAX),
+            ]
             rstart = jnp.mod(cm - K, cap) + FP
             # ngr granules cover remainder + window; the span can overrun
             # the mirror into the dump slack, but the realign masks those
@@ -2000,23 +2041,34 @@ class _BufferedPoolDR(_DRPoolBase):
                 vbase[:, None] + r0[:, None] + jnp.arange(ngr)[None, :]
             ).reshape(-1)
             wide = jnp.take(rows8, ridx, axis=0).reshape(
-                base.shape[0], ngr * GW
+                base_c[0].shape[0], ngr * GW
             )
             rowshift = (rstart - r0 * GW) // PW
-            ex = jnp.mod(rstart, PW)[:, None] + dstart
+            exr = jnp.mod(rstart, PW)
             # the kernel reconstructs a_j = win[extra + j + kk_j] with
             # kk_j = whole_j - j + K in [0, 2K] from the packed cursor
-            # scalars (exact split-ds math in-kernel)
-            scal = pack_select_scalars(frac, ds_int, f_hi, f_lo)
-            g0_c = p_gain + np.float32(j0) * d_gain
-            parts.append(window_select_tiles(
-                wide, rowshift, scal, g0_c, d_gain, maskf, ex, n=n_c,
+            # scalars (exact split-ds math in-kernel); gains ship with the
+            # voice mask folded in (exact for 0/1 masks)
+            scal01, g01, e01 = [], [], []
+            for e in range(2):
+                ds_e, fh_e, fl_e = split_c[e]
+                scal01.append(jnp.stack(
+                    [frac_c[e], fh_e, fl_e, ds_e.astype(jnp.float32)],
+                    axis=-1,
+                ))
+                g0_e = (p_gain_c[e] + np.float32(j0) * d_gain_c[e]) * maskf
+                g01.append(jnp.stack([g0_e, d_gain_c[e] * maskf], axis=-1))
+                e01.append((exr + dstart[e]).astype(jnp.int32)[:, None])
+            parts.append(window_select_tiles_ears(
+                wide, rowshift, scal01, g01, e01, n=n_c,
                 K=K, emax2=emax2r, interpret=interp, hmax=GW // PW,
             ))
             if j0 + n_c < n:
-                base, frac = device_advance(
-                    base, frac, jnp.int32(n_c), ds_int, f_hi, f_lo
-                )
+                for e in range(2):
+                    ds_e, fh_e, fl_e = split_c[e]
+                    base_c[e], frac_c[e] = device_advance(
+                        base_c[e], frac_c[e], jnp.int32(n_c), ds_e, fh_e, fl_e
+                    )
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
