@@ -255,8 +255,11 @@ def _positions_sb(scal, j0, SB, K):
     f_hi = scal[:, 1:2]
     f_lo = scal[:, 2:3]
     dsm1 = scal[:, 3:4] - 1.0  # ds_int - 1 (exact small int as f32)
+    # Mosaic has no f32 iota; one int iota + convert (the convert replaces
+    # the int path's t_i add, so the op count still drops)
     t_f = (
-        jax.lax.broadcasted_iota(jnp.float32, (tile, SB), 1) + np.float32(j0)
+        jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1).astype(jnp.float32)
+        + np.float32(j0)
     )
     H = t_f * f_hi  # exact f32 product for t < 4096 (12-bit f_hi)
     Hf = jnp.floor(H)
@@ -494,7 +497,7 @@ SELECT_MXU_REDUCE = True
 def _mix_rows(samps, g_refs, n):
     """Mask-premultiplied gain-ramped voice mix: (2, n) from per-ear
     (tile, n) samples and (tile, 2) [gain0*mask, d_gain*mask] rows."""
-    jn = jax.lax.broadcasted_iota(jnp.float32, (1, n), 1)
+    jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     rows = []
     for samp, g_ref in zip(samps, g_refs):
         g = g_ref[...]
@@ -945,7 +948,9 @@ def _resample_kernel(s_ref, sc_ref, e_ref, out_ref, *, n):
         # int path truncated is bit-identical — the negative-H shift
         # cancels in wr while fr is unchanged, see _positions_sb)
         t_f = (
-            jax.lax.broadcasted_iota(jnp.float32, (tile, SB), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1).astype(
+                jnp.float32
+            )
             + np.float32(sb * SB)
         )
         H = t_f * f_hi  # exact f32 product for t < 4096 (12-bit f_hi)

@@ -1231,6 +1231,10 @@ class _BufferedPoolDR(_DRPoolBase):
             "ring": jnp.zeros(self._ring_shape(V), jnp.float32),
             "max_delay": jnp.zeros(V, jnp.float32),
             "phase": jnp.zeros(V, jnp.float32),
+            # device twin of the pool write cursor (_w_host): idle blocks
+            # derive the ring cursor in-graph and ship NO params at all
+            # (delta blocks resync it); (1,)-shaped, replicated
+            "wcur": jnp.zeros(1, jnp.float32),
             # family sub-pass state (fixed SUBCAP shape regardless of V so
             # the state tree is stable across growth and ScenePack stacking)
             "tight": jnp.ones(V, jnp.float32),
@@ -1244,7 +1248,7 @@ class _BufferedPoolDR(_DRPoolBase):
         the next ship refreshes membership against the new capacity)."""
         st = dict(st)
         fresh = dict(fresh)
-        keep = {k: st.pop(k) for k in ("sub_idx", "sub_on")}
+        keep = {k: st.pop(k) for k in ("sub_idx", "sub_on", "wcur")}
         for k in keep:
             fresh.pop(k)
         out = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), st, fresh)
@@ -1574,7 +1578,8 @@ class _BufferedPoolDR(_DRPoolBase):
         # instead of per-voice columns and the append is a slab write
         cap = self.cap_pool
         w0f = float(self._w_host)
-        if advf.is_integer() and w0f.is_integer():
+        int_path = advf.is_integer() and w0f.is_integer()
+        if int_path:
             # integer fast path (the flagship config: rate-matched blocks,
             # aligned cursor): every f32 op below is exact on integers
             # < 2^24, so plain int arithmetic reproduces it bit-for-bit
@@ -1676,6 +1681,22 @@ class _BufferedPoolDR(_DRPoolBase):
                 self.interval_inner,
                 np.where(self.mask_host, np.int32(n_write), np.int32(0)),
             )
+        # param-FREE idle blocks: when the cursor math is on the integer
+        # fast path, the aligned append holds, and the advance divides the
+        # (pow2) modulus — so every successive idle block stays aligned —
+        # the traced step derives (w, nw, wstart) from the carried device
+        # cursor ("wcur") and the dispatch ships NOTHING.  Delta blocks
+        # keep the params and resync the device cursor.
+        self._w_free = (
+            int_path
+            and n_write > 0
+            and self._w_aligned == n_write
+            and cap % n_write == 0
+            and n_write <= self.W_CHUNK
+            and len(params) == 3
+        )
+        if self._w_free:
+            return {}
         return params
 
     def _prepare_cursor_f32(self, advf):
@@ -1823,16 +1844,30 @@ class _BufferedPoolDR(_DRPoolBase):
         # 1-4. control walk (plays, motion, geometry, lingering)
         S, mask, prev_pos, next_pos = self._walk_device(S, params, elapsed)
 
-        # 5. shared ring cursor (host-computed scalars; see host_prepare)
+        # 5. shared ring cursor: host-computed scalars on delta blocks
+        # (resyncing the carried device cursor), derived in-graph from
+        # "wcur" on param-free idle blocks (see host_prepare; the f32 adds
+        # below are exact on the integer fast path, so the traced values
+        # equal the host mirror bit-for-bit)
         cap = self.cap_pool
         capf = np.float32(cap)
-        w_end = params["w"]
+        if "w" in params:
+            w_end = params["w"]
+            nw_s = jnp.int32(params["nw"])
+            start_i = params["wstart"]
+        else:
+            adv = np.float32(self._prep_inv[2])
+            w0 = S["wcur"][0]
+            w_un = w0 + adv
+            w_end = jnp.mod(w_un, capf)
+            start_i = jnp.ceil(w0).astype(jnp.int32)
+            nw_s = jnp.ceil(w_un).astype(jnp.int32) - start_i
+        S["wcur"] = w_end[None]
         # dead/unplayed slots do not advance their inner cursors (their ring
         # writes are garbage masked out at the read anyway); without this an
         # idle slot's int32 sample cursor would grow every block and wrap
         # after ~12 h at 48 kHz, corrupting lingering is_finished readbacks
-        n_write = jnp.where(mask, jnp.int32(params["nw"]), 0)
-        start_i = params["wstart"]
+        n_write = jnp.where(mask, nw_s, 0)
 
         # 6. inner source render; flat slab append (ring.rs:18-41).  All
         # n_inner frames are written every block — the <=1-frame overlap past
@@ -2305,6 +2340,7 @@ class SpatialScene(Signal):
                 getattr(p, "_has_play", False),
                 getattr(p, "_has_mot", False),
                 getattr(p, "_w_aligned", 0),
+                getattr(p, "_w_free", False),
                 getattr(p, "_ds_small", True),
                 getattr(p, "_ds_tier", 4),
                 getattr(p, "_read_cfg", None),
@@ -2452,6 +2488,9 @@ class SpatialScene(Signal):
 
         out = jax.tree.map(lambda _: True, self.device_collect())
         out["_rot"] = False
+        for p in self._all_pools():
+            if isinstance(p, _BufferedPoolDR):
+                out[p.name]["wcur"] = False  # pool-wide cursor, replicated
         return out
 
 
