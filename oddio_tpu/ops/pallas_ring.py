@@ -34,6 +34,7 @@ cursors between chunks (ops/_dev.py::chunked_frames).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -491,7 +492,8 @@ def _ears_pipeline_flat(strips, scals, extras, *, n, K, W, SB=SELECT_SB):
 #: reduction.  Bit-parity caveat: the MXU's f32 accumulation order may
 #: differ from the VPU tree sum by ~1 ulp per voice tile (well inside the
 #: 1e-5 golden contract); flip off for bit-exact VPU reduction.
-SELECT_MXU_REDUCE = True
+SELECT_MXU_REDUCE = os.environ.get("ODDIO_SELECT_MXU", "1") == "1"
+
 
 
 def _mix_rows(samps, g_refs, n):

@@ -90,11 +90,13 @@ def probe_decomp():
     # no-read: the window gather + select kernel replaced by zeros
     orig_read = sp._BufferedPoolDR._windows_read
 
-    def no_read(self, rows8, vbase, base, frac, ds_int, f_hi, f_lo,
-                p_gain, d_gain, maskf, cfg, n, cap, FP, interp):
+    def no_read(self, rows8, vbase, base_c, frac_c, split_c,
+                p_gain_c, d_gain_c, maskf, cfg, n, cap, FP, interp):
         # keep a data dependence on the inputs so nothing upstream is DCEd
         return jnp.zeros((2, n), jnp.float32) + 0.0 * (
-            jnp.sum(base[:1].astype(jnp.float32)) + jnp.sum(maskf[:1])
+            base_c[0][0].astype(jnp.float32) + base_c[1][0].astype(jnp.float32)
+            + maskf[0] + frac_c[0][0] + p_gain_c[0][0] + d_gain_c[1][0]
+            + split_c[0][1][0]
         )
 
     sp._BufferedPoolDR._windows_read = no_read

@@ -90,7 +90,10 @@ def probe_buffered():
     variants = {}
 
     def dep_zeros(params, n):
-        return jnp.zeros((2, n), jnp.float32) + 0.0 * params["w"]
+        z = jnp.zeros((2, n), jnp.float32)
+        if "w" in params:
+            z = z + 0.0 * params["w"]
+        return z
 
     # scan floor: carry passes through untouched (ring still in the carry)
     def render_floor(self, dstate, ddata, params, n):
@@ -102,7 +105,7 @@ def probe_buffered():
         elapsed = np.float32(self._elapsed)
         S, mask, prev_pos, next_pos = self._walk_device(S, params, elapsed)
         out = dep_zeros(params, n) + 0.0 * (
-            jnp.sum(prev_pos[0]) + jnp.sum(next_pos[0])
+            jnp.sum(prev_pos[0][0]) + jnp.sum(next_pos[0][0])
             + mask[0].astype(jnp.float32)
         )
         return S, out
@@ -117,24 +120,32 @@ def probe_buffered():
         ratef = np.float32(self.rate)
         S, mask, prev_pos, next_pos = self._walk_device(S, params, elapsed)
         capf = np.float32(self.cap_pool)
-        w_end = params["w"]
-        p_off, p_gain = ear_states(prev_pos, S["radius"])
-        n_off, n_gain = ear_states(next_pos, S["radius"])
-        p_off = jnp.maximum(p_off - elapsed, -S["max_delay"][:, None])
-        n_off = jnp.maximum(n_off, -S["max_delay"][:, None])
+        if "w" in params:
+            w_end = params["w"]
+        else:
+            w_end = jnp.mod(S["wcur"][0] + np.float32(self._prep_inv[2]), capf)
+        S["wcur"] = w_end[None]
+        from oddio_tpu.ops.geometry import ear_states_c
+
+        p_off_c, p_gain_c = ear_states_c(prev_pos, S["radius"])
+        n_off_c, n_gain_c = ear_states_c(next_pos, S["radius"])
+        nmd = -S["max_delay"]
+        p_off_c = [jnp.maximum(po - elapsed, nmd) for po in p_off_c]
+        n_off_c = [jnp.maximum(no, nmd) for no in n_off_c]
         nf = np.float32(n) if n > 0 else np.float32(1.0)
-        dt_e = (n_off - p_off) / nf
-        d_gain = (n_gain - p_gain) / nf
-        offset0 = jnp.mod((w_end + S["phase"])[:, None] + p_off * ratef, capf)
-        obase = jnp.floor(offset0)
-        ds = dt_e * ratef
-        ds_int, f_hi, f_lo = device_split_ds(ds)
+        d_gain_c = [(n_gain_c[e] - p_gain_c[e]) / nf for e in range(2)]
+        wp = w_end + S["phase"]
+        offset0_c = [jnp.mod(wp + p_off_c[e] * ratef, capf) for e in range(2)]
+        obase_c = [jnp.floor(o) for o in offset0_c]
+        split_c = [
+            device_split_ds(((n_off_c[e] - p_off_c[e]) / nf) * ratef)
+            for e in range(2)
+        ]
         maskf = mask.astype(jnp.float32)
-        out = dep_zeros(params, n) + 0.0 * (
-            jnp.sum(obase[0]) + jnp.sum(f_hi[0]) + jnp.sum(f_lo[0])
-            + jnp.sum(d_gain[0]) + jnp.sum(p_gain[0]) + maskf[0]
-            + jnp.sum(ds_int[0].astype(jnp.float32))
-        )
+        dep = jnp.float32(0.0)
+        for e in range(2):
+            dep = dep + obase_c[e][0] + split_c[e][1][0] + split_c[e][2][0]                 + d_gain_c[e][0] + p_gain_c[e][0]                 + split_c[e][0][0].astype(jnp.float32)
+        out = dep_zeros(params, n) + 0.0 * (dep + maskf[0])
         return S, out
 
     for name, fn in (
