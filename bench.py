@@ -51,13 +51,14 @@ VOICES = 4096
 RATE = 48000
 BLOCK = 512
 CHUNK = 47  # blocks per live-tick dispatch (~0.5 s)
-#: blocks per velocity-trial dispatch (~4 s of audio): amortizes the relay's
-#: per-dispatch cost — tools/r4_probe1.py measured the seek scene at
-#: 98-122x with 47-block dispatches vs 135-146x at 188; the r4_probe4
-#: width sweep peaks at ~376 (0.072 ms/block vs 0.073 at 188, degrading
-#: beyond 752 — the relay serializes one giant dispatch's upload)
-VCHUNK = 376
-NVCHUNKS = 4  # ~16 s of audio per velocity trial
+#: blocks per velocity-trial dispatch (~16 s of audio, ONE dispatch per
+#: trial): the seek device step is ~0.0125 ms/block, so per-dispatch
+#: relay RTT (~6-30 ms, weather) dominates narrower dispatches —
+#: r4_probe4's same-session width sweep: 376-wide trials swing 86-107x
+#: while 1504-wide trials sit at 125-130x with a 4% spread (idle blocks
+#: ship zero params, so width costs no upload)
+VCHUNK = 1504
+NVCHUNKS = 1  # one dispatch per velocity trial
 #: dispatch-size quantization (core/run.py): keeps the compiled scan set
 #: bounded when mid-run control deltas (sub-pass membership) split runs
 BUCKETS = (VCHUNK, CHUNK, CHUNK - 1, 12, 3, 1)
@@ -252,6 +253,11 @@ def bench_buffered_mixed(rng):
         )
     r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS)
     warmup(r, scene, [], rng, "buffered_mixed", buckets=True)
+    # transition warmup: the drifting voices cross tier/membership
+    # boundaries during the first trial-length of audio, compiling the
+    # demoted-tier programs mid-trial — run one untimed trial so the timed
+    # ones measure the engine in the regime the scene converges to
+    velocity_trials(r, scene, "buffered_mixed warm", ntrials=1)
     pool = list(scene._buffered_pools.values())[0]
     log(f"[buffered_mixed] read_cfg={pool._read_cfg} sub_cfg={pool._sub_cfg} "
         f"listed={len(pool._sub_list)}")
@@ -329,7 +335,9 @@ def bench_densemix(rng):
         gcs.append(gc)
         control.play(g)
     chain = ot.Tanh(ot.Reinhard(mixer))
-    r = ot.Renderer(chain, RATE, scan_buckets=BUCKETS)
+    # 1024-voice mixer scenes are partly op-launch bound: unroll 4 blocks
+    # per scan iteration (r4_probe5: densemix u4 137-199x vs u1 56-120x)
+    r = ot.Renderer(chain, RATE, scan_buckets=BUCKETS, scan_unroll=4)
     warmup(r, mixer, [], rng, "densemix")
     return velocity_trials(r, mixer, "densemix", ntrials=2, nchunks=4)
 
@@ -346,7 +354,8 @@ def bench_agc(rng):
             ot.Sine(rng.uniform(0, 6), rng.uniform(50, 2000)),
             0.1, ot.AdaptOptions(tau=0.1, max_gain=4.0),
         ))
-    r = ot.Renderer(mixer, RATE, scan_buckets=BUCKETS)
+    # r4_probe5: agc u4 102-171x vs u1 77-103x (op-launch bound at 256 v)
+    r = ot.Renderer(mixer, RATE, scan_buckets=BUCKETS, scan_unroll=4)
     warmup(r, mixer, [], rng, "agc")
     return velocity_trials(r, mixer, "agc", ntrials=2, nchunks=4)
 

@@ -714,29 +714,33 @@ def window_select_tiles_ears(wide, rowshift, scal01, g01, e01, *, n, K,
 # read-side row gather consumes with no reshape.
 
 
-def _rows_append_kernel(rows_ref, slab_ref, ring_any, out_ref, sem, *, tile,
-                        nr):
+def _rows_append_kernel(rows_ref, slab_any, ring_any, out_ref, sem0, sem1,
+                        *, tile, nr):
     i = pl.program_id(0)
-    leg = pl.program_id(1)
-    r0 = rows_ref[leg]
-    dst = out_ref.at[pl.ds(i * tile, tile), pl.ds(r0, nr), :]
-    copy = pltpu.make_async_copy(slab_ref, dst, sem)
-    copy.start()
-    copy.wait()
+    src = slab_any.at[pl.ds(i * tile, tile)]
+    d0 = out_ref.at[pl.ds(i * tile, tile), pl.ds(rows_ref[0], nr), :]
+    d1 = out_ref.at[pl.ds(i * tile, tile), pl.ds(rows_ref[1], nr), :]
+    c0 = pltpu.make_async_copy(src, d0, sem0)
+    c1 = pltpu.make_async_copy(src, d1, sem1)
+    c0.start()
+    c1.start()
+    c0.wait()
+    c1.wait()
 
 
 def rows_append_dma(ring3, slab, r0, rmir0, *, interpret=False, tile=None):
     """Write ``slab`` (V, W) with W a multiple of 128 into every voice of
     ``ring3`` (V, RPV, 128) at row ``r0`` (plus a mirror-maintenance copy
     at ``rmir0``; point it at the mirror twin or a dump row).  In place on
-    the donated ring; one strided DMA per (voice-tile, leg)."""
+    the donated ring; both legs are HBM -> HBM strided DMAs issued back to
+    back from the slab operand (no VMEM staging round trip — the earlier
+    blocked-spec form moved ~26 MB for a 10 MB write; tools/r4_probe7.py,
+    parity exact, tile=V fastest)."""
     V, RPV, _ = ring3.shape
     W = slab.shape[1]
     nr = W // 128
     if tile is None:
-        tile = 512
-        while V % tile:
-            tile //= 2
+        tile = V
     rows = jnp.stack(
         [jnp.asarray(r0, jnp.int32), jnp.asarray(rmir0, jnp.int32)]
     )
@@ -744,16 +748,14 @@ def rows_append_dma(ring3, slab, r0, rmir0, *, interpret=False, tile=None):
         functools.partial(_rows_append_kernel, tile=tile, nr=nr),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(V // tile, 2),
+            grid=(V // tile,),
             in_specs=[
-                pl.BlockSpec(
-                    (tile, nr, 128), lambda i, leg, *_: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=[pltpu.SemaphoreType.DMA(()),
+                            pltpu.SemaphoreType.DMA(())],
         ),
         out_shape=jax.ShapeDtypeStruct((V, RPV, 128), jnp.float32),
         input_output_aliases={2: 0},

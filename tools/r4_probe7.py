@@ -127,9 +127,8 @@ def main():
     # parity check (small): direct vs staged
     ring3 = jnp.asarray(rng.standard_normal((64, RPV, 128)), jnp.float32)
     slab3 = jnp.asarray(rng.standard_normal((64, NW)), jnp.float32)
-    global V
-    Vs = V
-    V = 64
+    Vs = globals()["V"]
+    globals()["V"] = 64
     try:
         a = rows_append_dma(jnp.array(ring3), slab3, jnp.int32(8), jnp.int32(72))
         b = append_direct(jnp.array(ring3), slab3, jnp.int32(8), jnp.int32(72),
@@ -137,7 +136,7 @@ def main():
         log(f"parity max|diff| = {float(jnp.abs(a - b).max())}")
     except Exception as e:
         log(f"parity: FAILED {type(e).__name__}: {str(e)[:300]}")
-    V = Vs
+    globals()["V"] = Vs
 
 
 if __name__ == "__main__":
