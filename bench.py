@@ -232,7 +232,9 @@ def bench_subpass(rng):
         f"listed={len(pool._sub_list)}")
     assert pool._read_cfg is not None and pool._read_cfg[0] == 512
     assert pool._sub_cfg is not None
-    return velocity_trials(r, scene, "subpass", ntrials=2, nchunks=4)
+    # 3 trials: a single tunnel-stall trial would otherwise drag a
+    # 2-trial median (r4 preview saw one 0.2x stall trial)
+    return velocity_trials(r, scene, "subpass", ntrials=3, nchunks=4)
 
 
 def bench_buffered_mixed(rng):

@@ -740,7 +740,9 @@ def rows_append_dma(ring3, slab, r0, rmir0, *, interpret=False, tile=None):
     W = slab.shape[1]
     nr = W // 128
     if tile is None:
-        tile = V
+        tile = int(os.environ.get("ODDIO_APPEND_TILE", "0")) or V
+        while V % tile:
+            tile //= 2
     rows = jnp.stack(
         [jnp.asarray(r0, jnp.int32), jnp.asarray(rmir0, jnp.int32)]
     )
