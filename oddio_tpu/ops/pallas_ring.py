@@ -55,6 +55,27 @@ def _tile_for(V):
     return max(t, 1)
 
 
+def _pad_v(V):
+    """Mosaic voice-tile floor (tools/r4_probe9.py lowering sweep): grids
+    over the voice axis need 8-row tiles on real TPU — the gather lowering
+    rule rejects 1-row take_along_axis operands, and any blocked
+    second-minor dim must divide by 8 (so tile 2/4 only lowers when it
+    covers the WHOLE array).  Wrappers pad V up to a multiple of 8 and
+    slice/mask the result back; CPU interpret mode never needs it but
+    takes the same path so tests cover the padded shapes."""
+    return -(-V // 8) * 8
+
+
+def _pad0(x, V8):
+    """Zero-pad the leading (voice) axis of ``x`` up to V8 rows."""
+    V = x.shape[0]
+    if V == V8:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((V8 - V,) + x.shape[1:], x.dtype)], axis=0
+    )
+
+
 def _realign_rows(wide, b, width, H):
     """win = wide[:, 128*b : 128*b + width] for a ROW-CONSTANT shift
     ``b`` (tile, 1) int32 in [0, H): a ceil(log2(H))-stage comparison
@@ -130,10 +151,15 @@ def strip_place(strips, samples, extra, count=None, *, interpret=False,
     ``count`` (V,) bounds the lanes written per voice (default: all n_inner —
     deterministic sources recompute the overlap next block); returns the
     updated strips."""
-    V, S = strips.shape
+    V0, S = strips.shape
     n_inner = samples.shape[1]
     if count is None:
-        count = jnp.full((V,), n_inner, jnp.int32)
+        count = jnp.full((V0,), n_inner, jnp.int32)
+    V = _pad_v(V0)
+    strips = _pad0(strips, V)
+    samples = _pad0(samples, V)
+    extra = _pad0(extra, V)
+    count = _pad0(count, V)
     if tile is None:
         tile = _tile_for(V)
     grid_spec = pl.GridSpec(
@@ -146,13 +172,14 @@ def strip_place(strips, samples, extra, count=None, *, interpret=False,
         ],
         out_specs=pl.BlockSpec((tile, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_place_kernel, n_inner=n_inner, S=S),
         out_shape=jax.ShapeDtypeStruct((V, S), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(samples, strips, extra[:, None].astype(jnp.int32),
       count[:, None].astype(jnp.int32))
+    return out[:V0]
 
 
 # --- flat-ring aligned append --------------------------------------------------
@@ -370,7 +397,14 @@ def strip_select(strips, scal, gain0, d_gain, maskf, extra, *, n, K, emax,
     scal (V, 2, 4): packed cursor scalars (pack_select_scalars) — read
     positions are reconstructed exactly in-kernel; gain0/d_gain (V, 2);
     maskf (V,).  Returns the mixed (2, n) block."""
-    V, S = strips.shape
+    V0, S = strips.shape
+    V = _pad_v(V0)
+    strips = _pad0(strips, V)
+    scal = _pad0(scal, V)
+    gain0 = _pad0(gain0, V)
+    d_gain = _pad0(d_gain, V)
+    maskf = _pad0(maskf, V)  # padded voices mix with mask 0
+    extra = _pad0(extra, V)
     if tile is None:
         tile = _tile_for(V)
     gain = jnp.stack([gain0, d_gain], axis=-1)  # (V, 2, 2)
@@ -559,7 +593,14 @@ def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
     SELECT_W - SB - 2K - 1); scal (V, 2, 4) packed cursor scalars
     (pack_select_scalars); gain0/d_gain (V, 2); maskf (V,).  Returns the
     mixed (2, n) block (ring.rs:51-79, spatial.rs:409-431)."""
-    V, S = windows.shape
+    V0, S = windows.shape
+    V = _pad_v(V0)
+    windows = _pad0(windows, V)
+    scal = _pad0(scal, V)
+    gain0 = _pad0(gain0, V)
+    d_gain = _pad0(d_gain, V)
+    maskf = _pad0(maskf, V)  # padded voices fold into the gains as 0
+    extra = _pad0(extra, V)
     W = SELECT_W if emax2 is None else select_tables(emax2, K)
     if tile is None:
         tile = _tile_for(V)
@@ -660,7 +701,13 @@ def window_select_tiles_ears(wide, rowshift, scal01, g01, e01, *, n, K,
     stack/slice relayout round trip.  scal01: two (V, 4) packed cursor
     rows; g01: two (V, 2) [gain0, d_gain] rows with the voice mask already
     folded in; e01: two (V, 1) int32 staggers."""
-    V, S2 = wide.shape
+    V0, S2 = wide.shape
+    V = _pad_v(V0)
+    wide = _pad0(wide, V)
+    rowshift = _pad0(rowshift, V)
+    scal01 = tuple(_pad0(s, V) for s in scal01)
+    g01 = tuple(_pad0(g, V) for g in g01)  # mask-folded: padded gains are 0
+    e01 = tuple(_pad0(e, V) for e in e01)
     W = select_tables(emax2, K)
     WIN = select_window(n, emax2, K)
     H = (S2 - WIN) // 128 + 1
@@ -1006,7 +1053,11 @@ def strip_resample(strips, scal, extra, *, n, interpret=False, tile=None):
     packed trunc-form cursor scalars (pack_select_scalars); extra (V,)
     window offset of the integer cursor (the caller biases it so
     extra + trunc(relative) >= 0 always).  Returns (V, n) samples."""
-    V, S = strips.shape
+    V0, S = strips.shape
+    V = _pad_v(V0)
+    strips = _pad0(strips, V)
+    scal = _pad0(scal, V)
+    extra = _pad0(extra, V)
     if tile is None:
         tile = min(_tile_for(V), 8)  # bound VMEM: tile * S * 4 bytes
     grid_spec = pl.GridSpec(
@@ -1018,10 +1069,11 @@ def strip_resample(strips, scal, extra, *, n, interpret=False, tile=None):
         ],
         out_specs=pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_resample_kernel, n=n),
         out_shape=jax.ShapeDtypeStruct((V, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(strips, scal, extra[:, None].astype(jnp.int32))
+    return out[:V0]
 

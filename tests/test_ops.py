@@ -479,6 +479,69 @@ def test_window_select_tiles_matches_narrow():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_kernels_small_voice_counts():
+    """Voice-tiled kernels at V = 1/3/6 (singleton submix pools, tiny user
+    pools): Mosaic needs 8-row voice tiles on real TPU (gather rejects
+    1-row operands; gridded second-minor dims must divide by 8 —
+    tools/r4_probe9.py lowering sweep), so the wrappers zero-pad V up to a
+    multiple of 8.  Pins that the padded path is semantics-neutral: the
+    mix matches the positions-based reference and strip_place leaves
+    non-written lanes untouched."""
+    import jax.numpy as jnp
+
+    from oddio_tpu.ops._dev import device_split_ds, exact_positions
+    from oddio_tpu.ops.pallas_ring import (
+        pack_select_scalars, select_window, strip_place, window_select,
+    )
+
+    rng = np.random.default_rng(7)
+    N, K, emax2 = 256, 64, 36
+    for V in (1, 3, 6):
+        S = select_window(N, emax2, K)
+        win = rng.standard_normal((V, S)).astype(np.float32)
+        ds = rng.uniform(0.99, 1.01, (V, 2)).astype(np.float32)
+        ofrac = rng.uniform(0, 1, (V, 2)).astype(np.float32)
+        ds_int, f_hi, f_lo = device_split_ds(jnp.asarray(ds))
+        scal = pack_select_scalars(jnp.asarray(ofrac), ds_int, f_hi, f_lo)
+        extra = rng.integers(0, emax2, (V, 2)).astype(np.int32)
+        gain0 = rng.uniform(0, 1, (V, 2)).astype(np.float32)
+        d_gain = rng.uniform(-1e-3, 1e-3, (V, 2)).astype(np.float32)
+        maskf = np.ones(V, np.float32)
+        got = np.asarray(window_select(
+            jnp.asarray(win), scal, jnp.asarray(gain0), jnp.asarray(d_gain),
+            jnp.asarray(maskf), jnp.asarray(extra), n=N, K=K, emax2=emax2,
+            interpret=True,
+        ))
+        whole, fr = exact_positions(jnp.asarray(ofrac), ds_int, f_hi, f_lo, N)
+        whole = np.asarray(whole)
+        fr = np.asarray(fr)
+        j = np.arange(N)
+        ref = np.zeros((2, N), np.float32)
+        for e in range(2):
+            kk = np.clip(whole[:, e] - j[None, :] + K, 0, 2 * K)
+            m = extra[:, e : e + 1] + j[None, :] + kk
+            a = np.take_along_axis(win, m, axis=1)
+            b = np.take_along_axis(win, m + 1, axis=1)
+            s = a + fr[:, e] * (b - a)
+            g = gain0[:, e : e + 1] + j[None, :] * d_gain[:, e : e + 1]
+            ref[e] = (s * g * maskf[:, None]).sum(0)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+        # strip_place at small V: inserted lanes land, history lanes hold
+        strips = rng.standard_normal((V, 512)).astype(np.float32)
+        samples = rng.standard_normal((V, 200)).astype(np.float32)
+        e0 = rng.integers(0, 256, V).astype(np.int32)
+        cnt = rng.integers(1, 201, V).astype(np.int32)
+        out = np.asarray(strip_place(
+            jnp.asarray(strips), jnp.asarray(samples), jnp.asarray(e0),
+            jnp.asarray(cnt), interpret=True,
+        ))
+        exp = strips.copy()
+        for v in range(V):
+            exp[v, e0[v]:e0[v] + cnt[v]] = samples[v, :cnt[v]]
+        np.testing.assert_array_equal(out, exp)
+
+
 def test_submix_in_mixer():
     """A Mixer played into another Mixer (mixer.rs:18-26 boxes any
     Signal) renders through a singleton pool and can be stopped."""
