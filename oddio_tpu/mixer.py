@@ -555,11 +555,24 @@ class Mixer(Signal):
         out = {}
         for p in self._pools.values():
             sub = params[p.name]
-            m = jax.tree.map(lambda _, dr=p.is_dr: not dr, sub)
+            pv = (not p.is_dr) and not getattr(p, "is_singleton", False)
+            m = jax.tree.map(lambda _, pv=pv: pv, sub)
             if p.is_dr and "ing" in sub:
                 m["ing"] = jax.tree.map(lambda _: True, sub["ing"])
             out[p.name] = m
         return out
+
+    def device_state_voice_axes(self):
+        """Which device-state leaves carry a leading voice axis (for
+        sharding): batched/DR pools do; singleton (submix) subtrees are
+        scene-level and replicate over the voice mesh axis."""
+        return {
+            p.name: jax.tree.map(
+                lambda _, s=getattr(p, "is_singleton", False): not s,
+                p.dr_state() if p.is_dr else p.sig.device_collect(),
+            )
+            for p in self._pools.values()
+        }
 
     def sync(self):
         """Pull device-resident handle state back (is_stopped, reclamation)."""
@@ -586,7 +599,22 @@ class Mixer(Signal):
                 out = out + block
                 continue
             if getattr(pool, "is_singleton", False):
-                dsub, block1 = pool.sig.render(dstate[pool.name], dd, ps["p"], n)
+                # under a sharded pack the singleton subtree is REPLICATED
+                # over the voice mesh axis: render it outside the delta-
+                # localization context (its inner indices are not shard-
+                # offset) and count it on voice-shard 0 only, or the pack's
+                # closing psum would multiply it by the shard count
+                from .parallel.context import current_voice_axis, voice_axis
+
+                ax = current_voice_axis()
+                with voice_axis(None):
+                    dsub, block1 = pool.sig.render(
+                        dstate[pool.name], dd, ps["p"], n
+                    )
+                if ax is not None:
+                    block1 = jnp.where(
+                        jax.lax.axis_index(ax) == 0, block1, 0.0
+                    )
                 blocks = block1[None]
             elif (rb := getattr(pool.sig, "render_batched", None)) is not None:
                 # pool-level batched render: lets signals with Pallas read

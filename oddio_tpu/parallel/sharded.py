@@ -38,18 +38,22 @@ class ScenePack:
     pool capacity by the voice-axis size.
     """
 
-    def __init__(self, scenes, rate, mesh):
+    def __init__(self, scenes, rate, mesh, scan_unroll=1):
         archs = {s.archetype() for s in scenes}
         if len(archs) != 1:
             raise ValueError("all scenes in a pack must share an archetype")
+        #: blocks unrolled per on-device pack-scan iteration (identical
+        #: semantics; XLA unrolls the loop body).  Small-scene packs are
+        #: per-iteration fixed-cost bound like small single scenes
+        #: (Renderer.scan_unroll): >1 amortizes the per-block op launches.
+        self.scan_unroll = int(scan_unroll)
         self.scenes = scenes
         for sc in scenes:
             for pool in getattr(sc, "_all_pools", lambda: [])():
-                if getattr(pool, "is_singleton", False):
-                    raise ValueError(
-                        "scenes containing non-batchable (submix) voices "
-                        "cannot be packed: their params carry no voice axis"
-                    )
+                # singleton (submix) pools pack too: their param/state
+                # subtrees replicate over the voice axis (see
+                # params_voice_axes) and the scene render gates their
+                # contribution to voice-shard 0 before the psum
                 if hasattr(pool, "_unpack_hook"):
                     # any out-of-graph pool-state mutation (grow, eager
                     # plays) must first pull the pack's carried device state
@@ -211,11 +215,12 @@ class ScenePack:
         return np.moveaxis(np.asarray(blocks), 1, 2)
 
     def _get_scan_step(self, arch, n, nblocks):
-        key = (arch, n, nblocks, "scan")
+        key = (arch, n, nblocks, "scan", self.scan_unroll)
         step = self._steps.get(key)
         if step is not None:
             return step
         proto = self.scenes[0]
+        unroll = min(self.scan_unroll, max(nblocks, 1))
 
         def shard_fn(dstate, ddata, stacked):
             def body(d, p):
@@ -225,7 +230,8 @@ class ScenePack:
                 d2, blocks = jax.vmap(one_scene)(d, p)
                 return d2, jax.lax.psum(blocks, VOICE_AXIS)
 
-            return jax.lax.scan(body, dstate, stacked, length=nblocks)
+            return jax.lax.scan(body, dstate, stacked, length=nblocks,
+                                unroll=unroll)
 
         vflags = proto.params_voice_axes(self._params_single)
         pspecs = jax.tree.map(

@@ -2457,7 +2457,25 @@ class SpatialScene(Signal):
                 pp = dict(pp)
                 pp["rot_prev"] = rot_prev
                 pp["rot"] = rot_cur
-            dsub, block = p.render(dstate[p.name], ddata[p.name], pp, n)
+            if getattr(p, "is_singleton", False):
+                # under a sharded pack the singleton (submix) subtree is
+                # REPLICATED over the voice mesh axis: render it outside the
+                # delta-localization context (its inner indices are not
+                # shard-offset) and count it on voice-shard 0 only, or the
+                # pack's closing psum would multiply it by the shard count
+                from .parallel.context import current_voice_axis, voice_axis
+
+                ax = current_voice_axis()
+                with voice_axis(None):
+                    dsub, block = p.render(
+                        dstate[p.name], ddata[p.name], pp, n
+                    )
+                if ax is not None:
+                    block = jnp.where(
+                        jax.lax.axis_index(ax) == 0, block, 0.0
+                    )
+            else:
+                dsub, block = p.render(dstate[p.name], ddata[p.name], pp, n)
             d2[p.name] = dsub
             out = out + block
         return d2, out
@@ -2471,9 +2489,11 @@ class SpatialScene(Signal):
         out = {}
         for p in self._all_pools():
             sub = params[p.name]
-            dr = getattr(p, "is_dr", False)
-            m = jax.tree.map(lambda _, dr=dr: not dr, sub)
-            if dr and "ing" in sub:
+            pv = not getattr(p, "is_dr", False) and not getattr(
+                p, "is_singleton", False
+            )
+            m = jax.tree.map(lambda _, pv=pv: pv, sub)
+            if getattr(p, "is_dr", False) and "ing" in sub:
                 # DR stream-ingest chunks are dense per-voice payloads
                 m["ing"] = jax.tree.map(lambda _: True, sub["ing"])
             out[p.name] = m
@@ -2491,6 +2511,9 @@ class SpatialScene(Signal):
         for p in self._all_pools():
             if isinstance(p, _BufferedPoolDR):
                 out[p.name]["wcur"] = False  # pool-wide cursor, replicated
+            if getattr(p, "is_singleton", False):
+                # submix subtree is scene-level: replicate over voice axis
+                out[p.name] = jax.tree.map(lambda _: False, out[p.name])
         return out
 
 

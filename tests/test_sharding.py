@@ -104,6 +104,77 @@ def test_scenepack_clamped_voice_disables_subpass():
     np.testing.assert_allclose(got, expected, atol=2e-6)
 
 
+def test_scenepack_singleton_submix_voices():
+    """Scenes containing NON-BATCHABLE (submix) voices pack too: the
+    singleton pool's param/state subtrees replicate over the voice mesh
+    axis and its contribution is counted once (voice-shard 0) before the
+    closing psum.  Parity vs per-scene single-device renderers.  Matches
+    the reference, where any boxed signal mixes (mixer.rs:18-26,
+    spatial.rs:314-340)."""
+    need_devices(8)
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        control, scene = ot.SpatialScene.new()
+        for _ in range(6):
+            control.play_buffered(
+                ot.Sine(rng.uniform(0, 6), rng.uniform(100, 1000)),
+                ot.SpatialOptions(position=rng.uniform(-10, 10, 3),
+                                  velocity=rng.uniform(-2, 2, 3)),
+                max_distance=20.0, rate=8000, buffer_duration=0.1,
+            )
+        mc, mixer = ot.Mixer.new(channels=1)
+        mc.play(ot.Sine(0.0, 300.0 + 40 * seed))
+        mc.play(ot.Sine(0.0, 520.0 + 40 * seed))
+        control.play_buffered(
+            mixer, ot.SpatialOptions(position=[2.0, 0.0, -1.0]),
+            max_distance=20.0, rate=8000,
+        )
+        return scene
+
+    S = 2
+    expected = []
+    for seed in range(S):
+        r = ot.Renderer(build(seed), 8000)
+        expected.append(np.concatenate([r.render_block(512) for _ in range(3)]))
+    expected = np.stack(expected)
+
+    packed = [build(seed) for seed in range(S)]
+    pack = ScenePack(packed, 8000, make_mesh(2, 4))
+    assert any(
+        getattr(p, "is_singleton", False)
+        for p in packed[0]._all_pools()
+    )
+    got = np.concatenate([pack.render_block(512) for _ in range(3)], axis=1)
+    np.testing.assert_allclose(got, expected, atol=2e-6)
+
+
+def test_mixer_pack_singleton_submix():
+    """Mixer packs with a submix (Mixer-in-Mixer singleton pool) voice:
+    replicated over the voice axis, counted once."""
+    need_devices(8)
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        control, mixer = ot.Mixer.new(channels=1)
+        for _ in range(8):
+            control.play(ot.Sine(rng.uniform(0, 6), rng.uniform(50, 2000)))
+        ic, inner = ot.Mixer.new(channels=1)
+        ic.play(ot.Sine(0.0, 640.0 + 80 * seed))
+        control.play(inner)
+        return mixer
+
+    S = 2
+    expected = []
+    for s in range(S):
+        r = ot.Renderer(build(s), 8000)
+        expected.append(np.concatenate([r.render_block(512) for _ in range(2)]))
+    expected = np.stack(expected)
+    pack = ScenePack([build(s) for s in range(S)], 8000, make_mesh(2, 4))
+    got = np.concatenate([pack.render_block(512) for _ in range(2)], axis=1)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
 def test_scenepack_grow_and_eager_plays_mid_pack():
     """Plays past pool capacity (growth) and bulk plays (> k_play, the
     eager-apply path) landing BETWEEN packed blocks must not reset carried
