@@ -207,7 +207,14 @@ def bench_subpass(rng):
     clamped, frozen reads — spatial.rs:414-415): the family sub-pass
     renders the clamped voices on the wide tier while the pool keeps the
     tight (512, 32) tier.  Before the split, one such voice demoted all
-    4096 voices to the (256, 256) tier (~0.55x of the bounded rate)."""
+    4096 voices to the (256, 256) tier (~0.55x of the bounded rate).
+
+    The bounded voices move SLOWLY (±0.05 m/s): this line measures the
+    steady-state sub-pass cost, so no voice may cross the 84.3 m clamp
+    boundary during the ~225 s of simulated audio the trials cover — at
+    ±0.3 m/s they did (r4 preview: membership churn split every velocity
+    dispatch and demoted trials to ~10.7x).  Boundary-crossing cost is
+    buffered_mixed's job."""
     import oddio_tpu as ot
 
     control, scene = ot.SpatialScene.new(initial_capacity=VOICES)
@@ -220,7 +227,7 @@ def bench_subpass(rng):
         else:
             opts = ot.SpatialOptions(
                 position=rng.uniform(-15, 15, 3),
-                velocity=rng.uniform(-0.3, 0.3, 3),
+                velocity=rng.uniform(-0.05, 0.05, 3),
             )
         control.play_buffered(
             sig, opts, max_distance=50.0, rate=RATE, buffer_duration=0.1
@@ -301,7 +308,11 @@ def bench_scenepack(rng):
         return mixer, ctls
 
     scenes, ctls = zip(*[build(s) for s in range(S)])
-    pack = ScenePack(list(scenes), RATE, make_mesh(1, 1))
+    # scan_unroll=8: the pack scan is per-iteration fixed-cost bound at
+    # 256-voice scenes; r4_probe8 (same-session A/B, v5e) measured
+    # u1 [5.6, 7.2, 8.0] / u4 [4.5, 8.2, 9.8] / u8 [10.0, 9.9, 10.5]
+    # x RT per scene.
+    pack = ScenePack(list(scenes), RATE, make_mesh(1, 1), scan_unroll=8)
     pcm = rng.standard_normal((S * NS, FILL)).astype(np.float32) * 0.1
     for j, ctl in enumerate(c for group in ctls for c in group):
         ctl.write(pcm[j])
@@ -469,6 +480,7 @@ def main():
         "buffered_mixed_xrt": float(np.median(buf_mixed)),
         "buffered_mixed_trials": buf_mixed,
         "subpass_xrt": float(np.median(subpass)),
+        "subpass_trials": subpass,
         "densemix_xrt": float(np.median(densemix)),
         "wavetable_xrt": float(np.median(wavetable)),
         "agc_xrt": float(np.median(agc)),
