@@ -30,6 +30,7 @@ _SLOW_TESTS = {
     "test_golden_spatial_flyby_large_blocks",
     "test_golden_spatial_flyby",
     "test_scan_unroll_parity",
+    "test_scenepack_scan_unroll_parity",
     "test_scenepack_dr_stream_ingest",
     "test_idle_slot_cursors_hold",
     "test_scenepack_walk_tier_uniform",

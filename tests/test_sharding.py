@@ -461,3 +461,53 @@ def test_scenepack_dr_fades_under_mesh():
     got += [pack.render_block(512) for _ in range(3)]
     got = np.concatenate(got, axis=1)
     np.testing.assert_allclose(got, expected, atol=2e-6)
+
+
+def test_scenepack_scan_unroll_parity():
+    """ScenePack(scan_unroll=8) — the bench's scenepack configuration —
+    must render the same audio as the rolled pack scan, including across
+    a mid-run control event (a partial trailing segment shorter than the
+    unroll factor) and Stream ingest."""
+
+    def build(seed):
+        rng = np.random.default_rng(seed)
+        mc = ot.MixerControl(mixer := ot.Mixer(1, initial_capacity=2))
+        sctls = []
+        for i in range(8):
+            opt = ot.AdaptOptions(tau=0.1, max_gain=4.0)
+            if i < 2:
+                stream = ot.Stream(8000, 1024 + 128, max_write_per_block=1024)
+                sctls.append(stream.control)
+                mc.play(ot.Adapt(stream, 0.1, opt))
+            else:
+                mc.play(ot.Adapt(
+                    ot.Sine(rng.uniform(0, 6), rng.uniform(50, 2000)),
+                    0.1, opt))
+        return mixer, sctls
+
+    def drain(batches):
+        # list of (B, S, C, n) device arrays -> (S, C, total_n)
+        chunks = []
+        for a in batches:
+            a = np.asarray(a)
+            b, s, c, n = a.shape
+            chunks.append(np.moveaxis(a, 0, 2).reshape(s, c, b * n))
+        return np.concatenate(chunks, axis=-1)
+
+    rng = np.random.default_rng(7)
+    pcm = rng.standard_normal((4, 1024)).astype(np.float32) * 0.1
+    outs = {}
+    for unroll in (1, 8):
+        scenes, ctls = zip(*[build(s) for s in range(2)])
+        pack = ScenePack(list(scenes), 8000, make_mesh(1, 1),
+                         scan_unroll=unroll)
+        flat = [c for group in ctls for c in group]
+        for j, ctl in enumerate(flat):
+            ctl.write(pcm[j])
+        parts = [drain(pack.render_frames_device(512 * 5))]
+        for j, ctl in enumerate(flat):  # mid-run ingest = control event
+            ctl.write(pcm[j, :512])
+        parts.append(drain(pack.render_frames_device(512 * 3)))
+        outs[unroll] = np.concatenate(parts, axis=-1)
+    assert np.isfinite(outs[8]).all()
+    assert np.abs(outs[1] - outs[8]).max() <= 1e-6
