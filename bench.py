@@ -51,14 +51,20 @@ VOICES = 4096
 RATE = 48000
 BLOCK = 512
 CHUNK = 47  # blocks per live-tick dispatch (~0.5 s)
-#: blocks per velocity-trial dispatch (~16 s of audio, ONE dispatch per
-#: trial): the seek device step is ~0.0125 ms/block, so per-dispatch
+#: blocks per velocity-trial dispatch (~16 s of audio each): the seek
+#: device step is ~0.0125 ms/block, so per-dispatch
 #: relay RTT (~6-30 ms, weather) dominates narrower dispatches —
 #: r4_probe4's same-session width sweep: 376-wide trials swing 86-107x
 #: while 1504-wide trials sit at 125-130x with a 4% spread (idle blocks
 #: ship zero params, so width costs no upload)
 VCHUNK = 1504
-NVCHUNKS = 1  # one dispatch per velocity trial
+#: dispatches per velocity trial, pipelined (sync=False): the second
+#: enqueue rides the relay while the first computes, so the fixed
+#: enqueue-RTT + digest-fetch tax (~6-30 ms each, weather) amortizes
+#: over 2x the audio — same compiled program, no new scan bucket.
+#: r4 run2's seek trials swung 83-116x on identical code at 1 dispatch/
+#: trial; the overhead is harness weather, not engine time.
+NVCHUNKS = 2
 #: dispatch-size quantization (core/run.py): keeps the compiled scan set
 #: bounded when mid-run control deltas (sub-pass membership) split runs
 BUCKETS = (VCHUNK, CHUNK, CHUNK - 1, 12, 3, 1)
