@@ -87,10 +87,13 @@ def build_spatial(buffered):
             # whole run, where the <=1e-5 parity contract holds (drifted
             # voices clamp at -max_delay and demote the pool to the exact
             # small-chunk tier — correct but ~2.4x slower; the engine rate
-            # on valid scenes is what this measures)
+            # on valid scenes is what this measures).  ±0.2 m/s over the
+            # ~112 s of audio the warmup+trials cover keeps the worst-case
+            # voice at ~52 m norm, inside the 84.3 m clamp with margin
+            # (run3 measured ±0.3 m/s voices crossing it by trial 3)
             opts = ot.SpatialOptions(
                 position=rng.uniform(-15, 15, 3),
-                velocity=rng.uniform(-0.3, 0.3, 3),
+                velocity=rng.uniform(-0.2, 0.2, 3),
             )
         else:
             opts = ot.SpatialOptions(
@@ -198,7 +201,12 @@ def bench_spatial(buffered, rng, with_live):
     else:
         warmup(r, scene, handles, rng, label, live=with_live)
     live = live_trials(r, scene, handles, rng, label) if with_live else None
-    vel = velocity_trials(r, scene, label, ntrials=5)
+    # buffered trials stay at ONE dispatch each: the ring step is compute-
+    # bound (~0.7 s/dispatch; RTT is ~4%), and doubling the run length
+    # drifts the bounded-motion voices past the max_delay*c clamp late in
+    # the run (run3, at ±0.3 m/s: trials 3-5 at ~2x after the pool demoted)
+    vel = velocity_trials(r, scene, label, ntrials=5,
+                          nchunks=1 if buffered else NVCHUNKS)
     # end-to-end incl. bulk PCM egress (stderr only; tunnel-bound here)
     t0 = time.time()
     out = r.render_frames(BLOCK * CHUNK)
