@@ -183,6 +183,11 @@ class DRCtrlMixin:
         }
         self._ds_dirty = True
         self._ds_small = True
+        #: True when NO fader in the pool has pending, in-flight, or
+        #: unresolved-inc fades — _fade_tick is then an exact no-op and the
+        #: pool's idle fast path may skip it.  Set False by push_fade /
+        #: _fade_mirror_on_play seeding; recomputed at each real tick.
+        self._fade_quiet = True
 
     def _ctrl_grow(self, old, new):
         ext = new - old
@@ -240,6 +245,7 @@ class DRCtrlMixin:
             s._moved = True
             stack.extend(s.children().values())
         self.pending_fades[path][int(slot)] = (spec, float(duration), gen)
+        self._fade_quiet = False
 
     def _fade_claim_reset(self, slot):
         """A reclaimed slot's queued fades and fader mirrors must not leak
@@ -315,6 +321,7 @@ class DRCtrlMixin:
                 self._fade_prog[p][slot] = np.float32(node.progress[()])
                 self._fade_fading[p][slot] = True
                 self._fade_dur[p][slot] = np.float32(node.duration[()])
+                self._fade_quiet = False
             else:
                 self._fade_prog[p][slot] = np.float32(1.0)
                 self._fade_fading[p][slot] = False
@@ -401,6 +408,13 @@ class DRCtrlMixin:
             np.logical_xor(flip, done, out=flip)
             fading &= ~done
             np.minimum(prog + cf * inc, np.float32(1.0), out=prog)
+        # quiet = a future tick would be an exact no-op (idle-path gate)
+        self._fade_quiet = not any(
+            self.pending_fades[p]
+            or self._fade_fading[p].any()
+            or (self._fade_dur[p] >= 0.0).any()
+            for p in self.fade_paths
+        )
 
     def _fade_apply(self, inner_state, params):
         """Scatter queued fade starts into the fader nodes' state subtrees

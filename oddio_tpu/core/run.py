@@ -250,7 +250,8 @@ class Renderer:
             pend, pend_arch = [], None
 
         event = getattr(sig, "host_structure_event", None)
-        for _ in range(nblocks):
+        bulk = getattr(sig, "host_idle_bulk", None)
+        for bi in range(nblocks):
             if pend and event is not None and event():
                 flush()
             p = sig.host_prepare(self.interval, block_size)
@@ -259,6 +260,16 @@ class Renderer:
                 flush()
             pend.append(p)
             pend_arch = a
+            # run-length idle fast path: a block that prepared EMPTY params
+            # on an engine whose pools all pass the idle gate proves every
+            # remaining block of this call is identical (the host is
+            # single-threaded: no control traffic can arrive mid-call) —
+            # advance them in O(1) instead of per-block Python
+            remaining = nblocks - bi - 1
+            if (remaining and bulk is not None and not jax.tree.leaves(p)
+                    and bulk(self.interval, block_size, remaining)):
+                pend.extend([p] * remaining)
+                break
         flush()
 
     def render_frames(self, total, block_size=512):

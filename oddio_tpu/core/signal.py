@@ -72,7 +72,15 @@ class ControlBlock:
             return pool.slot_gen[slot] == gen
         return self.pool is None or self.pool.slot_gen[self.idx] == self.gen
 
+    def _flush_sig(self):
+        # signals with deferred idle-tick mirror debt (Stream pools) must
+        # replay it before any handle read/write of their host fields
+        flush = getattr(self.sig, "_flush_tick_debt", None)
+        if flush is not None:
+            flush()
+
     def set(self, field, value):
+        self._flush_sig()
         if self._dr is not None:
             pool, slot, gen, path = self._dr
             # the mirror is the spec's own (per-handle) host field, so it is
@@ -87,6 +95,7 @@ class ControlBlock:
             getattr(self.sig, field)[self.idx] = value
 
     def get(self, field, default=None):
+        self._flush_sig()
         if self._dr is not None:
             # last-written value survives voice death, like the reference's
             # Arc'd atomics (gain.rs:130-139)

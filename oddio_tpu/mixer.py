@@ -29,6 +29,18 @@ from .core.drctrl import DRCtrlMixin
 from .core.hostmath import f32
 from .core.signal import Signal
 
+
+def _ingest_leaves(node):
+    """Leaf signals in the chain that own a host->device ingest channel
+    (Streams): the idle fast path tick-defers them directly."""
+    kids = node.children()
+    if not kids:
+        return [node] if node.dr_needs_ingest() else []
+    out = []
+    for c in kids.values():
+        out.extend(_ingest_leaves(c))
+    return out
+
 __all__ = ["Mixer", "MixerControl", "Mixed"]
 
 DEFAULT_CAPACITY = 16
@@ -163,6 +175,13 @@ class PoolDR(DRCtrlMixin):
         self._interval = None
         self.state = None
         self._init_ctrl(spec)
+        #: ingest leaves (Streams) of the batched proto, cached once —
+        #: object identity survives grow_batched; the idle fast path ticks
+        #: them directly (deferred) instead of recursing the chain
+        self._ingest_leaves = (
+            _ingest_leaves(self.proto) if self.proto.batch else []
+        )
+        self._counts_memo = (None, None)  # (count, (V,) int32 array)
 
     def dr_state(self):
         if self.state is None:
@@ -284,6 +303,35 @@ class PoolDR(DRCtrlMixin):
                 self.slot_gen[i] += 1
                 self._free.append(i)
 
+    def _idle_gate(self, iv):
+        """True when this block needs no params, cannot change the
+        archetype, and every per-block side effect is deferrable: the
+        render is then a pure device scan iteration."""
+        return (not self.force_deltas and not self.pending_plays
+                and not self.pending_stops and self._fade_quiet
+                and not self._ds_dirty
+                and getattr(self, "_ds_interval", None) == iv
+                and not self._ctrl_pending_any()
+                and not any(l._dirty for l in self._ingest_leaves))
+
+    def _idle_apply(self, times, count=None):
+        """Side effects of ``times`` consecutive idle blocks, O(1): defers
+        the stream-cursor ticks as leaf debt (replayed exactly on read)."""
+        cnt = self._count if count is None else int(count)
+        self._has_play = self._has_stop = False
+        for l in self._ingest_leaves:
+            if getattr(l, "_has_write", False):
+                l._has_write = False  # back to the write-free variant
+            l.tick_debt_add(self._interval, cnt, times)
+
+    def _idle_bulk_apply(self, interval, n, times, count=None):
+        """Advance ``times`` idle blocks at once (caller checked
+        _idle_gate); the per-block fast path and this are equivalent."""
+        self._interval = float(np.float32(interval))
+        self._count = int(n if count is None else count)
+        self._prep_count = getattr(self, "_prep_count", 0) + times
+        self._idle_apply(times)
+
     def host_prepare(self, interval, n, force=False, count=None):
         self._interval = float(np.float32(interval))
         #: frames each voice ADVANCES this block (mixer.rs renders and
@@ -292,6 +340,17 @@ class PoolDR(DRCtrlMixin):
         self._count = int(n if count is None else count)
         self._prep_count = getattr(self, "_prep_count", 0) + 1
         params = {}
+        if not force and self._idle_gate(self._interval):
+            # IDLE fast path: no control traffic, quiet fades, clean ds
+            # flags, no queued stream writes.  Params are {}, the archetype
+            # cannot change, and the only per-block side effect — the
+            # stream-cursor mirror tick — is DEFERRED by the leaves (O(1)
+            # debt, replayed exactly at the first mirror read).  This keeps
+            # idle pool blocks at Python-compare cost: a 16-scene ScenePack
+            # was spending 0.8 ms/block (of a 10.7 ms audio block) in
+            # per-block numpy mirror ticks before this path existed.
+            self._idle_apply(1)
+            return params
         if len(self.pending_plays) > self.k_play:
             self._apply_plays_eager(self._interval)
         # single "control events present" variant: plays AND stops ship
@@ -346,10 +405,12 @@ class PoolDR(DRCtrlMixin):
             ing = self.proto.dr_ingest_params()
             if ing is not None:
                 params["ing"] = ing
-            self.proto.dr_host_tick(
-                self._interval,
-                np.full(self.capacity, self._count, np.int32),
-            )
+            if self._counts_memo[0] != (self.capacity, self._count):
+                self._counts_memo = (
+                    (self.capacity, self._count),
+                    np.full(self.capacity, self._count, np.int32),
+                )
+            self.proto.dr_host_tick(self._interval, self._counts_memo[1])
         return params
 
     def render(self, dstate, ddata, params, n):
@@ -487,6 +548,27 @@ class Mixer(Signal):
             for p in self._pools.values()
             if p.is_dr
         )
+
+    def host_idle_bulk_ok(self, interval):
+        """True when ``host_prepare`` would take the idle fast path for
+        every pool: params {}, archetype stable, side effects deferrable.
+        Since the host is single-threaded, no control traffic can arrive
+        inside one render call — a True gate holds for the whole remaining
+        run, so block loops may advance it in O(1) (host_idle_bulk)."""
+        iv = float(np.float32(interval))
+        return all(
+            p.is_dr and p._idle_gate(iv) for p in self._pools.values()
+        )
+
+    def host_idle_bulk(self, interval, n, times, count=None):
+        """Advance ``times`` consecutive idle blocks at O(1) host cost.
+        Returns False (no state touched) unless every pool passes the idle
+        gate; equivalent to ``times`` host_prepare calls returning {}."""
+        if not self.host_idle_bulk_ok(interval):
+            return False
+        for p in self._pools.values():
+            p._idle_bulk_apply(interval, n, times, count)
+        return True
 
     def host_prepare(self, interval, n, count=None, force=False):
         # scene-global control-event flag (retrace containment; see

@@ -76,6 +76,10 @@ class Stream(Signal):
             self._pending.flat[i] = []
         # voices with queued frames — ingest cost is O(|dirty|) per block
         self._dirty = set()
+        # deferred uniform cursor ticks: [interval, count, times] runs —
+        # write-free idle blocks cost O(1) host work and the mirror math
+        # replays EXACTLY (same per-block f32 chain) at the first read
+        self._tick_debt = []
 
     def _copy_static_from(self, other):
         self.size = other.size
@@ -86,6 +90,7 @@ class Stream(Signal):
     def grow_batched(self, new_V):
         # the per-slot producer queues are an object array, not a numpy
         # host field — extend them alongside the columns
+        self._flush_tick_debt()  # replay at the pre-growth shape
         old = self._pending
         super().grow_batched(new_V)
         pend = np.empty((new_V,), dtype=object)
@@ -116,8 +121,22 @@ class Stream(Signal):
 
     # control-side helpers (called through the ControlBlock)
     def _free_space(self, idx):
+        self._flush_tick_debt()
         pend = sum(len(c) for c in self._cb_pending(idx))
         return max(0, self.size - int(self.buflen[idx]) - pend)
+
+    def _flush_tick_debt(self):
+        """Replay deferred idle-block cursor ticks (exactly the per-block
+        f32 release math, in order) before any mirror read or write."""
+        debt = self._tick_debt
+        if not debt:
+            return
+        self._tick_debt = []
+        shape = self.batch if self.batch else ()
+        for iv, cnt, times in debt:
+            counts = np.broadcast_to(np.int32(cnt), shape)
+            for _ in range(times):
+                self._tick_math(iv, counts)
 
     def _cb_pending(self, idx):
         if self.batch == ():
@@ -225,6 +244,7 @@ class Stream(Signal):
 
     def host_is_finished(self):
         """stream.rs:88-91: stopping && t == len (all drained)."""
+        self._flush_tick_debt()
         return self.stopping & (self.t == self.buflen.astype(np.float32))
 
     def _write_one(self, ring, params):
@@ -435,6 +455,7 @@ class Stream(Signal):
         already marked the spec moved, and the spec's ControlBlock keeps
         its dr routing (mirror reads/writes hit these columns; device
         deltas ride the pool's sparse channels)."""
+        self._flush_tick_debt()
         for f in self._host_fields:
             getattr(self, f)[i] = getattr(spec, f)[()]
         cb = getattr(spec, "_cb", None)
@@ -451,6 +472,7 @@ class Stream(Signal):
         write-free blocks.  Each voice's chunk is zero-terminated (one spare
         column) so the device write also refreshes the boundary lerp cell.
         Advances the host ``buflen`` mirrors by the shipped counts."""
+        self._flush_tick_debt()
         V = self.batch[0]
         C = self.channels
         self._has_write = bool(self._dirty)
@@ -481,9 +503,28 @@ class Stream(Signal):
         return {"chunk": chunk, "wcount": counts}
 
     def dr_host_tick(self, interval, counts):
-        """Advance the (t, buflen, start) mirrors by ``counts`` (V,) frames —
+        """Advance the (t, buflen, start) mirrors by ``counts`` frames —
         the host shadow of dr_render's in-graph release (term-for-term the
-        f32 math of host_prepare)."""
+        f32 math of host_prepare).  A SCALAR ``counts`` marks a uniform
+        write-free idle tick: it is deferred (O(1) debt merge) and replayed
+        exactly at the first mirror read — idle pool blocks then cost no
+        numpy work at all."""
+        if np.ndim(counts) == 0:
+            self.tick_debt_add(interval, counts, 1)
+            return
+        self._flush_tick_debt()
+        self._tick_math(interval, counts)
+
+    def tick_debt_add(self, interval, count, times):
+        """Queue ``times`` deferred uniform ticks (bulk idle runs)."""
+        iv, cnt = float(interval), int(count)
+        debt = self._tick_debt
+        if debt and debt[-1][0] == iv and debt[-1][1] == cnt:
+            debt[-1][2] += times
+        else:
+            debt.append([iv, cnt, times])
+
+    def _tick_math(self, interval, counts):
         self.stopping = self.stopping | self.closed
         interval = np.float32(interval)
         cnt = counts.astype(np.float32)

@@ -289,7 +289,7 @@ class ScenePack:
             out.append(blocks)
             pend, pend_arch, pend_single = [], None, None
 
-        for _ in range(nblocks):
+        for bi in range(nblocks):
             if pend and any(
                 getattr(s, "host_structure_event", lambda: False)()
                 for s in self.scenes
@@ -302,8 +302,24 @@ class ScenePack:
                 flush()
             if not pend:
                 pend_single = per_scene[0]
-            pend.append(_stack(per_scene))
+            stacked = _stack(per_scene)
+            pend.append(stacked)
             pend_arch = a
+            # run-length idle fast path (see Renderer._run_blocks): an
+            # empty-params block on scenes whose pools all pass the idle
+            # gate proves the remaining blocks identical — advance them in
+            # O(1) per scene instead of per-block Python over the pack
+            remaining = nblocks - bi - 1
+            if (remaining and not jax.tree.leaves(stacked) and all(
+                getattr(s, "host_idle_bulk_ok", lambda iv: False)(
+                    self.interval
+                )
+                for s in self.scenes
+            )):
+                for s in self.scenes:
+                    s.host_idle_bulk(self.interval, block_size, remaining)
+                pend.extend([stacked] * remaining)
+                break
         flush()
         return out
 

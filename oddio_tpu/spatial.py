@@ -1677,10 +1677,16 @@ class _BufferedPoolDR(_DRPoolBase):
             ing = self.proto.dr_ingest_params()
             if ing is not None:
                 params["ing"] = ing
-            self.proto.dr_host_tick(
-                self.interval_inner,
-                np.where(self.mask_host, np.int32(n_write), np.int32(0)),
-            )
+            if self.mask_host.all():
+                # uniform tick: the leaves defer it (O(1) debt, replayed
+                # exactly at the first mirror read) — write-free stream
+                # pools then cost no per-block numpy work
+                self.proto.dr_host_tick(self.interval_inner, int(n_write))
+            else:
+                self.proto.dr_host_tick(
+                    self.interval_inner,
+                    np.where(self.mask_host, np.int32(n_write), np.int32(0)),
+                )
         # param-FREE idle blocks: when the cursor math is on the integer
         # fast path, the aligned append holds, and the advance divides the
         # (pow2) modulus — so every successive idle block stays aligned —

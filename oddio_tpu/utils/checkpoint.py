@@ -19,6 +19,9 @@ __all__ = ["snapshot", "restore", "save", "load"]
 
 
 def _host_state(sig):
+    flush = getattr(sig, "_flush_tick_debt", None)
+    if flush is not None:
+        flush()  # deferred idle-tick mirror debt must land in the snapshot
     state = {f: np.copy(getattr(sig, f)) for f in sig._host_fields}
     aux = getattr(sig, "host_aux_snapshot", None)
     if aux is not None:
@@ -30,6 +33,8 @@ def _host_state(sig):
 
 
 def _set_host_state(sig, state):
+    if getattr(sig, "_tick_debt", None):
+        sig._tick_debt = []  # restored mirrors are authoritative
     for f in sig._host_fields:
         setattr(sig, f, np.copy(state[f]))
     aux = getattr(sig, "host_aux_restore", None)
