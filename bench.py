@@ -218,17 +218,17 @@ def bench_spatial(buffered, rng, with_live):
 
 def bench_subpass(rng):
     """4096 buffered voices of which 64 sit beyond max_delay*c (offset
-    clamped, frozen reads — spatial.rs:414-415): the family sub-pass
-    renders the clamped voices on the wide tier while the pool keeps the
-    tight (512, 32) tier.  Before the split, one such voice demoted all
-    4096 voices to the (256, 256) tier (~0.55x of the bounded rate).
+    clamped, frozen reads — spatial.rs:414-415).  Round-5 regime: fully
+    clamped voices read with ds = 0 exactly, so the select kernel's FROZEN
+    branch renders them inside the main tight (512, 32) pass — no family
+    sub-pass slots, no wide side pass, no demotion.  (History: in r3 one
+    such voice demoted all 4096 voices to the (256, 256) tier ~0.55x; in
+    r4 the sub-pass rescued the tight tier at a ~10% side-pass cost; now
+    the line should track buffered_xrt.)  The sub-pass machinery itself is
+    exercised by buffered_mixed's boundary-band churn and the goldens.
 
-    The bounded voices move SLOWLY (±0.05 m/s): this line measures the
-    steady-state sub-pass cost, so no voice may cross the 84.3 m clamp
-    boundary during the ~225 s of simulated audio the trials cover — at
-    ±0.3 m/s they did (r4 preview: membership churn split every velocity
-    dispatch and demoted trials to ~10.7x).  Boundary-crossing cost is
-    buffered_mixed's job."""
+    The bounded voices move SLOWLY (±0.05 m/s) so none crosses into the
+    clamp transition band during the ~225 s of simulated audio."""
     import oddio_tpu as ot
 
     control, scene = ot.SpatialScene.new(initial_capacity=VOICES)
@@ -248,11 +248,11 @@ def bench_subpass(rng):
         )
     r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS)
     warmup(r, scene, [], rng, "subpass")
-    pool = list(scene._buffered_pools.values())[0]
-    log(f"[subpass] read_cfg={pool._read_cfg} sub_cfg={pool._sub_cfg} "
-        f"listed={len(pool._sub_list)}")
-    assert pool._read_cfg is not None and pool._read_cfg[0] == 512
-    assert pool._sub_cfg is not None
+    (tiers,) = control.read_tiers().values()
+    log(f"[subpass] tiers={tiers}")
+    assert tiers["read_cfg"] is not None and tiers["read_cfg"][0] == 512
+    assert not tiers["demoted"] and tiers["frozen"] == 64
+    assert tiers["listed"] == 0, tiers  # frozen branch, not the sub-pass
     # 3 trials: a single tunnel-stall trial would otherwise drag a
     # 2-trial median (r4 preview saw one 0.2x stall trial)
     return velocity_trials(r, scene, "subpass", ntrials=3, nchunks=4)
@@ -280,11 +280,19 @@ def bench_buffered_mixed(rng):
     # boundaries during the first trial-length of audio, compiling the
     # demoted-tier programs mid-trial — run one untimed trial so the timed
     # ones measure the engine in the regime the scene converges to
+    control.tier_events()  # drop the warmup transitions
     velocity_trials(r, scene, "buffered_mixed warm", ntrials=1)
-    pool = list(scene._buffered_pools.values())[0]
-    log(f"[buffered_mixed] read_cfg={pool._read_cfg} sub_cfg={pool._sub_cfg} "
-        f"listed={len(pool._sub_list)}")
-    return velocity_trials(r, scene, "buffered_mixed", ntrials=3)
+    (tiers,) = control.read_tiers().values()
+    log(f"[buffered_mixed] tiers={tiers}")
+    out = velocity_trials(r, scene, "buffered_mixed", ntrials=3)
+    for pool, evs in control.tier_events().items():
+        view = "; ".join(
+            f"t={t:.1f}s cfg={c} sub={s} listed={l}"
+            for t, c, s, l in evs[-6:]
+        )
+        log(f"[buffered_mixed] tier transitions ({pool}, {len(evs)} "
+            f"since warm): {view}")
+    return out
 
 
 def bench_scenepack(rng):

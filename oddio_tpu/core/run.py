@@ -95,6 +95,13 @@ def _unpack_row(buf, treedef, spec):
     return jax.tree.unflatten(treedef, out)
 
 
+#: minimum idle-run length before the fused multi-block dispatch engages:
+#: each distinct group count compiles its own scan program (the length is
+#: static), so short runs — warmups, tick remainders — stay on the
+#: per-block path and the multi program set tracks the bucket sizes only.
+MULTI_MIN_BLOCKS = 16
+
+
 class Renderer:
     def __init__(self, signal, rate, sync_every=16, scan_unroll=1,
                  scan_buckets=None):
@@ -139,6 +146,19 @@ class Renderer:
         step = self._steps.get(key)
         if step is None:
             sig = self.signal
+            if isinstance(kind, tuple) and kind[0] == "multi":
+
+                def step_fn(dstate, ddata, n, nb, groups):
+                    def body(d, _):
+                        return sig.render_multi(d, ddata, n, nb)
+
+                    return jax.lax.scan(body, dstate, None, length=groups)
+
+                step = jax.jit(
+                    step_fn, static_argnums=(2, 3, 4), donate_argnums=0
+                )
+                self._steps[key] = step
+                return step
             if kind == "single":
 
                 def step_fn(dstate, ddata, params, n):
@@ -227,6 +247,30 @@ class Renderer:
                 _dispatch(seg, arch)
 
         def _dispatch(pend, pend_arch):
+            # fused multi-block groups: an idle (param-free) run on a
+            # signal that advertises host_multiblock dispatches as scans
+            # whose body renders nb blocks sharing work (e.g. the buffered
+            # pool's superwindow gather); the remainder takes the normal
+            # path.  Group counts follow the bucket-quantized segment
+            # lengths, so the compiled-program set stays bounded.
+            mb = getattr(sig, "host_multiblock", None)
+            if (
+                mb is not None and len(pend) >= MULTI_MIN_BLOCKS
+                and not jax.tree.leaves(pend[0])
+            ):
+                nb = mb(self.interval, block_size)
+                if nb >= 2 and len(pend) >= nb:
+                    groups = len(pend) // nb
+                    step = self._get_step(("multi", nb), pend_arch, None)
+                    d2, blocks = step(
+                        sig.device_collect(), sig.device_data(),
+                        block_size, nb, groups,
+                    )
+                    sig.device_store(d2)
+                    consume(blocks)  # (groups, C, nb*block_size)
+                    pend = pend[groups * nb :]
+                    if not pend:
+                        return
             pack = _pack_spec(pend[0])
             if len(pend) == 1:
                 step = self._get_step("single", pend_arch, pack)
@@ -279,9 +323,12 @@ class Renderer:
         pieces = []
 
         def consume(blocks):
-            out = np.asarray(blocks)  # (B, C, n)
+            out = np.asarray(blocks)  # (B, C, n) — n may be a fused
+            # multi-block group's nb*block_size
             pieces.append(
-                np.moveaxis(out, 1, 2).reshape(out.shape[0] * block_size, out.shape[1])
+                np.moveaxis(out, 1, 2).reshape(
+                    out.shape[0] * out.shape[2], out.shape[1]
+                )
             )
 
         if nblocks:

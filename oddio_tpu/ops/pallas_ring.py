@@ -489,12 +489,23 @@ def _gather_pair(w1, w1s, m, W):
     return a, b
 
 
-def _ears_pipeline_flat(strips, scals, extras, *, n, K, W, SB=SELECT_SB):
+def _ears_pipeline_flat(strips, scals, extras, *, n, K, W, SB=SELECT_SB,
+                        frz=None):
     """Both ears' fractional reads from one shared window, with the
     per-sub-block lookup tables (and their +1-shifted lerp twins) built
     once and shared across ears.  Output-identical to calling
     _ear_pipeline_flat per ear; ~40% fewer VPU ops on the gather leg
-    (shared index math, no clips, pre-shifted b tables)."""
+    (shared index math, no clips, pre-shifted b tables).
+
+    ``frz``: optional per-ear (tile, 1) f32 FROZEN flags.  A fully
+    offset-clamped voice reads with ds = 0 (spatial.rs:414-416 clamps both
+    offsets to -max_delay, so ring.rs:51-79's per-frame step dt*rate is
+    exactly zero): every frame reads the SAME fractional position, whose
+    value is exactly the pipeline's j = 0 sample — the per-element walk's
+    ``kk = fl_u + K - j`` would clip at j > K and misread.  Flagged rows
+    replace their samples with the j = 0 value broadcast across the block
+    (bit-exact: frame 0's position math is shared), so clamped voices ride
+    the TIGHT tier instead of demoting the pool to a 2K >= n wide tier."""
     tile = strips.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (tile, SB), 1)
     # ONE +1-shifted lerp twin over the whole window, sliced per sub-block
@@ -514,10 +525,16 @@ def _ears_pipeline_flat(strips, scals, extras, *, n, K, W, SB=SELECT_SB):
             m = extras[e] + iota + kk_sb.astype(jnp.int32)
             a_sb, b_sb = _gather_pair(w1, w1s, m, W)
             outs[e].append(a_sb + fr_sb * (b_sb - a_sb))
-    return tuple(
+    out = tuple(
         jnp.concatenate(p, axis=-1)[:, :n] if len(p) > 1 else p[0][:, :n]
         for p in outs
     )
+    if frz is not None:
+        out = tuple(
+            jnp.where(frz[e] > 0.0, outs[e][0][:, 0:1], out[e])
+            for e in range(2)
+        )
+    return out
 
 
 #: voice-mix reduction on the MXU (two (1, tile) x (tile, n) matvecs per
@@ -530,13 +547,15 @@ SELECT_MXU_REDUCE = os.environ.get("ODDIO_SELECT_MXU", "1") == "1"
 
 
 
-def _mix_rows(samps, g_refs, n):
+def _mix_rows(samps, gs, n):
     """Mask-premultiplied gain-ramped voice mix: (2, n) from per-ear
-    (tile, n) samples and (tile, 2) [gain0*mask, d_gain*mask] rows."""
+    (tile, n) samples and (tile, 2) [gain0*mask, d_gain*mask] rows
+    (refs or arrays)."""
     jn = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1).astype(jnp.float32)
     rows = []
-    for samp, g_ref in zip(samps, g_refs):
-        g = g_ref[...]
+    for samp, g in zip(samps, gs):
+        if not isinstance(g, jnp.ndarray):
+            g = g[...]
         if SELECT_MXU_REDUCE:
             dn = (((0,), (0,)), ((), ()))
             m0 = jax.lax.dot_general(
@@ -639,8 +658,16 @@ def window_select(windows, scal, gain0, d_gain, maskf, extra, *, n, K,
 
 
 def _select_tiles_kernel(s_ref, sh_ref, sc0_ref, sc1_ref, g0_ref, g1_ref,
-                         e0_ref, e1_ref, out_ref,
-                         *, n, K, W, H, WIN):
+                         e0_ref, e1_ref, *rest,
+                         n, K, W, H, WIN):
+    # rest = (f0_ref, f1_ref, out_ref) when per-ear frozen flags ship,
+    # else (out_ref,) — the flag-less variant is a distinct traced program
+    if len(rest) == 3:
+        f0_ref, f1_ref, out_ref = rest
+        frz = (f0_ref[...], f1_ref[...])
+    else:
+        (out_ref,) = rest
+        frz = None
     i = pl.program_id(0)
     wide = s_ref[...]  # (tile, S2) tile-granule gathered spans
     b = sh_ref[...]    # (tile, 1) per-voice coarse shift, in rows
@@ -651,7 +678,7 @@ def _select_tiles_kernel(s_ref, sh_ref, sc0_ref, sc1_ref, g0_ref, g1_ref,
     win = _realign_rows(wide, b, WIN, H)
     samps = _ears_pipeline_flat(
         win, (sc0_ref[...], sc1_ref[...]), (e0_ref[...], e1_ref[...]),
-        n=n, K=K, W=W,
+        n=n, K=K, W=W, frz=frz,
     )
     contrib = _mix_rows(samps, (g0_ref, g1_ref), n)
 
@@ -695,12 +722,15 @@ def window_select_tiles(wide, rowshift, scal, gain0, d_gain, maskf, extra,
 
 
 def window_select_tiles_ears(wide, rowshift, scal01, g01, e01, *, n, K,
-                             emax2, interpret=False, tile=None, hmax=None):
+                             emax2, interpret=False, tile=None, hmax=None,
+                             frz01=None):
     """window_select_tiles with PER-EAR operands — the kernel consumes
     per-ear refs anyway, so component-split callers skip the (V, 2, ...)
     stack/slice relayout round trip.  scal01: two (V, 4) packed cursor
     rows; g01: two (V, 2) [gain0, d_gain] rows with the voice mask already
-    folded in; e01: two (V, 1) int32 staggers."""
+    folded in; e01: two (V, 1) int32 staggers; frz01: optional two (V, 1)
+    f32 frozen flags (fully offset-clamped voices, ds = 0 — see
+    _ears_pipeline_flat)."""
     V0, S2 = wide.shape
     V = _pad_v(V0)
     wide = _pad0(wide, V)
@@ -708,6 +738,8 @@ def window_select_tiles_ears(wide, rowshift, scal01, g01, e01, *, n, K,
     scal01 = tuple(_pad0(s, V) for s in scal01)
     g01 = tuple(_pad0(g, V) for g in g01)  # mask-folded: padded gains are 0
     e01 = tuple(_pad0(e, V) for e in e01)
+    if frz01 is not None:
+        frz01 = tuple(_pad0(f, V) for f in frz01)
     W = select_tables(emax2, K)
     WIN = select_window(n, emax2, K)
     H = (S2 - WIN) // 128 + 1
@@ -723,15 +755,26 @@ def window_select_tiles_ears(wide, rowshift, scal01, g01, e01, *, n, K,
             memory_space=pltpu.VMEM,
         )
 
+    in_specs = [
+        ts(tile, S2),
+        ts(tile, 1),
+        ts(tile, 4), ts(tile, 4),
+        ts(tile, 2), ts(tile, 2),
+        ts(tile, 1), ts(tile, 1),
+    ]
+    operands = [
+        wide,
+        rowshift.astype(jnp.int32)[:, None],
+        scal01[0], scal01[1],
+        g01[0], g01[1],
+        e01[0], e01[1],
+    ]
+    if frz01 is not None:
+        in_specs += [ts(tile, 1), ts(tile, 1)]
+        operands += [frz01[0], frz01[1]]
     grid_spec = pl.GridSpec(
         grid=(V // tile,),
-        in_specs=[
-            ts(tile, S2),
-            ts(tile, 1),
-            ts(tile, 4), ts(tile, 4),
-            ts(tile, 2), ts(tile, 2),
-            ts(tile, 1), ts(tile, 1),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((2, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -741,12 +784,123 @@ def window_select_tiles_ears(wide, rowshift, scal01, g01, e01, *, n, K,
         out_shape=jax.ShapeDtypeStruct((2, n), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
+    )(*operands)
+
+
+# --- multi-block superwindow select ---------------------------------------------
+#
+# At ds ~= 1 a voice's read window advances ~n samples per block while the
+# gathered span is ~2 granules wide: consecutive blocks of one dispatch
+# re-gather ~75% identical granules.  This kernel renders NB blocks from
+# ONE tile-granule superwindow per voice (gathered once, streamed into
+# VMEM once): per block a static-offset slice + the usual row-constant
+# realign recovers that block's window, then the unchanged narrow per-ear
+# pipeline runs.  Gather bytes and kernel DMA-in drop ~NB/(NB+1)x vs NB
+# separate selects; the per-block select math is bit-identical (same
+# scalars, same window values), so audio equals the per-block path
+# exactly.  The caller must have APPENDED all NB blocks' samples before
+# gathering (reads never pass their own block's write cursor, so later
+# blocks' samples are invisible to earlier blocks' in-contract reads) and
+# must hold the ring-slack gate max_delay*rate + (NB-1)*adv + K + GW <=
+# cap (so later appends cannot overwrite samples an earlier block still
+# reads).
+
+
+def _select_tiles_multi_kernel(s_ref, sh_ref, sc0_ref, sc1_ref, g0_ref,
+                               g1_ref, e0_ref, e1_ref, f0_ref, f1_ref,
+                               out_ref, *, n, K, W, WIN, nb, row0s, hs):
+    i = pl.program_id(0)
+    wide = s_ref[...]  # (tile, S2s) superwindow
+    sh = sh_ref[...]
+    sc = (sc0_ref[...], sc1_ref[...])
+    g = (g0_ref[...], g1_ref[...])
+    e = (e0_ref[...], e1_ref[...])
+    f = (f0_ref[...], f1_ref[...])
+    outs = []
+    for b in range(nb):
+        win = _realign_rows(
+            wide[:, 128 * row0s[b] :], sh[:, b : b + 1], WIN, hs[b]
+        )
+        samps = _ears_pipeline_flat(
+            win,
+            tuple(sc[ear][:, 4 * b : 4 * b + 4] for ear in range(2)),
+            tuple(e[ear][:, b : b + 1] for ear in range(2)),
+            n=n, K=K, W=W,
+            frz=tuple(f[ear][:, b : b + 1] for ear in range(2)),
+        )
+        outs.append(_mix_rows(
+            samps, tuple(g[ear][:, 2 * b : 2 * b + 2] for ear in range(2)), n
+        ))
+    contrib = jnp.concatenate(outs, axis=-1)  # (2, nb*n)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += contrib
+
+
+def window_select_tiles_multi(wide, rowshift, scal01, g01, e01, frz01, *,
+                              n, K, emax2, nb, row0s, hs, interpret=False,
+                              tile=None):
+    """NB-block select over one shared superwindow.
+
+    wide (V, S2s): per-voice tile-granule superwindow covering every
+    block's read window; rowshift (V, nb) int32: per-block coarse shift in
+    rows RELATIVE to the static ``row0s[b]`` slice base (the caller
+    guarantees 0 <= rowshift[:, b] < hs[b]); scal01/g01/e01/frz01: per-ear
+    (V, nb*4) / (V, nb*2) / (V, nb) / (V, nb) packed per-block operand
+    rows (gains mask-folded).  Returns the mixed (2, nb*n) block run."""
+    V0, S2 = wide.shape
+    V = _pad_v(V0)
+    wide = _pad0(wide, V)
+    rowshift = _pad0(rowshift, V)
+    scal01 = tuple(_pad0(s, V) for s in scal01)
+    g01 = tuple(_pad0(g, V) for g in g01)
+    e01 = tuple(_pad0(e, V) for e in e01)
+    frz01 = tuple(_pad0(f, V) for f in frz01)
+    W = select_tables(emax2, K)
+    WIN = select_window(n, emax2, K)
+    for b in range(nb):
+        assert 128 * row0s[b] + WIN + 128 * (hs[b] - 1) <= S2, (b, row0s, hs)
+    if tile is None:
+        tile = _tile_for(V)
+
+    def ts(*shape):
+        return pl.BlockSpec(
+            shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pl.GridSpec(
+        grid=(V // tile,),
+        in_specs=[
+            ts(tile, S2),
+            ts(tile, nb),
+            ts(tile, 4 * nb), ts(tile, 4 * nb),
+            ts(tile, 2 * nb), ts(tile, 2 * nb),
+            ts(tile, nb), ts(tile, nb),
+            ts(tile, nb), ts(tile, nb),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, nb * n), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _select_tiles_multi_kernel, n=n, K=K, W=W, WIN=WIN, nb=nb,
+            row0s=tuple(row0s), hs=tuple(hs),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, nb * n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
     )(
         wide,
-        rowshift.astype(jnp.int32)[:, None],
+        rowshift.astype(jnp.int32),
         scal01[0], scal01[1],
         g01[0], g01[1],
-        e01[0], e01[1],
+        e01[0].astype(jnp.int32), e01[1].astype(jnp.int32),
+        frz01[0], frz01[1],
     )
 
 

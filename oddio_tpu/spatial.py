@@ -32,6 +32,8 @@ fused in, reduced over voices into the ``(2, n)`` output block.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,6 +59,7 @@ from .ops.pallas_ring import (
     strip_select,
     window_select_tiles,
     window_select_tiles_ears,
+    window_select_tiles_multi,
 )
 
 __all__ = [
@@ -1048,6 +1051,17 @@ class _DRPoolBase(DRCtrlMixin):
         S["mask"] = S["mask"] & ~S["stopped"]
         return S, S["mask"], prev_pos, next_pos
 
+    def render_multi(self, dstate, ddata, params, n, nb):
+        """Default fused idle group: loop the per-block render (subclasses
+        override to share work across the group's blocks).  Returns
+        ``(S, (C, nb*n))``."""
+        S = dstate
+        outs = []
+        for _ in range(nb):
+            S, block = self.render(S, ddata, params, n)
+            outs.append(block)
+        return S, jnp.concatenate(outs, axis=-1)
+
 
 class _SeekPoolDR(_DRPoolBase):
     """Device-resident seek-path pool: the flagship scale path for
@@ -1216,6 +1230,12 @@ class _BufferedPoolDR(_DRPoolBase):
         self._sub_list = np.zeros(0, np.int64)
         self._sub_cfg = None
         self._sub_dirty = False
+        #: tier-transition log for observability (SpatialSceneControl
+        #: .read_tiers()/.tier_events()): (t_scene, read_cfg, sub_cfg,
+        #: listed) appended whenever the active tier plan changes — the
+        #: run3-style silent 2x demotion collapse must be user-diagnosable
+        self._tier_log = []
+        self._tier_last = None
 
     # -- state ---------------------------------------------------------------
 
@@ -1347,23 +1367,45 @@ class _BufferedPoolDR(_DRPoolBase):
         trans = np.where(smoothing & live, tn / T, np.float32(0.0))
         vn = vn * livef
         spd = vn + trans
-        steady = (float(vn.max()) * 1.05 + 0.5) / float(C)
-        full = (float(spd.max()) * 1.05 + 0.5) / float(C)
         # offset-clamp check on the block-endpoint positions (within-block
         # ear offsets interpolate between them); the verdict stays valid
-        # until some voice could CROSS its boundary (|gap| / speed)
+        # until some voice could CROSS a boundary (|gap| / speed)
         e32 = np.float32(elapsed)
         margin = np.float32(2.0 / self.rate + 1e-4)
         d_hi = np.float32(0.0)
+        d_lo = np.float32(np.inf)
         for dt_extra in (np.float32(0.0), e32):
             dt = smdt + dt_extra
             r = np.minimum(dt / T, np.float32(1.0))
             p = prev + mvel * dt[:, None] + r[:, None] * d
-            d_hi = np.maximum(d_hi, np.sqrt(np.einsum("ij,ij->i", p, p)))
+            nn = np.sqrt(np.einsum("ij,ij->i", p, p))
+            d_hi = np.maximum(d_hi, nn)
+            d_lo = np.minimum(d_lo, nn)
         d_hi = d_hi + np.float32(HEAD_RADIUS)
-        bnd = (self._md_host - e32 - margin) * C  # clamp boundary, meters
-        clamp = bool(((d_hi >= bnd) & live).any())
-        gap = np.where(live, np.abs(d_hi - bnd), np.float32(np.inf))
+        d_lo = np.maximum(d_lo - np.float32(HEAD_RADIUS), np.float32(0.0))
+        # three regimes (spatial.rs:414-416 clamping at -max_delay):
+        #  * inside (d_hi < bnd): no ear offset can clamp — tight walk
+        #  * CERTAINLY FROZEN (d_lo >= bnd_hi): both ears clamp at both
+        #    endpoints, the device computes ds = 0 exactly and the select
+        #    kernel's frozen branch reads it on the tight tier — these
+        #    voices are EXEMPT from tier bounds and sub-pass listing
+        #  * the band between: ds anywhere in (0, 1] — escalates the bound
+        bnd = (self._md_host - e32 - margin) * C  # may-clamp boundary, m
+        bnd_hi = (self._md_host + margin) * C  # certainly-frozen boundary
+        frozen = (d_lo >= bnd_hi) & live
+        band = (d_hi >= bnd) & live & ~frozen
+        clamp = bool(band.any())
+        gap = np.where(
+            live,
+            np.minimum(np.abs(d_hi - bnd), np.abs(d_lo - bnd_hi)),
+            np.float32(np.inf),
+        )
+        # frozen voices ride the kernel's frozen branch: their velocities
+        # do not widen the read walk (spd keeps them for crossing horizons)
+        vn_t = np.where(frozen, np.float32(0.0), vn)
+        spd_t = np.where(frozen, np.float32(0.0), spd)
+        steady = (float(vn_t.max()) * 1.05 + 0.5) / float(C)
+        full = (float(spd_t.max()) * 1.05 + 0.5) / float(C)
         with np.errstate(divide="ignore", invalid="ignore"):
             horizon = float(np.where(spd > 0, gap / np.maximum(spd, 1e-9),
                                      np.float32(np.inf)).min())
@@ -1378,8 +1420,9 @@ class _BufferedPoolDR(_DRPoolBase):
             # rotation blocks ride the cache: the ear-swing term needs only
             # max distance, inflated conservatively by the max speed times
             # the cache age (see _block_b) — without these, every rotating-
-            # listener block would pay the full O(V) sweep
-            "d_hi_max": float(d_hi.max()),
+            # listener block would pay the full O(V) sweep.  Frozen voices
+            # are exempt (rotation preserves norms, so it cannot unfreeze).
+            "d_hi_max": float(np.where(frozen, np.float32(0.0), d_hi).max()),
             "spd_max": float(spd.max()),
             "t": self._t_scene,
             # per-voice components (same sweep, same validity horizons) —
@@ -1388,7 +1431,8 @@ class _BufferedPoolDR(_DRPoolBase):
                 "live": live.copy(),
                 "vn": vn,
                 "trans": trans,
-                "clamp": (d_hi >= bnd) & live,
+                "clamp": band,
+                "frozen": frozen,
                 "d_hi": d_hi,
             },
         }
@@ -1398,9 +1442,10 @@ class _BufferedPoolDR(_DRPoolBase):
         if rot_sin_half > 0.0 and elapsed > 0:
             # the rotation moves each EAR distance by at most
             # min(2*HEAD, 2*dist*sin(theta/2)), spread across the block
+            # (frozen voices exempt: rotation preserves their norms)
             swing = 2.0 * min(
                 float(HEAD_RADIUS),
-                float(d_hi.max()) * float(rot_sin_half),
+                self._b_cache["d_hi_max"] * float(rot_sin_half),
             )
             full += 1.05 * swing / (float(C) * elapsed)
         return steady, full
@@ -1511,8 +1556,11 @@ class _BufferedPoolDR(_DRPoolBase):
             0.0, (64.0 / min(512, max(n, 1)) - abs(ratio - 1.0)) / max(ratio, 1e-9)
         )
         b_v = np.maximum(steady, np.minimum(full, np.maximum(b_cap, steady)))
-        b_v = np.where(live, b_v, 0.0)
-        dmax_v = abs(ratio - 1.0) + b_v * ratio
+        # certainly-frozen voices (ds = 0 exactly) ride the select kernel's
+        # frozen branch on ANY tier: no walk bound, no sub-pass slot
+        active = live & ~pv["frozen"]
+        b_v = np.where(active, b_v, 0.0)
+        dmax_v = np.where(active, abs(ratio - 1.0) + b_v * ratio, 0.0)
         return b_v, dmax_v, live
 
     def tier_bound(self, interval, n):
@@ -1544,11 +1592,15 @@ class _BufferedPoolDR(_DRPoolBase):
             )
             steady_p = (1.05 * vn + 0.5) / C
             full_p = (1.05 * (vn + trans) + 0.5) / C
-            d_hi = max(
-                float(np.linalg.norm(np.asarray(p, np.float64))),
-                float(np.linalg.norm(sm.astype(np.float64))),
-            ) + float(HEAD_RADIUS) + (vn + trans) * elapsed
-            if d_hi / C >= float(self._md_host[slot]) - elapsed - margin:
+            np_ = float(np.linalg.norm(np.asarray(p, np.float64)))
+            ns_ = float(np.linalg.norm(sm.astype(np.float64)))
+            d_hi = max(np_, ns_) + float(HEAD_RADIUS) + (vn + trans) * elapsed
+            d_lo = min(np_, ns_) - float(HEAD_RADIUS) - (vn + trans) * elapsed
+            if d_lo / C >= float(self._md_host[slot]) + margin:
+                # certainly frozen for this block: rides the select
+                # kernel's frozen branch, exempt from the walk bound
+                steady_p = full_p = 0.0
+            elif d_hi / C >= float(self._md_host[slot]) - elapsed - margin:
                 steady_p = max(steady_p, 1.0)
                 full_p = max(full_p, 1.0)
             b = max(b, max(steady_p, min(full_p, max(b_cap, steady_p))))
@@ -1835,10 +1887,20 @@ class _BufferedPoolDR(_DRPoolBase):
                 abs(ratio - 1.0) + b * ratio, n, tiers
             )
             self._sub_cfg = None
+        cur = (self._read_cfg, self._sub_cfg, int(self._sub_list.size))
+        if cur != self._tier_last:
+            self._tier_last = cur
+            if len(self._tier_log) < 4096:
+                self._tier_log.append((float(self._t_scene),) + cur)
 
     _EMPTY_SUB = np.zeros(0, np.int64)
 
-    def render(self, dstate, ddata, params, n):
+    def _advance_block(self, dstate, ddata, params, n):
+        """One block's control walk, ring append, and read-prep geometry
+        (steps 1-6 of the render plus the per-ear cursor/gain scalars) —
+        shared by the per-block ``render`` and the multi-block
+        ``render_multi``.  Returns ``(S, ro)`` with ``ro`` holding the
+        per-ear read operands."""
         from .ops.geometry import ear_states_c
 
         S = dict(dstate)
@@ -1951,6 +2013,44 @@ class _BufferedPoolDR(_DRPoolBase):
             for e in range(2)
         ]
         maskf = mask.astype(jnp.float32)
+        # per-ear FROZEN flags: a fully offset-clamped voice
+        # (spatial.rs:414-416) has n_off == p_off exactly, so the read's
+        # per-frame step dt*rate (ring.rs:62) is exactly zero and every
+        # frame reads one constant fractional position.  The select kernel
+        # broadcasts the j=0 sample for flagged voices (bit-exact — see
+        # _ears_pipeline_flat), letting clamped voices ride the TIGHT tier;
+        # the host walk bound excludes certainly-frozen voices, so a far
+        # voice no longer demotes the pool or occupies the sub-pass list.
+        frz_c = [
+            (n_off_c[e] == p_off_c[e]).astype(jnp.float32)
+            for e in range(2)
+        ]
+        return S, {
+            "mask": mask,
+            "maskf": maskf,
+            "p_gain_c": p_gain_c,
+            "d_gain_c": d_gain_c,
+            "offset0_c": offset0_c,
+            "obase_c": obase_c,
+            "split_c": split_c,
+            "frz_c": frz_c,
+        }
+
+    def render(self, dstate, ddata, params, n):
+        S, ro = self._advance_block(dstate, ddata, params, n)
+        V = S["mask"].shape[0]
+        cap = self.cap_pool
+        mask = ro["mask"]
+        maskf = ro["maskf"]
+        p_gain_c = ro["p_gain_c"]
+        d_gain_c = ro["d_gain_c"]
+        offset0_c = ro["offset0_c"]
+        obase_c = ro["obase_c"]
+        split_c = ro["split_c"]
+        frz_c = [f[:, None] for f in ro["frz_c"]]
+        ring = S["ring"]
+        interp = jax.default_backend() != "tpu"
+        FP = self.W_CHUNK
         if self._read_cfg is None:
             # exotic rate ratio: exact elementwise read of the flat ring
             # (slow on TPU but any-ratio correct, frames.rs-style lerp)
@@ -1999,7 +2099,7 @@ class _BufferedPoolDR(_DRPoolBase):
         maskf_main = maskf * S["tight"] if sub_cfg is not None else maskf
         out = self._windows_read(
             rows8, vb8, base_c, frac_c, split_c, p_gain_c, d_gain_c,
-            maskf_main, self._read_cfg, n, cap, FP, interp,
+            maskf_main, self._read_cfg, n, cap, FP, interp, frz_c=frz_c,
         )
         if sub_cfg is not None:
             # family sub-pass: the host-listed wide-walk voices render at
@@ -2036,8 +2136,128 @@ class _BufferedPoolDR(_DRPoolBase):
             )
         return S, out
 
+    #: blocks fused per multi-block dispatch group (superwindow reads):
+    #: consecutive idle blocks share ONE tile-granule window gather (the
+    #: windows overlap ~75% at ds ~= 1), cutting the read path's HBM bytes
+    #: ~2x.  Env-tunable; <2 disables.
+    MULTI_NB = int(os.environ.get("ODDIO_MULTI_NB", "4"))
+
+    def host_multiblock(self, interval, n):
+        """Whether (and how wide) the NEXT idle blocks may dispatch as
+        fused multi-block groups: requires the param-free aligned cursor
+        path, a single-chunk 512-class tier with no sub-pass, and enough
+        ring slack that group-batched appends cannot overwrite samples an
+        earlier block of the group still reads (``max_delay*rate +
+        (nb-1)*adv + K + GW <= cap``).  Returns nb >= 2 or 0."""
+        nb = self.MULTI_NB
+        if nb < 2 or not getattr(self, "_w_free", False):
+            return 0
+        cfg = self._read_cfg
+        if cfg is None or self._sub_cfg is not None or cfg[0] < n:
+            return 0
+        advf = self._prep_inv[2]
+        live = self.mask_host
+        md = float(self._md_host[live].max()) if live.any() else 0.0
+        if md * self.rate + (nb - 1) * advf + cfg[1] + 1152 > self.cap_pool:
+            return 0
+        return nb
+
+    def render_multi(self, dstate, ddata, params, n, nb):
+        """``nb`` idle blocks in one traced group: per-block control walk,
+        append, and cursor math identical to ``render`` (bit-exact), but
+        all reads share ONE superwindow gather and ONE select kernel call
+        (window_select_tiles_multi).  Appends all land before the gather —
+        in-contract reads never pass their own block's write cursor, and
+        host_multiblock's slack gate keeps later appends from overwriting
+        samples earlier blocks still read.  Returns (S, (2, nb*n))."""
+        S = dstate
+        ros = []
+        for _ in range(nb):
+            S, ro = self._advance_block(S, ddata, params, n)
+            ros.append(ro)
+        V = S["mask"].shape[0]
+        cap = self.cap_pool
+        interp = jax.default_backend() != "tpu"
+        PW, GW = 128, 1024
+        FP = self.W_CHUNK
+        FPG = FP // GW
+        capg = cap // GW
+        RPV = self.rowlen // PW
+        rows8 = S["ring"].reshape(V * (RPV // 8), 8, PW)
+        vb8 = jnp.arange(V, dtype=jnp.int32) * (RPV // 8)
+        n_c, K = self._read_cfg
+        DMAX = self.emax2
+        emax2r = PW - 1 + self.emax2
+        WIN = select_window(n, emax2r, K)
+        advf = self._prep_inv[2]
+        # static per-block slice bases / realign ranges: block b's window
+        # base advances by b*adv within [b*(adv-K), b*(adv+K)] (the tier
+        # contract |ds-1|*n <= K per block), plus block 0's in-granule
+        # remainder (< GW)
+        row0s = [max(0, int(np.floor(b * (advf - K) / PW))) for b in range(nb)]
+        hs = [
+            int(GW - 1 + b * (advf + K)) // PW - row0s[b] + 1
+            for b in range(nb)
+        ]
+        rstart0 = None
+        rsh, scal01, g01, e01, f01 = [], ([], []), ([], []), ([], []), ([], [])
+        for b, ro in enumerate(ros):
+            base_c = [o.astype(jnp.int32) for o in ro["obase_c"]]
+            frac_c = [ro["offset0_c"][e] - ro["obase_c"][e] for e in range(2)]
+            ob0 = jnp.mod(base_c[0], cap)
+            ob1 = jnp.mod(base_c[1], cap)
+            dlr = jnp.mod(ob0 - ob1, cap)
+            l_ahead = dlr <= DMAX
+            cm = jnp.where(l_ahead, ob1, ob0)
+            dstart = [
+                jnp.clip(jnp.where(l_ahead, dlr, 0), 0, DMAX),
+                jnp.clip(jnp.where(l_ahead, 0, cap - dlr), 0, DMAX),
+            ]
+            rstart = jnp.mod(cm - K, cap) + FP
+            if b == 0:
+                rstart0 = rstart
+                r0g = rstart0 // GW
+                base_col = r0g * GW
+            rel = jnp.mod(rstart - rstart0, cap)
+            rsh.append((rstart0 - base_col + rel) // PW - row0s[b])
+            exr = jnp.mod(rstart, PW)
+            for e in range(2):
+                ds_e, fh_e, fl_e = ro["split_c"][e]
+                scal01[e].append(jnp.stack(
+                    [frac_c[e], fh_e, fl_e, ds_e.astype(jnp.float32)],
+                    axis=-1,
+                ))
+                g01[e].append(jnp.stack(
+                    [ro["p_gain_c"][e] * ro["maskf"],
+                     ro["d_gain_c"][e] * ro["maskf"]],
+                    axis=-1,
+                ))
+                e01[e].append(exr + dstart[e])
+                f01[e].append(ro["frz_c"][e])
+        # ONE superwindow per voice: whole (8, 128)-tile granules, wrapped
+        # granule-wise (mod capg) so the span may exceed the mirror width
+        ngr_s = -(-int(GW - 1 + (nb - 1) * (advf + K) + WIN) // GW)
+        kg = FPG + jnp.mod(
+            r0g[:, None] - FPG + jnp.arange(ngr_s, dtype=jnp.int32)[None, :],
+            capg,
+        )
+        ridx = (vb8[:, None] + kg).reshape(-1)
+        wide = jnp.take(rows8, ridx, axis=0).reshape(V, ngr_s * GW)
+        out = window_select_tiles_multi(
+            wide,
+            jnp.stack(rsh, axis=-1),
+            tuple(jnp.concatenate(scal01[e], axis=-1) for e in range(2)),
+            tuple(jnp.concatenate(g01[e], axis=-1) for e in range(2)),
+            tuple(jnp.stack(e01[e], axis=-1) for e in range(2)),
+            tuple(jnp.stack(f01[e], axis=-1) for e in range(2)),
+            n=n, K=K, emax2=emax2r, nb=nb, row0s=row0s, hs=hs,
+            interpret=interp,
+        )
+        return S, out
+
     def _windows_read(self, rows8, vbase, base_c, frac_c, split_c,
-                      p_gain_c, d_gain_c, maskf, cfg, n, cap, FP, interp):
+                      p_gain_c, d_gain_c, maskf, cfg, n, cap, FP, interp,
+                      frz_c=None):
         """Tile-granule window gather + fractional per-ear select over one
         voice set (the main pool or the family sub-pass list), mixed to
         (2, n).  ``rows8`` is the (8, 128)-tile view of the full ring;
@@ -2103,6 +2323,7 @@ class _BufferedPoolDR(_DRPoolBase):
             parts.append(window_select_tiles_ears(
                 wide, rowshift, scal01, g01, e01, n=n_c,
                 K=K, emax2=emax2r, interpret=interp, hmax=GW // PW,
+                frz01=frz_c,
             ))
             if j0 + n_c < n:
                 for e in range(2):
@@ -2451,6 +2672,42 @@ class SpatialScene(Signal):
             for p in self._all_pools()
         }
 
+    def host_multiblock(self, interval, n):
+        """Fused idle-group width the Renderer may dispatch (0 = off):
+        every pool must be device-resident, at least one buffered pool
+        must profit, and each buffered pool must pass its superwindow
+        gate (_BufferedPoolDR.host_multiblock)."""
+        nb = 0
+        for p in self._all_pools():
+            if not getattr(p, "is_dr", False):
+                return 0
+            m = getattr(p, "host_multiblock", None)
+            if m is None:
+                continue
+            k = m(interval, n)
+            if k < 2:
+                return 0
+            nb = k if nb == 0 else min(nb, k)
+        return nb
+
+    def render_multi(self, dstate, ddata, n, nb):
+        """``nb`` consecutive PARAM-FREE blocks as one traced group (the
+        Renderer dispatches these only for idle runs that passed
+        host_multiblock): per-block semantics identical to ``render`` with
+        empty params; buffered pools share one superwindow gather per
+        group.  Returns (d2, (2, nb*n))."""
+        rot_prev = dstate["_rot"]
+        out = jnp.zeros((2, nb * n), dtype=jnp.float32)
+        d2 = {"_rot": rot_prev}
+        for p in self._all_pools():
+            pp = {"rot_prev": rot_prev, "rot": rot_prev}
+            dsub, block = p.render_multi(
+                dstate[p.name], ddata[p.name], pp, n, nb
+            )
+            d2[p.name] = dsub
+            out = out + block
+        return d2, out
+
     def render(self, dstate, ddata, params, n):
         # rotation refresh in-graph: prev = state, cur = delta (if any)
         rot_prev = dstate["_rot"]
@@ -2542,6 +2799,49 @@ class SpatialSceneControl:
         """Listener rotation as quaternion (s, x, y, z); an unrotated listener
         faces -Z with +X right and +Y up (spatial.rs:342-349)."""
         self._scene._set_listener_rotation(rotation)
+
+    # -- observability (additive; the reference exposes only per-handle
+    # getters, gain.rs:134-136 / frames.rs:238-247 — the tier machinery is
+    # TPU-build-specific and its demotions must be user-diagnosable) ------
+
+    def read_tiers(self):
+        """Per-pool snapshot of the active buffered read plan: the
+        ``(chunk, K)`` tier of the main pass, the family sub-pass tier and
+        its occupancy, counts of certainly-frozen / band voices from the
+        last host walk sweep, and whether the pool is DEMOTED off the
+        tight 512-frame tier (the run3-style silent 2x collapse)."""
+        out = {}
+        for p in self._scene._buffered_pools.values():
+            if not getattr(p, "is_dr", False):
+                out[p.name] = {"kind": "host"}
+                continue
+            cfg = p._read_cfg
+            pv = (p._b_cache or {}).get("pv") or {}
+            frozen = pv.get("frozen")
+            band = pv.get("clamp")
+            out[p.name] = {
+                "kind": "dr",
+                "read_cfg": cfg,
+                "sub_cfg": p._sub_cfg,
+                "listed": int(p._sub_list.size),
+                "frozen": int(frozen.sum()) if frozen is not None else None,
+                "band": int(band.sum()) if band is not None else None,
+                "demoted": cfg is None or cfg[0] < 512,
+            }
+        return out
+
+    def tier_events(self, drain=True):
+        """Tier-transition log: ``{pool: [(t_scene, read_cfg, sub_cfg,
+        listed), ...]}`` appended whenever a pool's read plan changes.
+        ``drain=True`` (default) clears the log."""
+        out = {}
+        for p in self._scene._buffered_pools.values():
+            log = getattr(p, "_tier_log", None)
+            if log:
+                out[p.name] = list(log)
+                if drain:
+                    log.clear()
+        return out
 
 
 class Spatial:

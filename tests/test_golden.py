@@ -326,17 +326,18 @@ def test_golden_buffered_beyond_max_delay(dr):
         ref.oddio_run(oscene, RATE, buf)
         errs.append(np.abs(eng - buf).max())
     pool = list(scene._buffered_pools.values())[0]
+    assert max(errs) <= 1e-5, errs
+    assert np.abs(buf).max() > 1e-4  # the frozen read carries audio
     if dr:
-        # the clamped voice is family-sub-pass-listed and reads on the
-        # wide frozen-read tier while the (otherwise empty) main pool
-        # keeps its tight tier
-        assert pool._sub_cfg == (256, 256), pool._sub_cfg
-        assert list(pool._sub_list) == [0]
+        # the clamped voice is CERTAINLY FROZEN (ds = 0 exactly): it rides
+        # the select kernel's frozen branch on the tight tier — no
+        # sub-pass listing, no demotion (round 5; previously it was
+        # sub-listed onto the (256, 256) wide tier)
+        assert pool._sub_cfg is None, pool._sub_cfg
+        assert list(pool._sub_list) == []
         assert pool._read_cfg == (512, 32), pool._read_cfg
     else:
         assert not pool._use_strips
-    assert max(errs) <= 1e-5, errs
-    assert np.abs(buf).max() > 1e-4  # the frozen read carries audio
 
 
 def test_golden_family_subpass_mixed_scene():
@@ -405,16 +406,22 @@ def test_golden_family_subpass_mixed_scene():
             nsteps_mid = len(r._steps)
     assert max(errs) <= 1e-5, (errs, subs, mains)
     assert np.abs(buf).max() > 1e-4
-    # the split engaged from the start and the main pool held a 512 tier
-    # on every block
-    assert all(s[0] is not None for s in subs), subs
+    # the main pool held a 512 tier on every block
     assert all(m is not None and m[0] == 512 for m in mains), mains
-    # membership tracked the transitions: voice 3 left, voice 0 joined,
-    # voice 6 drifted in; the fast mover (5) and far voice (4) stayed
-    assert 3 in subs[0][1] and 5 in subs[0][1] and 4 in subs[0][1]
-    assert 3 not in subs[5][1]
-    assert 0 in subs[8][1]
-    assert 6 in subs[-1][1], subs[-1]
+    # CERTAINLY-FROZEN voices (both offsets clamped, ds = 0 exactly) ride
+    # the select kernel's frozen branch on the tight tier and never occupy
+    # sub-pass slots (round 5): the far statics 3 and 4 are unlisted from
+    # the start; the fast mover (5) and the band voice 6 (inside the
+    # p_off-clamp transition band) engage the sub-pass initially
+    assert 5 in subs[0][1] and 6 in subs[0][1], subs[0]
+    assert all(3 not in s[1] and 4 not in s[1] for s in subs), subs
+    assert subs[0][0] is not None
+    # voice 0's jump beyond the boundary freezes it (not listed), voice 6
+    # drifts past the frozen boundary, and mover 5 leaves the band at
+    # ~45 m: by the end every voice is tight or frozen and the sub-pass
+    # DISENGAGES entirely — the scene renders as one tight pass
+    assert 0 not in subs[8][1], subs[8]
+    assert subs[-1] == (None, ()), subs[-1]
     # no new programs compile after every transition has been seen
     assert len(r._steps) == nsteps_mid, (len(r._steps), nsteps_mid)
 

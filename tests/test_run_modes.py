@@ -133,3 +133,70 @@ def test_scan_unroll_parity():
     b = run(4)
     assert a.shape == b.shape and np.isfinite(b).all()
     assert np.abs(a - b).max() <= 1e-6
+
+
+def _build_buffered_multi(seed=7):
+    rng = np.random.default_rng(seed)
+    control, scene = ot.SpatialScene.new()
+    for _ in range(5):
+        control.play_buffered(
+            ot.Sine(rng.uniform(0, 6), rng.uniform(100, 900)),
+            ot.SpatialOptions(
+                position=rng.uniform(-8, 8, 3),
+                velocity=rng.uniform(-2, 2, 3),
+            ),
+            max_distance=10.0, rate=8000, buffer_duration=0.5,
+        )
+    return control, scene
+
+
+def test_multiblock_idle_groups_match_per_block():
+    """Fused multi-block idle dispatch (SpatialScene.render_multi: one
+    superwindow gather + one select kernel for nb blocks) computes the
+    SAME arithmetic as the per-block path: same cursor scalars, same
+    window values (mod-granule wrap reads the ring start where the
+    per-block path reads the mirror twin), same per-block mix order —
+    eager evaluation from a shared state is bit-identical.  Across two
+    different COMPILED programs XLA's fusion/FMA choices may differ by
+    ~1 ulp per op (the PARITY.md reduction-order class), so the
+    cross-program assertion is a tight epsilon, with the oracle goldens
+    (<= 1e-5) as the semantic contract."""
+    _, s1 = _build_buffered_multi()
+    r1 = ot.Renderer(s1, 8000)
+    a = r1.render_frames(512 * 19)  # 4 groups of 4 + remainder 3
+    assert any(
+        isinstance(k[1], tuple) and k[1][0] == "multi"
+        for k in r1._steps
+    ), "the multi-block step must have engaged"
+
+    _, s2 = _build_buffered_multi()
+    pool2 = list(s2._buffered_pools.values())[0]
+    pool2.MULTI_NB = 0  # instance override disables the fused path
+    r2 = ot.Renderer(s2, 8000)
+    b = r2.render_frames(512 * 19)
+    assert not any(
+        isinstance(k[1], tuple) and k[1][0] == "multi"
+        for k in r2._steps
+    )
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 2e-7, np.abs(a - b).max()
+
+
+def test_multiblock_gate_rejects_tight_rings():
+    """host_multiblock must refuse when the ring lacks slack for the
+    group's batched appends (later appends would overwrite samples an
+    earlier block still reads)."""
+    rng = np.random.default_rng(3)
+    control, scene = ot.SpatialScene.new()
+    control.play_buffered(
+        ot.Sine(0.0, 440.0),
+        ot.SpatialOptions(position=rng.uniform(-5, 5, 3)),
+        max_distance=10.0, rate=8000, buffer_duration=0.1,  # cap 2048
+    )
+    r = ot.Renderer(scene, 8000)
+    a = r.render_frames(512 * 8)
+    assert np.isfinite(a).all() and np.abs(a).max() > 0
+    assert not any(
+        isinstance(k[1], tuple) and k[1][0] == "multi"
+        for k in r._steps
+    ), "tight ring must stay on the per-block path"

@@ -502,3 +502,46 @@ def test_submix_play_buffered():
     spec3 = np.abs(np.fft.rfft(b[1024:, 0]))
     top2 = set((np.argsort(spec3)[-2:] * 8000 // 1024).tolist())
     assert any(abs(p - 520) < 16 for p in top2)  # restored pre-stop state
+
+
+def test_tier_observability_getters():
+    """SpatialSceneControl.read_tiers()/tier_events(): the active read
+    plan (tier, sub-pass occupancy, frozen/band counts, demotion flag) is
+    user-visible, and tier transitions are logged — a demoted pool must be
+    diagnosable without reading bench stderr (round-5 VERDICT item 6)."""
+    RATE = 8000
+    control, scene = ot.SpatialScene.new()
+    control.play_buffered(
+        ot.Sine(0.0, 440.0), ot.SpatialOptions(position=[5.0, 0.0, 0.0]),
+        max_distance=10.0, rate=RATE, buffer_duration=0.1,
+    )
+    # beyond (10/343 + 0.1)*343 = 44.3 m: certainly frozen (ds = 0)
+    control.play_buffered(
+        ot.Sine(0.0, 300.0), ot.SpatialOptions(position=[100.0, 0.0, 0.0]),
+        max_distance=10.0, rate=RATE, buffer_duration=0.1,
+    )
+    r = ot.Renderer(scene, RATE)
+    r.render_frames(512 * 2)
+    (info,) = control.read_tiers().values()
+    assert info["kind"] == "dr"
+    assert info["read_cfg"] is not None and info["read_cfg"][0] == 512
+    assert not info["demoted"]
+    assert info["frozen"] == 1 and info["band"] == 0
+    assert info["listed"] == 0 and info["sub_cfg"] is None
+    ev = control.tier_events()
+    assert ev and all(len(e) == 4 for log in ev.values() for e in log)
+    assert control.tier_events() == {}  # drained
+
+    # a ~100 m/s mover joins the family sub-pass; the pool stays tight
+    # and the transition lands in the event log
+    control.play_buffered(
+        ot.Sine(0.0, 200.0),
+        ot.SpatialOptions(position=[4.0, 0.0, 0.0], velocity=[100.0, 0.0, 0.0]),
+        max_distance=10.0, rate=RATE, buffer_duration=0.1,
+    )
+    r.render_frames(512 * 2)
+    (info,) = control.read_tiers().values()
+    assert info["read_cfg"][0] == 512 and not info["demoted"]
+    assert info["listed"] == 1 and info["sub_cfg"] is not None
+    ev = control.tier_events()
+    assert ev, "sub-pass engagement must log a tier event"
