@@ -29,6 +29,11 @@ Prints ONE JSON line with the flagship metric plus named secondary paths
                         prefilled + Adapt(Sine)), single-chip (1,1) mesh,
                         on-device pack scans — BASELINE config 5 scaled
                         to one chip; xrt is per-scene audio over wall
+  scenes_per_chip_realtime
+                        largest MEASURED N where N such scenes sustain
+                        >= 1x real time per scene on one chip (affine
+                        fit through S=16/64 picks the candidate, which
+                        is then measured; scenes64_xrt is the S=64 point)
   streams_mixer_xrt     64 prefilled Stream voices in a Mixer (drain)
   streams_spatial_xrt   64 prefilled Stream voices spatialized (drain)
 
@@ -301,18 +306,28 @@ def bench_scenepack(rng):
     Adapt(Sine)), rendered through on-device pack scans on a (1, 1) mesh.
     xrt = per-scene audio seconds over wall seconds (all 16 scenes render
     concurrently, so >= 1x means the whole pack holds real time)."""
-    import jax.numpy as jnp
+    # scan_unroll=8: the pack scan is per-iteration fixed-cost bound at
+    # 256-voice scenes; r4_probe8 (same-session A/B, v5e) measured
+    # u1 [5.6, 7.2, 8.0] / u4 [4.5, 8.2, 9.8] / u8 [10.0, 9.9, 10.5]
+    # x RT per scene.
+    pack = _build_pack(16, rng)
+    trials = _pack_rate(pack, "scenepack")
+    log("[scenepack] 16 scenes x 256 voices -> "
+        + ", ".join(f"{x:.1f}" for x in trials) + "x RT per scene")
+    return trials
 
+
+def _build_pack(S, rng, unroll=8):
+    """A ScenePack of S BASELINE-config-5 scenes (256 voices each: 32
+    Adapt(Stream) prefilled + 224 Adapt(Sine)) on a (1, 1) mesh."""
     import oddio_tpu as ot
     from oddio_tpu.parallel.mesh import make_mesh
     from oddio_tpu.parallel.sharded import ScenePack
 
-    S, V, NS, FILL = 16, 256, 32, 2400
+    V, NS, FILL = 256, 32, 2400
 
     def build(seed):
         rng2 = np.random.default_rng(seed)
-        # stream-pool capacity == NS keeps the one-shot prefill chunk dense
-        # (the ingest upload pads to pool capacity)
         mixer = ot.Mixer(1, initial_capacity=NS)
         control = ot.MixerControl(mixer)
         ctls = []
@@ -330,23 +345,25 @@ def bench_scenepack(rng):
         return mixer, ctls
 
     scenes, ctls = zip(*[build(s) for s in range(S)])
-    # scan_unroll=8: the pack scan is per-iteration fixed-cost bound at
-    # 256-voice scenes; r4_probe8 (same-session A/B, v5e) measured
-    # u1 [5.6, 7.2, 8.0] / u4 [4.5, 8.2, 9.8] / u8 [10.0, 9.9, 10.5]
-    # x RT per scene.
-    pack = ScenePack(list(scenes), RATE, make_mesh(1, 1), scan_unroll=8)
+    pack = ScenePack(list(scenes), RATE, make_mesh(1, 1), scan_unroll=unroll)
     pcm = rng.standard_normal((S * NS, FILL)).astype(np.float32) * 0.1
     for j, ctl in enumerate(c for group in ctls for c in group):
         ctl.write(pcm[j])
+    return pack
+
+
+def _pack_rate(pack, label, ntrials=2, nch=4):
+    """Per-scene xRT of a warmed pack."""
+    import jax.numpy as jnp
+
     t0 = time.time()
     blocks = pack.render_frames_device(BLOCK * 8)
     blocks = pack.render_frames_device(BLOCK * CHUNK)
     float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
-    log(f"[scenepack] warmup incl. compile + PCM upload: {time.time()-t0:.1f}s")
-    trials = []
-    nch = 4
+    log(f"[{label}] warmup incl. compile + PCM upload: {time.time()-t0:.1f}s")
     audio = nch * CHUNK * BLOCK / RATE
-    for _ in range(2):
+    trials = []
+    for _ in range(ntrials):
         t0 = time.time()
         for _ in range(nch):
             blocks = pack.render_frames_device(BLOCK * CHUNK)
@@ -354,9 +371,42 @@ def bench_scenepack(rng):
         assert np.isfinite(total)
         trials.append(round(audio / (time.time() - t0), 2))
     pack.sync()
-    log(f"[scenepack] {S} scenes x {V} voices -> "
-        + ", ".join(f"{x:.1f}" for x in trials) + "x RT per scene")
     return trials
+
+
+def bench_scenes_capacity(rng, r16):
+    """BASELINE config 5 at its stated SCALE: the largest N where N
+    256-voice Stream+AGC scenes sustain >= 1x real time per scene on one
+    chip.  Measures a second pack size (64), fits the affine per-block
+    cost T(S) = a + b*S through the two measured points, predicts the
+    break-even N, then MEASURES the predicted point — the reported value
+    is the largest measured-or-verified N with rate >= 1."""
+    r16_med = float(np.median(r16))
+    t16 = (BLOCK / RATE) / r16_med  # seconds per block at S=16
+    pack = _build_pack(64, rng)
+    r64 = _pack_rate(pack, "scenes64")
+    log(f"[scenes64] 64 scenes x 256 voices -> "
+        + ", ".join(f"{x:.1f}" for x in r64) + "x RT per scene")
+    r64_med = float(np.median(r64))
+    t64 = (BLOCK / RATE) / r64_med
+    b = max((t64 - t16) / (64 - 16), 1e-9)
+    a = max(t16 - b * 16, 0.0)
+    n_hat = int((BLOCK / RATE - a) / b)
+    n_hat = max(16, min(1024, n_hat))
+    log(f"[scenes_capacity] fit a={a*1e3:.3f}ms b={b*1e3:.4f}ms/scene "
+        f"-> predicted break-even N={n_hat}")
+    if r64_med < 1.0:
+        verified = 16 if r16_med >= 1.0 else 0
+        return verified, r64
+    if n_hat <= 64:
+        return 64, r64
+    pack = _build_pack(n_hat, rng)
+    rv = _pack_rate(pack, f"scenes{n_hat}")
+    log(f"[scenes{n_hat}] -> " + ", ".join(f"{x:.1f}" for x in rv)
+        + "x RT per scene")
+    if float(np.median(rv)) >= 1.0:
+        return n_hat, r64
+    return 64, r64
 
 
 def bench_densemix(rng):
@@ -485,6 +535,7 @@ def main():
     wavetable = bench_wavetable(rng)
     agc = bench_agc(rng)
     scenepack = bench_scenepack(rng)
+    scenes_cap, scenes64 = bench_scenes_capacity(rng, scenepack)
     sm = bench_streams(rng, spatial=False)
     ss = bench_streams(rng, spatial=True)
 
@@ -508,6 +559,8 @@ def main():
         "agc_xrt": float(np.median(agc)),
         "scenepack_xrt": float(np.median(scenepack)),
         "scenepack_trials": scenepack,
+        "scenes_per_chip_realtime": scenes_cap,
+        "scenes64_xrt": float(np.median(scenes64)),
         "streams_mixer_xrt": sm,
         "streams_spatial_xrt": ss,
     }))
