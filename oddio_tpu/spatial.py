@@ -1400,6 +1400,12 @@ class _BufferedPoolDR(_DRPoolBase):
             np.minimum(np.abs(d_hi - bnd), np.abs(d_lo - bnd_hi)),
             np.float32(np.inf),
         )
+        if self._sub_list.size:
+            # family-sub-listed voices are tier-safe FOREVER (the sub
+            # tiers cover every subsonic walk, ds in [0, 2]); without
+            # this, band voices drag the cache horizon to ~0 and the
+            # O(V) sweep would run every block in drift scenes
+            gap[self._sub_list] = np.float32(np.inf)
         # frozen voices ride the kernel's frozen branch: their velocities
         # do not widen the read walk (spd keeps them for crossing horizons)
         vn_t = np.where(frozen, np.float32(0.0), vn)
@@ -1434,6 +1440,8 @@ class _BufferedPoolDR(_DRPoolBase):
                 "clamp": band,
                 "frozen": frozen,
                 "d_hi": d_hi,
+                "d_lo": d_lo,
+                "spd": spd,
             },
         }
         if clamp:
@@ -1529,6 +1537,19 @@ class _BufferedPoolDR(_DRPoolBase):
         pv = c.get("pv")
         if pv is None:
             return None
+        # between sweeps the per-voice bounds change only at the
+        # trans_until cutoff (and under listener rotation, which varies
+        # per block — not memoized): a live sub list would otherwise pay
+        # this O(V) pass every block
+        memo_key = None
+        if rot_sin_half == 0.0:
+            memo_key = (
+                c["t"], elapsed, n, ratio,
+                self._t_scene < c["trans_until"],
+            )
+            hit = getattr(self, "_pvb_memo", None)
+            if hit is not None and hit[0] == memo_key:
+                return hit[1]
         C = float(SPEED_OF_SOUND)
         live = pv["live"]
         vn = pv["vn"]
@@ -1561,7 +1582,10 @@ class _BufferedPoolDR(_DRPoolBase):
         active = live & ~pv["frozen"]
         b_v = np.where(active, b_v, 0.0)
         dmax_v = np.where(active, abs(ratio - 1.0) + b_v * ratio, 0.0)
-        return b_v, dmax_v, live
+        out = (b_v, dmax_v, live)
+        if memo_key is not None:
+            self._pvb_memo = (memo_key, out)
+        return out
 
     def tier_bound(self, interval, n):
         """PRE-drain conservative walk bound for pack-wide tier agreement
@@ -1812,8 +1836,10 @@ class _BufferedPoolDR(_DRPoolBase):
         stray voice demotes the main tier for a block, exactly like the
         pre-split behavior.  Under a pack-wide floor the split is disabled
         (packed scenes must agree on one program; they demote as before)."""
-        desired = self._EMPTY_SUB
+        desired = None  # None = keep the shipped list as-is
         pvb = None
+        if self._dmax_floor > 0.0 and self._sub_list.size:
+            desired = self._EMPTY_SUB  # packs demote; no sub-pass under floors
         if self._dmax_floor == 0.0 and n > 0:
             # the per-voice sweep costs O(V) numpy per block; run it only
             # when the cheap pool-wide bound would demote the tier (or a
@@ -1825,20 +1851,70 @@ class _BufferedPoolDR(_DRPoolBase):
         if pvb is not None:
             b_v, dmax_v, live = pvb
             wide_v = live & (dmax_v * min(512, max(n, 1)) > 128.0)
-            cand = np.nonzero(wide_v)[0]
-            if cand.size and cand.size <= self.SUBCAP:
-                sub_ok = self._pick_tier(
-                    float(dmax_v[cand].max()), n, self.SUB_TIERS
-                )
-                tb = float(np.where(wide_v, 0.0, b_v).max())
-                main = self._pick_tier(abs(ratio - 1.0) + tb * ratio, n, tiers)
-                # splitting pays only when it actually rescues a 512 tier
-                if sub_ok is not None and main is not None and main[0] == 512:
-                    desired = cand
+            in_ship = np.zeros(self.capacity, bool)
+            in_ship[self._sub_list] = True
+            covered = not bool((wide_v & ~in_ship).any())
+            c = self._b_cache
+            fresh = c is not None and c.get("t") == self._t_scene
+            # Replan only when the shipped list no longer covers every
+            # wide voice (urgent), or right after a fresh sweep (cheap
+            # relative to it).  Staying covered keeps the list as-is —
+            # stale members are harmless (the sub tiers cover every
+            # subsonic walk, and the sub pass is fixed SUBCAP shape), and
+            # NOT shipping is what lets sweeps and ships batch.
+            if (not covered or fresh) and (
+                wide_v.any() or self._sub_list.size
+            ):
+                # PRE-LIST HORIZON: also list voices that can reach the
+                # clamp transition band within H seconds (halved until the
+                # candidate set fits SUBCAP).  Until H elapses no unlisted
+                # voice can need the wide tier, so membership ships — and
+                # the O(V) sweep reruns — in ~1/H-per-second batches
+                # instead of per crossing (listed voices are horizon-
+                # exempt, see _walk_bound's gap).
+                pv = c["pv"]
+                age = np.float32(max(0.0, self._t_scene - c["t"]))
+                C = np.float32(SPEED_OF_SOUND)
+                e32 = np.float32(elapsed)
+                margin = np.float32(2.0 / self.rate + 1e-4)
+                bnd = (self._md_host - e32 - margin) * C
+                bnd_hi = (self._md_host + margin) * C
+                spd = pv["spd"]
+                d_hi = pv["d_hi"] + spd * age
+                d_lo = np.maximum(pv["d_lo"] - spd * age, np.float32(0.0))
+                frozen = pv["frozen"]
+                cand = None
+                for H in (1.0, 0.5, 0.25, 0.1, 0.0):
+                    r = spd * np.float32(H)
+                    near = live & (
+                        wide_v
+                        | (~frozen & (d_hi + r >= bnd))
+                        | (frozen & (d_lo - r <= bnd_hi))
+                    )
+                    idx = np.nonzero(near)[0]
+                    if idx.size <= self.SUBCAP:
+                        cand = idx
+                        break
+                desired = self._EMPTY_SUB
+                if cand is not None and cand.size:
+                    sd = dmax_v[cand]
+                    sub_ok = self._pick_tier(
+                        float(sd.max()), n, self.SUB_TIERS
+                    )
+                    mask_c = np.zeros(self.capacity, bool)
+                    mask_c[cand] = True
+                    tb = float(np.where(mask_c, 0.0, b_v).max())
+                    main = self._pick_tier(
+                        abs(ratio - 1.0) + tb * ratio, n, tiers
+                    )
+                    # splitting pays only when it rescues a 512 tier
+                    if (sub_ok is not None and main is not None
+                            and main[0] == 512):
+                        desired = cand
         # membership updates ride delta blocks (ship path); a stray change
         # on an idle block leaves the shipped list authoritative and the
         # main tier demoted for one block (exact, just slower)
-        if (desired.size or self._sub_list.size) and not np.array_equal(
+        if desired is not None and not np.array_equal(
             desired, self._sub_list
         ):
             if self._has_play:

@@ -416,12 +416,14 @@ def test_golden_family_subpass_mixed_scene():
     assert 5 in subs[0][1] and 6 in subs[0][1], subs[0]
     assert all(3 not in s[1] and 4 not in s[1] for s in subs), subs
     assert subs[0][0] is not None
-    # voice 0's jump beyond the boundary freezes it (not listed), voice 6
-    # drifts past the frozen boundary, and mover 5 leaves the band at
-    # ~45 m: by the end every voice is tight or frozen and the sub-pass
-    # DISENGAGES entirely — the scene renders as one tight pass
-    assert 0 not in subs[8][1], subs[8]
-    assert subs[-1] == (None, ()), subs[-1]
+    # voice 0's jump beyond the boundary freezes it deep outside (never
+    # listed); voices 5 and 6 end up frozen but NEAR the boundary, so the
+    # pre-list horizon keeps them listed (membership ships in batches
+    # instead of per crossing) — the list may only hold near-boundary
+    # voices and must be stable at the end (no churn)
+    assert all(0 not in s[1] for s in subs[8:]), subs[8:]
+    assert set(subs[-1][1]) <= {5, 6}, subs[-1]
+    assert subs[-2] == subs[-1], (subs[-2], subs[-1])
     # no new programs compile after every transition has been seen
     assert len(r._steps) == nsteps_mid, (len(r._steps), nsteps_mid)
 
