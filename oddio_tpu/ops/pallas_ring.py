@@ -1213,7 +1213,15 @@ def strip_resample(strips, scal, extra, *, n, interpret=False, tile=None):
     scal = _pad0(scal, V)
     extra = _pad0(extra, V)
     if tile is None:
-        tile = min(_tile_for(V), 8)  # bound VMEM: tile * S * 4 bytes
+        # widest voice tile within a ~512 KiB VMEM input block: narrow
+        # strips (stream rings, small wavetables) run 32 voices per grid
+        # step — grid-step count, not bytes, bounds small-V resamples
+        # (r5_probe2: the stream leg at tile=8 was ~1.1 us/stream/block) —
+        # while wide arena windows shrink the tile to fit
+        tile = _tile_for(V)
+        while tile > 1 and tile * S * 4 > (1 << 19):
+            tile //= 2
+        tile = max(tile, 1)
     grid_spec = pl.GridSpec(
         grid=(V // tile,),
         in_specs=[
