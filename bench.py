@@ -392,7 +392,10 @@ def bench_scenes_capacity(rng, r16):
     b = max((t64 - t16) / (64 - 16), 1e-9)
     a = max(t16 - b * 16, 0.0)
     n_hat = int((BLOCK / RATE - a) / b)
-    n_hat = max(16, min(1024, n_hat))
+    # quantize to multiples of 32: each pack size compiles its own program
+    # (~5 min through the remote-compile service), so the candidate must
+    # hit the persistent cache across runs despite fit jitter
+    n_hat = max(32, min(1024, (n_hat // 32) * 32))
     log(f"[scenes_capacity] fit a={a*1e3:.3f}ms b={b*1e3:.4f}ms/scene "
         f"-> predicted break-even N={n_hat}")
     if r64_med < 1.0:

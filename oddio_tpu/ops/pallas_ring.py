@@ -1213,15 +1213,22 @@ def strip_resample(strips, scal, extra, *, n, interpret=False, tile=None):
     scal = _pad0(scal, V)
     extra = _pad0(extra, V)
     if tile is None:
-        # widest voice tile within a ~512 KiB VMEM input block: narrow
-        # strips (stream rings, small wavetables) run 32 voices per grid
-        # step — grid-step count, not bytes, bounds small-V resamples
-        # (r5_probe2: the stream leg at tile=8 was ~1.1 us/stream/block) —
-        # while wide arena windows shrink the tile to fit
-        tile = _tile_for(V)
-        while tile > 1 and tile * S * 4 > (1 << 19):
-            tile //= 2
-        tile = max(tile, 1)
+        # Default: 8 voices per grid step (bounds VMEM: tile * S * 4 B).
+        # A wider tile (fewer grid steps) measured 27% faster on 64-voice
+        # stream drains (tools/r5_probe5.py: 45 -> 62x), but in LARGE fused
+        # programs a tile-16 variant's output diverged from the exact
+        # per-voice path by up to ~2e-5 on the CPU-interpret build — far
+        # beyond fusion-rounding noise and unreproducible in isolation
+        # (r5 investigation; likely an XLA-CPU fused-program rewrite).
+        # Until that is pinned down, the wider tile is OPT-IN:
+        # ODDIO_RESAMPLE_TILE=adaptive enables the VMEM-budget sizing.
+        if os.environ.get("ODDIO_RESAMPLE_TILE", "") == "adaptive":
+            tile = _tile_for(V)
+            while tile > 1 and tile * S * 4 > (1 << 19):
+                tile //= 2
+            tile = max(tile, 1)
+        else:
+            tile = min(_tile_for(V), 8)
     grid_spec = pl.GridSpec(
         grid=(V // tile,),
         in_specs=[

@@ -59,11 +59,14 @@ def test_scenepack_matches_single_device(mesh_shape):
 
 
 def test_scenepack_clamped_voice_disables_subpass():
-    """A scene with an offset-clamped voice rides the family sub-pass on
+    """A scene with a WIDE-walk voice (a ~100 m/s mover, genuinely inside
+    the transition band's walk regime) rides the family sub-pass on
     single-device renderers, but under a ScenePack the pack-wide tier
     floor disables the split (every scene must share one program) and the
     pack demotes to the wide tier — both paths are exact, so the audio
-    must still match."""
+    must still match.  A fully offset-clamped voice (60 m > 44.3 m) rides
+    along too: round 5's frozen branch renders it inside whatever tier is
+    active with NO listing and NO demotion of its own."""
     need_devices(4)
 
     def build(seed):
@@ -76,10 +79,18 @@ def test_scenepack_clamped_voice_disables_subpass():
                                   velocity=rng.uniform(-2, 2, 3)),
                 max_distance=10.0, rate=8000, buffer_duration=0.1,
             )
-        if seed == 1:  # one scene carries a clamped voice (60 m > 44.3 m)
+        if seed == 1:
+            # a frozen far voice (never listed, never demotes) ...
             control.play_buffered(
                 ot.Sine(0.0, 700.0),
                 ot.SpatialOptions(position=[60.0, 0.0, 0.0]),
+                max_distance=10.0, rate=8000, buffer_duration=0.1,
+            )
+            # ... and a fast mover that needs the wide walk
+            control.play_buffered(
+                ot.Sine(0.5, 520.0),
+                ot.SpatialOptions(position=[4.0, 0.0, 0.0],
+                                  velocity=[100.0, 0.0, 0.0]),
                 max_distance=10.0, rate=8000, buffer_duration=0.1,
             )
         return scene
@@ -93,6 +104,7 @@ def test_scenepack_clamped_voice_disables_subpass():
     expected = np.stack(expected)
     sp = list(singles[1]._buffered_pools.values())[0]
     assert sp._sub_cfg is not None and sp._read_cfg[0] == 512
+    assert 6 not in sp._sub_list, "the frozen voice must not be listed"
 
     packed = [build(seed) for seed in range(S)]
     mesh = make_mesh(2, 2)
@@ -355,9 +367,11 @@ def test_scenepack_dr_stream_ingest():
 def test_scenepack_walk_tier_uniform():
     """ScenePack renders every scene with ONE program, so the motion-
     adaptive read tier must agree across the pack: scene 0 is slow/near
-    (would pick the tight K=32 tier alone) while scene 1 holds a voice
-    beyond max_delay*c (frozen reads -> the 128-frame tier).  The pack-wide
-    floor must demote both, and the audio must match per-scene renderers."""
+    while scene 1 holds a voice beyond max_delay*c.  Round 5: a fully
+    clamped voice reads ds = 0 exactly and rides the select kernel's
+    FROZEN branch inside the tight tier — it no longer escalates the
+    pack-wide floor, so BOTH scenes keep (512, 32) and the audio must
+    still match per-scene renderers (which use the same frozen branch)."""
     need_devices(8)
 
     def build(far):
@@ -393,7 +407,7 @@ def test_scenepack_walk_tier_uniform():
         for p in s._all_pools()
         if hasattr(p, "_read_cfg")
     }
-    assert tiers == {(256, 256)}, tiers  # the far scene's floor won
+    assert tiers == {(512, 32)}, tiers  # frozen voices demote nothing
     np.testing.assert_allclose(out, ref_out, atol=2e-5)
 
 
