@@ -1884,7 +1884,7 @@ class _BufferedPoolDR(_DRPoolBase):
                 d_lo = np.maximum(pv["d_lo"] - spd * age, np.float32(0.0))
                 frozen = pv["frozen"]
                 cand = None
-                for H in (1.0, 0.5, 0.25, 0.1, 0.0):
+                for H in (8.0, 4.0, 2.0, 1.0, 0.5, 0.25, 0.1, 0.0):
                     r = spd * np.float32(H)
                     near = live & (
                         wide_v
