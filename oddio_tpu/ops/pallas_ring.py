@@ -1213,16 +1213,27 @@ def strip_resample(strips, scal, extra, *, n, interpret=False, tile=None):
     scal = _pad0(scal, V)
     extra = _pad0(extra, V)
     if tile is None:
-        # Default: 8 voices per grid step (bounds VMEM: tile * S * 4 B).
-        # A wider tile (fewer grid steps) measured 27% faster on 64-voice
-        # stream drains (tools/r5_probe5.py: 45 -> 62x), but in LARGE fused
-        # programs a tile-16 variant's output diverged from the exact
-        # per-voice path by up to ~2e-5 on the CPU-interpret build — far
-        # beyond fusion-rounding noise and unreproducible in isolation
-        # (r5 investigation; likely an XLA-CPU fused-program rewrite).
-        # Until that is pinned down, the wider tile is OPT-IN:
-        # ODDIO_RESAMPLE_TILE=adaptive enables the VMEM-budget sizing.
-        if os.environ.get("ODDIO_RESAMPLE_TILE", "") == "adaptive":
+        # Voice-tile default is PLATFORM-AWARE.  A wider tile (fewer grid
+        # steps) measured 27% faster on 64-voice stream drains
+        # (tools/r5_probe5.py: 45 -> 62x) and is bit-exact on real TPU:
+        # tools/r5_probe6.py renders both fused stream programs (DR mixer
+        # pool + buffered spatial) at tile 8 vs adaptive on v5e and gets
+        # max|diff| = 0.0 — the Mosaic kernel's per-voice math is
+        # tile-independent.  On the CPU-INTERPRET build, however, the
+        # kernel lowers to plain XLA ops and the tile choice perturbs the
+        # surrounding program's fusion/reassociation: a tile-16 variant's
+        # full-program output moved ~2e-5 (deterministic; bit-exact in
+        # every isolation, and the traced program differs from its own
+        # eager replay — the signature of an XLA:CPU rewrite, not a kernel
+        # bug; --xla_cpu_enable_fast_math=false does not disable it).  So
+        # interpret mode keeps the conservative 8-voice tile (stable CPU
+        # golden contract) while compiled TPU runs size the tile to a
+        # 512 KiB VMEM input budget.  ODDIO_RESAMPLE_TILE=adaptive|<int>
+        # overrides either way.
+        knob = os.environ.get("ODDIO_RESAMPLE_TILE", "")
+        if knob and knob != "adaptive":
+            tile = max(int(knob), 1)
+        elif knob == "adaptive" or not interpret:
             tile = _tile_for(V)
             while tile > 1 and tile * S * 4 > (1 << 19):
                 tile //= 2
