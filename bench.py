@@ -484,7 +484,13 @@ def bench_streams(rng, spatial):
 
     label = "streams_spatial" if spatial else "streams_mixer"
     n_streams = 64
-    fill = 6 * RATE
+    # 13 s of PCM per stream: enough for a 4x-wide-dispatch drain (the
+    # drain lines are enqueue-RTT bound through this relay — a 24 s fill
+    # with MORE 94-block dispatches measured LOWER (85.8x mixer) than the
+    # 6 s fill (95.4x) while the engine-side floor is 142x, r5 builder
+    # session — so the lever is FEWER, WIDER dispatches, not a longer
+    # timed region)
+    fill = 13 * RATE
     if spatial:
         control, scene = ot.SpatialScene.new(initial_capacity=n_streams)
     else:
@@ -504,19 +510,26 @@ def bench_streams(rng, spatial):
     for j, ctl in enumerate(ctls):
         ctl.write(data[j])
     # 64-voice scenes are per-block fixed-cost bound: unrolling 4 blocks
-    # per scan iteration amortizes it (r4_probe2: spatial drain 21 -> 33x)
-    r = ot.Renderer(scene, RATE, scan_buckets=BUCKETS, scan_unroll=4)
-    # 2x-wide dispatches: at 64 voices a CHUNK-block dispatch costs about
+    # per scan iteration amortizes it (r4_probe2: spatial drain 21 -> 33x);
+    # the top bucket must BE the dispatch width (the default BUCKETS would
+    # decompose a 188-block request into four 47-block enqueues, each a
+    # relay round trip)
+    r = ot.Renderer(scene, RATE, scan_buckets=(CHUNK * 4, CHUNK, 12, 3, 1),
+                    scan_unroll=4)
+    # 4x-wide dispatches: at 64 voices a CHUNK-block dispatch costs about
     # the relay round trip, so the drain rate would measure the tunnel,
-    # not the engine (observed 2x swings on identical code)
-    chunk2 = CHUNK * 2
+    # not the engine (observed 2x swings on identical code); 188-block
+    # scans measured 0.204 vs 0.236 ms/block at 2x-wide (r5_probe3)
+    chunk2 = CHUNK * 4
     t0 = time.time()
     first = r.render_frames(BLOCK * 8)
     assert np.isfinite(first).all()
     blocks = r.render_frames_device(BLOCK * chunk2)
     float(np.asarray(jnp.sum(blocks[-1][-1] ** 2)))
     log(f"[{label}] warmup incl. compile + buffer upload: {time.time()-t0:.1f}s")
-    nch = int((fill / RATE - 0.3) * RATE / (chunk2 * BLOCK))
+    # chunks that fit the remaining PCM after warmup (8 + chunk2 blocks)
+    # and the pipeline-fill chunk below, with 0.3 s of slack
+    nch = min(int(((fill - 0.3 * RATE) / BLOCK - 8 - chunk2) // chunk2), 21)
     # one untimed chunk fills the dispatch pipeline (the relay's ~30 ms
     # round trip would otherwise be a fixed tax on a short drain)
     blocks = r.render_frames_device(BLOCK * chunk2, sync=False)
