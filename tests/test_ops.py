@@ -602,3 +602,58 @@ def test_submix_singleton_pool_reuse():
     c3.play(ot.Sine(0.0, 700.0))
     mc_top.play(sub3)
     assert len(top._pools) == npools + 1
+
+def test_strip_resample_tile_independent():
+    """strip_resample's grid tile must not change the audio: the per-voice
+    math is tile-independent (r5: proven bit-exact on real TPU across
+    tile 8 vs adaptive, tools/r5_probe6.py — max|diff| = 0.0; the
+    platform-aware default picks adaptive when compiled, 8 under
+    interpret).  Pins the isolated-kernel invariant and both
+    ODDIO_RESAMPLE_TILE override forms against the positions oracle."""
+    import os
+
+    import jax.numpy as jnp
+
+    from oddio_tpu.ops._dev import device_split_ds, exact_positions
+    from oddio_tpu.ops.pallas_ring import (
+        RESAMPLE_W, pack_select_scalars, strip_resample,
+    )
+
+    rng = np.random.default_rng(11)
+    V, n = 32, 512
+    S = 1536  # >= RESAMPLE_W, multiple of 128
+    strips = rng.standard_normal((V, S)).astype(np.float32)
+    t = rng.uniform(0, 1, V).astype(np.float32)
+    ds = rng.uniform(0.1, 1.5, V).astype(np.float32)
+    ds_int, f_hi, f_lo = device_split_ds(jnp.asarray(ds))
+    scal = pack_select_scalars(jnp.asarray(t), ds_int, f_hi, f_lo)
+    extra = np.full(V, 1, np.int32)  # one-sample bias, like _dr_resample
+
+    def run(tile=None, env=None):
+        old = os.environ.pop("ODDIO_RESAMPLE_TILE", None)
+        try:
+            if env is not None:
+                os.environ["ODDIO_RESAMPLE_TILE"] = env
+            return np.asarray(strip_resample(
+                jnp.asarray(strips), scal, jnp.asarray(extra), n=n,
+                interpret=True, tile=tile,
+            ))
+        finally:
+            os.environ.pop("ODDIO_RESAMPLE_TILE", None)
+            if old is not None:
+                os.environ["ODDIO_RESAMPLE_TILE"] = old
+
+    base = run(tile=8)
+    # the positions oracle (frames.rs:176-196 trunc-form arithmetic)
+    whole, fr = exact_positions(jnp.asarray(t), ds_int, f_hi, f_lo, n)
+    whole = np.asarray(whole)
+    fr = np.asarray(fr)
+    m = extra[:, None] + whole
+    a = np.take_along_axis(strips, m, axis=1)
+    b = np.take_along_axis(strips, np.minimum(m + 1, S - 1), axis=1)
+    np.testing.assert_allclose(base, a + fr * (b - a), atol=1e-5)
+
+    # isolated-kernel tile independence (bit-exact)
+    for variant in (run(tile=16), run(tile=32), run(env="16"),
+                    run(env="adaptive")):
+        np.testing.assert_array_equal(variant, base)
