@@ -183,6 +183,7 @@ class DRCtrlMixin:
         }
         self._ds_dirty = True
         self._ds_small = True
+        self._ema_fast = False
         #: True when NO fader in the pool has pending, in-flight, or
         #: unresolved-inc fades — _fade_tick is then an exact no-op and the
         #: pool's idle fast path may skip it.  Set False by push_fade /
@@ -266,16 +267,23 @@ class DRCtrlMixin:
         windowed resample kernels; recomputed only after plays or
         speed-class control writes."""
         if self._ds_dirty or getattr(self, "_ds_interval", None) != interval:
+            from ..ops.pallas_agc import EMA_GATE, EMA_NMAX
             from ..ops.pallas_ring import RESAMPLE_DSMAX
 
             b = 0.0
+            be = 0.0
             for slot, spec in self._slot_specs.items():
                 if self.mask_host[slot]:
                     b = max(b, spec.host_ds_bound(interval))
+                    be = max(be, spec.host_ema_bound(interval))
             for (slot, _p, _bank), spec in self._extra_specs.items():
                 if self.mask_host[slot]:
                     b = max(b, spec.host_ds_bound(interval))
+                    be = max(be, spec.host_ema_bound(interval))
             self._ds_small = bool(b <= RESAMPLE_DSMAX)
+            #: every live Adapt tau accepts the closed-form AGC kernel
+            #: (ops/pallas_agc.py); pathological taus fall back to the scan
+            self._ema_fast = bool(EMA_NMAX * be <= EMA_GATE)
             # trace-static window-sizing tier: size the read kernels' row
             # windows for the pool's ACTUAL step bound, not the worst case
             # (rate-ratio-1 pools nearly halve their gathered bytes and
@@ -296,13 +304,16 @@ class DRCtrlMixin:
         time; it is part of the pool archetype, so flipping retraces)."""
         small = self._ds_bound_small(float(interval))
         tier = self._ds_tier
+        fast = self._ema_fast
         if (getattr(self.proto, "_pool_ds_small", True) != small
-                or getattr(self.proto, "_pool_ds_tier", 4) != tier):
+                or getattr(self.proto, "_pool_ds_tier", 4) != tier
+                or getattr(self.proto, "_pool_ema_fast", None) is not fast):
             stack = [self.proto]
             while stack:
                 node = stack.pop()
                 node._pool_ds_small = small
                 node._pool_ds_tier = tier
+                node._pool_ema_fast = fast
                 stack.extend(_dr_children(node).values())
         return small
 

@@ -343,6 +343,16 @@ class Signal:
             default=0.0,
         )
 
+    def host_ema_bound(self, interval):
+        """Upper bound on interval/tau over any Adapt in this chain, given
+        the chain's current control mirrors; DR pools use it to gate the
+        closed-form AGC kernel (ops/pallas_agc.py) vs the associative-scan
+        fallback, tracked exactly like host_ds_bound."""
+        return max(
+            (c.host_ema_bound(interval) for c in self.children().values()),
+            default=0.0,
+        )
+
     def dr_supported(self):
         return False
 

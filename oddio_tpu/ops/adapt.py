@@ -139,6 +139,17 @@ class Adapt(Signal):
     def host_is_finished(self):
         return self.inner.host_is_finished()
 
+    def host_ema_bound(self, interval):
+        """Max interval/tau in this chain (DR pools gate the closed-form
+        AGC kernel on EMA_NMAX * bound <= EMA_GATE; ops/pallas_agc.py)."""
+        tau = float(np.min(self.tau)) if getattr(self.tau, "ndim", 0) else float(self.tau)
+        own = float(np.float32(interval)) / max(tau, 1e-30)
+        return max(own, self.inner.host_ema_bound(interval))
+
+    def _arch_extra(self):
+        # the pool-stamped closed-form-kernel flag is trace-relevant
+        return (bool(getattr(self, "_pool_ema_fast", False)),)
+
     def render(self, dstate, ddata, params, n):
         d2, block = self.inner.render(
             dstate.get("inner", {}), ddata.get("inner", {}), params["inner"], n
@@ -192,10 +203,27 @@ class Adapt(Signal):
         # frame-generic: the level is the summed-channel frame (adapt.rs:73),
         # one gain per frame scales every channel (adapt.rs:84-86)
         s = samples if samples.ndim == 2 else jnp.sum(samples, axis=1)
-        gain, avg = _ema_gain(
-            state["avg"], s, alpha, cnt,
-            state["low"], state["high"], state["max_gain"], n,
-        )
+        if (
+            getattr(self, "_pool_ema_fast", False)
+            and n % 128 == 0
+            and n <= 512
+        ):
+            # pool-proven tau bound: the fused closed-form kernel replaces
+            # the associative scan's ~300-op subgraph (see ops/pallas_agc)
+            from .pallas_agc import agc_gains, pack_agc_scalars
+
+            scal = pack_agc_scalars(
+                state["avg"], alpha, cnt,
+                state["low"], state["high"], state["max_gain"],
+            )
+            gain, avg = agc_gains(
+                s, scal, n=n, interpret=jax.default_backend() != "tpu"
+            )
+        else:
+            gain, avg = _ema_gain(
+                state["avg"], s, alpha, cnt,
+                state["low"], state["high"], state["max_gain"], n,
+            )
         st = dict(state)
         st["avg"], st["inner"] = avg, d2
         g = gain if samples.ndim == 2 else gain[:, None, :]

@@ -68,6 +68,13 @@ class Speed(Signal):
             interval * abs(float(np.float32(self.speed[()])))
         )
 
+    def host_ema_bound(self, interval):
+        # the factor warps the inner timebase (speed.rs:32-36), so inner
+        # Adapt alphas see the scaled interval
+        return self.inner.host_ema_bound(
+            interval * abs(float(np.float32(self.speed[()])))
+        )
+
     def dr_supported(self):
         return self.inner.dr_supported()
 
