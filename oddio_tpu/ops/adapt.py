@@ -17,6 +17,14 @@ the golden contract is 1e-5 — reference adapt.rs:69-88 itself rounds
 per frame).  A ``count`` mask keeps the carry exact when fewer frames are
 actually consumed (spatial ring writers): masked frames compose as the
 identity map, freezing the carry exactly like the sequential path.
+
+In DR pools the scan is further replaced by the fused closed-form Mosaic
+kernel (``ops/pallas_agc.py``) whenever the pool-tracked tau bound holds:
+the scan's ~300-op lane-slicing subgraph is latency-bound on real TPU (a
+second 32-slot Adapt pool cost a 16-scene pack ~0.36 ms/block,
+tools/r5_probe8.py) while the kernel is one program.  The
+``_pool_ema_fast`` archetype flag gates it; this scan path remains the
+fallback for pathological taus and non-128-multiple block sizes.
 """
 
 from __future__ import annotations
