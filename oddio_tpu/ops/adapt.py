@@ -218,15 +218,23 @@ class Adapt(Signal):
         ):
             # pool-proven tau bound: the fused closed-form kernel replaces
             # the associative scan's ~300-op subgraph (see ops/pallas_agc)
-            from .pallas_agc import agc_gains, pack_agc_scalars
+            from .pallas_agc import (agc_gains, ema_gain_closed,
+                                     pack_agc_scalars)
 
-            scal = pack_agc_scalars(
-                state["avg"], alpha, cnt,
-                state["low"], state["high"], state["max_gain"],
-            )
-            gain, avg = agc_gains(
-                s, scal, n=n, interpret=jax.default_backend() != "tpu"
-            )
+            if jax.default_backend() == "tpu":
+                scal = pack_agc_scalars(
+                    state["avg"], alpha, cnt,
+                    state["low"], state["high"], state["max_gain"],
+                )
+                gain, avg = agc_gains(s, scal, n=n, interpret=False)
+            else:
+                # same closed form as plain XLA ops: interpret-mode pallas
+                # would re-run the kernel body through the interpreter
+                # every block (CPU suite cost), for identical math
+                gain, avg = ema_gain_closed(
+                    state["avg"], s, alpha, cnt,
+                    state["low"], state["high"], state["max_gain"], n,
+                )
         else:
             gain, avg = _ema_gain(
                 state["avg"], s, alpha, cnt,

@@ -55,6 +55,40 @@ EMA_NMAX = 512
 EMA_GATE = 32.0
 
 
+def ema_gain_closed(avg0, s, alpha, count, low, high, max_gain, n):
+    """The kernel's closed form as plain XLA ops — the non-TPU fast path.
+
+    Interpret-mode pallas re-executes the kernel body through the
+    interpreter per block, which made the CPU test suite crawl; this is
+    the SAME math (decay prefixes + cumsum of scaled terms) evaluated
+    directly, so CPU tests pin the formulation while the Mosaic kernel
+    (pinned by tests/test_agc_kernel.py in interpret mode and by
+    tools/r5_probe9b.py on real v5e) carries it on TPU."""
+    import jax.numpy as jnp
+
+    s2 = s * s
+    i_n = jnp.arange(n, dtype=jnp.int32)
+    live = i_n < count[..., None]
+    a = alpha[..., None]
+    c = jnp.minimum(i_n + 1, count[..., None]).astype(jnp.float32)
+    lg = jnp.log1p(-a)
+    M = jnp.exp(c * lg)
+    terms = jnp.where(live, (a * s2) / M, 0.0)
+    csum = jnp.cumsum(terms, axis=-1)
+    carry = M[..., -1] * (avg0 + csum[..., -1])
+    prev_c = jnp.minimum(i_n.astype(jnp.float32), count[..., None].astype(jnp.float32))
+    prev = jnp.exp(prev_c * lg) * (avg0[..., None] + (csum - terms))
+    avg2 = s2 * a + prev * (1.0 - a)
+    avg_peak = jnp.sqrt(avg2) * _SQRT2
+    lo = low[..., None]
+    gain = jnp.where(
+        avg_peak < lo,
+        jnp.minimum(lo / avg_peak, max_gain[..., None]),
+        jnp.where(avg_peak > high[..., None], high[..., None] / avg_peak, 1.0),
+    )
+    return gain, carry
+
+
 def pack_agc_scalars(avg0, alpha, count, low, high, max_gain):
     """Pack the per-voice AGC scalars into one (V, 8) kernel operand
     (the pack_select_scalars pattern: row-constant values ride a single

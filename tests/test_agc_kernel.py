@@ -11,7 +11,8 @@ import pytest
 
 import oddio_tpu as ot
 from oddio_tpu.ops.adapt import _ema_gain
-from oddio_tpu.ops.pallas_agc import agc_gains, pack_agc_scalars
+from oddio_tpu.ops.pallas_agc import (agc_gains, ema_gain_closed,
+                                      pack_agc_scalars)
 
 
 @pytest.mark.parametrize("V,n", [(7, 512), (32, 512), (5, 128), (48, 384)])
@@ -30,6 +31,11 @@ def test_kernel_matches_associative_scan(V, n):
     assert float(jnp.max(jnp.abs(g1 - g2))) < 5e-6
     crel = jnp.max(jnp.abs(c1 - c2) / jnp.maximum(jnp.abs(c1), 1e-20))
     assert float(crel) < 1e-4
+    # the plain-XLA twin (the non-TPU production path) pins the same form
+    g3, c3 = ema_gain_closed(avg0, s, alpha, count, low, high, mg, n)
+    assert float(jnp.max(jnp.abs(g1 - g3))) < 5e-6
+    crel3 = jnp.max(jnp.abs(c1 - c3) / jnp.maximum(jnp.abs(c1), 1e-20))
+    assert float(crel3) < 1e-4
 
 
 def test_kernel_under_scene_vmap():
