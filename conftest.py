@@ -21,6 +21,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 # `pytest -m "not slow"` finishes in a few minutes for inner-loop debugging,
 # the full run stays the merge gate.  Names without parametrize suffixes.
 _SLOW_TESTS = {
+    "test_dr_pool_fast_path_matches_scan_path",
     "test_stream_batched_kernel_matches_vmap",
     "test_golden_buffered_huge_blocks_wrapped_reads",
     "test_scenepack_matches_single_device",

@@ -35,13 +35,18 @@ def main():
     p8 = importlib.util.module_from_spec(spec8)
     spec8.loader.exec_module(p8)
 
+    # nch=40 (1880-block trials): keeps the ~30 ms relay enqueue+fetch
+    # floor < 10% at post-kernel rates (the first pass used nch=4, whose
+    # ~65 ms trials were ~half floor — those numbers are upper bounds)
+    nch = int(os.environ.get("PROBE_NCH", "40"))
     res = {}
     for label, ns, chain, icap in (
         ("full16", 32, "stream", 32),
         ("twopool", 32, "afg", 32),
         ("base224", 0, "sine", 32),
     ):
-        res[label] = p2.rate_pack(p8.build_pack(ns, chain, icap), label)
+        res[label] = p2.rate_pack(p8.build_pack(ns, chain, icap), label,
+                                  nch=nch)
 
     ms = {k: 10.666 / np.median(v) for k, v in res.items()}
     log("SUMMARY ms/block (post-AGC-kernel): "
