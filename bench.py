@@ -310,8 +310,12 @@ def bench_scenepack(rng):
     # 256-voice scenes; r4_probe8 (same-session A/B, v5e) measured
     # u1 [5.6, 7.2, 8.0] / u4 [4.5, 8.2, 9.8] / u8 [10.0, 9.9, 10.5]
     # x RT per scene.
+    # nch=40 (1880-block trials): post-AGC-kernel the pack runs ~0.17
+    # ms/block, so 188-block trials are ~40 ms of wall clock — mostly the
+    # ~30 ms relay enqueue+fetch floor (r5_probe10/11); longer trials
+    # keep the floor < 10% and report the engine, not the tunnel
     pack = _build_pack(16, rng)
-    trials = _pack_rate(pack, "scenepack")
+    trials = _pack_rate(pack, "scenepack", nch=40)
     log("[scenepack] 16 scenes x 256 voices -> "
         + ", ".join(f"{x:.1f}" for x in trials) + "x RT per scene")
     return trials
